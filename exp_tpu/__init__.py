@@ -1,0 +1,22 @@
+"""exp_tpu — a TPU-native basis-function-expansion (BFE) N-body framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of EXP
+(https://github.com/EXP-code/EXP): collisionless N-body dynamics where the
+gravitational field is represented by a truncated biorthogonal basis-function
+expansion.  Each step projects the particle distribution onto the basis
+(one `psum`-reduced coefficient vector), then evaluates forces back from the
+coefficients — O(N * n_basis), no tree, no mesh.
+
+Design (TPU-first, not a port):
+  * SoA particle arrays sharded over a `jax.sharding.Mesh` particle axis.
+  * Bases are precomputed tables (host-built, NumPy/SciPy) evaluated on-device
+    with gather + interpolation; the whole KDK step is one jitted function.
+  * Coefficient reduction is `jax.lax.psum` over the particle mesh axis
+    (the TPU-native replacement for the reference's MPI_Allreduce,
+    cf. /root/reference/src/SphericalBasis.cc:871-896).
+  * Units: G = 1 throughout (same as the reference).
+"""
+
+__version__ = "0.1.0"
+
+from exp_tpu import ops, basis, forces, nbody, ic  # noqa: F401

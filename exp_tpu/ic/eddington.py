@@ -1,0 +1,136 @@
+"""Eddington inversion + phase-space sampling (host, NumPy).
+
+The IC engine: equivalent of the reference's SphericalModelTable distribution
+function + gen_point realization (exputil/massmodel_dist.cc,
+exputil/realize_model.cc, utils/ICs gensph) — generates an equilibrium
+isotropic N-body realization of a spherical model.
+
+Math: with relative potential psi(r) = -Phi(r) >= 0 shifted so psi(rmax) = 0,
+and relative energy eps = psi - v^2/2, the isotropic DF is
+
+    f(eps) = 1/(sqrt(8) pi^2) [ int_0^eps d2rho/dpsi2 dpsi / sqrt(eps - psi)
+                                + (drho/dpsi)|_{psi=0} / sqrt(eps) ]
+
+The sqrt singularity is removed with psi = eps - t^2.  Sampling: r from the
+inverse mass CDF, speed v by rejection from p(v) ~ v^2 f(psi(r) - v^2/2),
+isotropic angles for both position and velocity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from dataclasses import dataclass
+from scipy.interpolate import CubicSpline
+
+from exp_tpu.basis.model import SphericalModelTable
+
+
+@dataclass
+class EddingtonDF:
+    model: SphericalModelTable
+    num_e: int = 400
+    num_t: int = 200
+
+    def __post_init__(self):
+        m = self.model
+        r = m.r
+        phi_max = m.pot[-1]                  # potential at rmax (least bound)
+        psi = phi_max - m.pot                # relative potential, >= 0, decreasing in r
+        # ensure strictly decreasing psi for the parametric inversion
+        self._psi_of_r = CubicSpline(np.log(r), psi)
+        # rho as a function of psi (psi decreasing with r -> reverse arrays)
+        order = np.argsort(psi)
+        psi_s, rho_s = psi[order], m.rho[order]
+        # dedupe any equal psi values at the outer edge
+        keep = np.concatenate([[True], np.diff(psi_s) > 0])
+        self._rho_of_psi = CubicSpline(psi_s[keep], rho_s[keep])
+        self._psi_max = float(psi[0])
+
+        # Tabulate f(eps) on a grid concentrated toward eps -> 0 and psi_max
+        eps = np.linspace(0.0, self._psi_max, self.num_e + 1)[1:]
+        drho = self._rho_of_psi.derivative(1)
+        d2rho = self._rho_of_psi.derivative(2)
+        # Gauss-Legendre nodes on t in [0, sqrt(eps)]
+        tq, wq = np.polynomial.legendre.leggauss(self.num_t)
+        f = np.empty_like(eps)
+        for i, e in enumerate(eps):
+            tmax = np.sqrt(e)
+            t = 0.5 * tmax * (tq + 1.0)
+            w = 0.5 * tmax * wq
+            # int_0^eps d2rho/dpsi^2 /sqrt(eps-psi) dpsi = 2 int_0^sqrt(eps) d2rho(e-t^2) dt
+            val = 2.0 * np.sum(w * d2rho(e - t * t))
+            val += drho(0.0) / np.sqrt(e)
+            f[i] = val / (np.sqrt(8.0) * np.pi**2)
+        # guard: clip small negative wiggles from spline noise
+        self._f_eps = np.maximum(f, 0.0)
+        self._eps = eps
+        self._f_sp = CubicSpline(eps, self._f_eps)
+
+    def f(self, eps):
+        eps = np.asarray(eps)
+        out = np.where(eps > 0, self._f_sp(np.clip(eps, self._eps[0], None)), 0.0)
+        return np.maximum(out, 0.0)
+
+    def psi(self, r):
+        """Relative potential psi(r) (>=0, psi(rmax)=0)."""
+        m = self.model
+        r = np.clip(np.asarray(r, dtype=np.float64), m.r[0], m.r[-1])
+        return np.maximum(self._psi_of_r(np.log(r)), 0.0)
+
+
+def sample_spherical_model(model: SphericalModelTable, n: int,
+                           seed: int = 0, zero_com: bool = True):
+    """Draw an equilibrium realization: returns (x, v, mass) arrays.
+
+    Equal-mass particles totaling model.total_mass (the gensph convention).
+    """
+    rng = np.random.default_rng(seed)
+    df = EddingtonDF(model)
+    m = model
+
+    # radius from inverse CDF of M(r)
+    Mr = m.mass / m.total_mass
+    # make strictly increasing for interp
+    keep = np.concatenate([[True], np.diff(Mr) > 0])
+    inv_r = CubicSpline(Mr[keep], np.log(m.r[keep]))
+    u = rng.uniform(Mr[keep][0], Mr[keep][-1], size=n)
+    r = np.exp(inv_r(u))
+
+    psi_r = df.psi(r)
+    vmax = np.sqrt(2.0 * psi_r)
+
+    # rejection sample speed: p(v) ~ v^2 f(psi - v^2/2)
+    v = np.empty(n)
+    todo = np.arange(n)
+    # envelope: grid-estimate max of v^2 f per particle batch
+    while todo.size:
+        rr = r[todo]
+        pr = psi_r[todo]
+        vm = vmax[todo]
+        # per-particle envelope via coarse scan
+        vg = np.linspace(0.0, 1.0, 32)[None, :] * vm[:, None]
+        pg = vg**2 * df.f(pr[:, None] - 0.5 * vg**2)
+        env = 1.1 * pg.max(axis=1) + 1e-300
+        vt = rng.uniform(0.0, 1.0, todo.size) * vm
+        y = rng.uniform(0.0, 1.0, todo.size) * env
+        p = vt**2 * df.f(pr - 0.5 * vt**2)
+        ok = y <= p
+        v[todo[ok]] = vt[ok]
+        todo = todo[~ok]
+
+    # isotropic directions
+    def isotropic(k):
+        ct = rng.uniform(-1.0, 1.0, k)
+        st = np.sqrt(1.0 - ct**2)
+        ph = rng.uniform(0.0, 2.0 * np.pi, k)
+        return np.stack([st * np.cos(ph), st * np.sin(ph), ct], axis=-1)
+
+    x = r[:, None] * isotropic(n)
+    vv = v[:, None] * isotropic(n)
+    mass = np.full(n, m.total_mass / n)
+
+    if zero_com:
+        x -= np.average(x, axis=0, weights=mass)
+        vv -= np.average(vv, axis=0, weights=mass)
+
+    return x, vv, mass

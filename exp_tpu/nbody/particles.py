@@ -1,0 +1,105 @@
+"""SoA particle state (sharded device arrays) + body-file I/O.
+
+The TPU-native replacement for the reference's AoS Particle + Component
+particle storage (include/Particle.H:31-67, src/Component.cc): a pytree of
+struct-of-arrays `jax.Array`s, sharded along the particle axis of a device
+mesh.  Padding rows (mass == 0) are used to round N up to a multiple of the
+shard count — they contribute nothing to coefficients or diagnostics.
+
+Body-file format matches the reference ascii convention
+(Component::read_bodies_and_distribute_ascii, src/Component.cc:1480-1520):
+    line 1: <nbodies> <niattrib> <ndattrib>
+    then  : mass x y z u v w [iattr...] [dattr...]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ParticleSystem:
+    """Struct-of-arrays particle state.
+
+    x, v, acc: (N, 3); mass, pot: (N,).  level: (N,) int8 multistep level.
+    N may include zero-mass padding rows.
+    """
+
+    x: jax.Array
+    v: jax.Array
+    mass: jax.Array
+    acc: jax.Array
+    pot: jax.Array
+    level: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[0]
+
+    @classmethod
+    def from_arrays(cls, x, v, mass, dtype=jnp.float32,
+                    pad_to: int | None = None) -> "ParticleSystem":
+        x = np.asarray(x, dtype=np.float64)
+        v = np.asarray(v, dtype=np.float64)
+        mass = np.asarray(mass, dtype=np.float64)
+        n = x.shape[0]
+        if pad_to is not None and n % pad_to:
+            npad = pad_to - n % pad_to
+            x = np.concatenate([x, np.ones((npad, 3)) * 0.0])
+            v = np.concatenate([v, np.zeros((npad, 3))])
+            mass = np.concatenate([mass, np.zeros(npad)])
+        m = x.shape[0]
+        return cls(
+            x=jnp.asarray(x, dtype=dtype),
+            v=jnp.asarray(v, dtype=dtype),
+            mass=jnp.asarray(mass, dtype=dtype),
+            acc=jnp.zeros((m, 3), dtype=dtype),
+            pot=jnp.zeros((m,), dtype=dtype),
+            level=jnp.zeros((m,), dtype=jnp.int32),
+        )
+
+    def shard(self, mesh, axis: str = "p") -> "ParticleSystem":
+        """Place particle arrays sharded along `axis` of `mesh`."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(a):
+            spec = P(axis) if a.ndim == 1 else P(axis, None)
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        return ParticleSystem(
+            x=put(self.x), v=put(self.v), mass=put(self.mass),
+            acc=put(self.acc), pot=put(self.pot), level=put(self.level),
+        )
+
+
+def read_ascii_bodies(path, dtype=jnp.float32, pad_to=None) -> ParticleSystem:
+    with open(path) as f:
+        header = f.readline().split()
+        n = int(header[0])
+        data = np.loadtxt(f, max_rows=n)
+    if data.ndim == 1:
+        data = data[None]
+    return ParticleSystem.from_arrays(data[:, 1:4], data[:, 4:7], data[:, 0],
+                                      dtype=dtype, pad_to=pad_to)
+
+
+def write_ascii_bodies(path, ps_or_arrays, niattrib=0, ndattrib=0):
+    if isinstance(ps_or_arrays, ParticleSystem):
+        mass = np.asarray(ps_or_arrays.mass)
+        live = mass > 0
+        x = np.asarray(ps_or_arrays.x)[live]
+        v = np.asarray(ps_or_arrays.v)[live]
+        mass = mass[live]
+    else:
+        x, v, mass = ps_or_arrays
+    with open(path, "w") as f:
+        f.write(f"{len(mass)} {niattrib} {ndattrib}\n")
+        for i in range(len(mass)):
+            f.write(f"{mass[i]:.16e} "
+                    f"{x[i,0]:.16e} {x[i,1]:.16e} {x[i,2]:.16e} "
+                    f"{v[i,0]:.16e} {v[i,1]:.16e} {v[i,2]:.16e}\n")

@@ -1,0 +1,56 @@
+"""Unit tests for special-function ops against SciPy."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy.special import lpmv
+
+from exp_tpu.ops.special import legendre_lm, dlegendre_lm, sincos_m, real_ylm_norm
+
+
+@pytest.mark.parametrize("lmax", [0, 1, 4, 8])
+def test_legendre_matches_scipy(lmax):
+    xs = np.linspace(-0.999, 0.999, 17)
+    P = np.asarray(legendre_lm(lmax, jnp.asarray(xs, dtype=jnp.float64)))
+    for l in range(lmax + 1):
+        for m in range(l + 1):
+            ref = lpmv(m, l, xs)
+            np.testing.assert_allclose(P[:, l, m], ref, rtol=1e-12, atol=1e-12)
+
+
+def test_dlegendre_matches_scipy():
+    lmax = 6
+    xs = np.linspace(-0.95, 0.95, 11)
+    P, dP = dlegendre_lm(lmax, jnp.asarray(xs, dtype=jnp.float64))
+    P, dP = np.asarray(P), np.asarray(dP)
+    eps = 1e-6
+    for l in range(lmax + 1):
+        for m in range(l + 1):
+            dref = (lpmv(m, l, xs + eps) - lpmv(m, l, xs - eps)) / (2 * eps)
+            np.testing.assert_allclose(dP[:, l, m], dref, rtol=1e-6, atol=1e-6)
+
+
+def test_sincos():
+    phis = np.linspace(-np.pi, np.pi, 9)
+    c, s = sincos_m(5, jnp.asarray(phis, dtype=jnp.float64))
+    for m in range(6):
+        np.testing.assert_allclose(np.asarray(c)[:, m], np.cos(m * phis), atol=1e-14)
+        np.testing.assert_allclose(np.asarray(s)[:, m], np.sin(m * phis), atol=1e-14)
+
+
+def test_real_ylm_orthonormal():
+    """int |fac_lm P_lm trig|^2 dOmega = 1 via quadrature."""
+    lmax = 3
+    fac = np.asarray(real_ylm_norm(lmax))
+    # Gauss-Legendre in cos(theta), trapezoid in phi
+    xq, wq = np.polynomial.legendre.leggauss(64)
+    nphi = 128
+    phi = np.linspace(0, 2 * np.pi, nphi, endpoint=False)
+    dphi = 2 * np.pi / nphi
+    P = np.asarray(legendre_lm(lmax, jnp.asarray(xq, dtype=jnp.float64)))
+    for l in range(lmax + 1):
+        for m in range(l + 1):
+            trig = np.cos(m * phi)
+            y2 = (fac[l, m] * P[:, l, m])[:, None] ** 2 * trig[None, :] ** 2
+            val = np.sum(y2 * wq[:, None]) * dphi
+            assert val == pytest.approx(1.0, rel=1e-10)

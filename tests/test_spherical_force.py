@@ -1,0 +1,121 @@
+"""Physics tests for the SphereSL force: monopole recovery, autodiff
+consistency of the acceleration, psum sharding equivalence."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from exp_tpu.basis.model import hernquist_model
+from exp_tpu.basis.slgrid import build_sph_sl_tables
+from exp_tpu.forces.spherical import SphereSL
+from exp_tpu.ic.eddington import sample_spherical_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = hernquist_model(rmin=1e-4, rmax=20.0)
+    t = build_sph_sl_tables(m, lmax=4, nmax=10, numr=2000, cmap=1, rmap=1.0)
+    force = SphereSL.from_tables(t, dtype=jnp.float64)
+    x, v, mass = sample_spherical_model(m, 20000, seed=42)
+    return m, t, force, jnp.asarray(x), jnp.asarray(mass)
+
+
+def test_monopole_potential_recovery(setup):
+    """Expansion of an equilibrium sample reproduces the model potential."""
+    m, t, force, x, mass = setup
+    coef = force.coefficients(x, mass, accum_dtype=jnp.float64)
+
+    # l=0 coefficients dominate
+    c = np.asarray(coef)
+    power = np.einsum("clmn->l", c[..., :]**2)
+    assert power[0] > 50 * power[1:].sum()
+
+    # potential at test radii vs model
+    rt = np.array([0.1, 0.3, 1.0, 3.0, 8.0])
+    pts = jnp.asarray(np.stack([rt, np.zeros_like(rt), np.zeros_like(rt)], -1))
+    _, pot = force.acceleration(coef, pts)
+    expected = m.get_pot(rt)
+    np.testing.assert_allclose(np.asarray(pot), expected, rtol=0.03)
+
+
+def test_acceleration_matches_autodiff(setup):
+    """Analytic force assembly == -grad(potential) via jax autodiff.
+
+    Uses deriv='lerp' (the exact derivative of the interpolant) so the
+    comparison isolates the angular/Cartesian assembly — any sign or factor
+    error in the potr/pott/potp formulas would show at machine precision.
+    """
+    _, _, force, x, mass = setup
+    coef = force.coefficients(x, mass, accum_dtype=jnp.float64)
+
+    pts = jnp.asarray(np.array([[0.3, 0.1, -0.2],
+                                [1.0, -0.5, 0.7],
+                                [0.05, 0.02, 0.01],
+                                [-2.0, 1.0, 3.0]]))
+    acc, pot = force.acceleration(coef, pts, deriv="lerp")
+
+    def pot_at(p):
+        _, ph = force.acceleration(coef, p[None], deriv="lerp")
+        return ph[0]
+
+    g = jax.vmap(jax.grad(pot_at))(pts)
+    np.testing.assert_allclose(np.asarray(acc), -np.asarray(g),
+                               rtol=1e-9, atol=1e-12)
+
+    # the production 3-point stencil should agree to table resolution
+    acc3, _ = force.acceleration(coef, pts)
+    np.testing.assert_allclose(np.asarray(acc3), np.asarray(acc),
+                               rtol=2e-3, atol=1e-6)
+
+
+def test_outside_rmax_keplerian(setup):
+    """Beyond rmax the monopole term falls off as M/r^2."""
+    m, _, force, x, mass = setup
+    coef = force.coefficients(x, mass, accum_dtype=jnp.float64)
+    r_out = 30.0   # > rmax = 20
+    pts = jnp.asarray([[r_out, 0.0, 0.0]])
+    acc, pot = force.acceleration(coef, pts)
+    M = float(jnp.sum(mass))
+    assert float(pot[0]) == pytest.approx(-M / r_out, rel=0.02)
+    assert float(acc[0, 0]) == pytest.approx(-M / r_out**2, rel=0.02)
+
+
+def test_density_recovery(setup):
+    m, _, force, x, mass = setup
+    coef = force.coefficients(x, mass, accum_dtype=jnp.float64)
+    rt = np.array([0.2, 0.5, 1.0, 2.0])
+    pts = jnp.asarray(np.stack([rt, np.zeros_like(rt), np.zeros_like(rt)], -1))
+    dens = np.asarray(force.density(coef, pts))
+    expected = m.get_density(rt)
+    # BFE density converges much slower than potential at fixed nmax —
+    # 25-35% pointwise wiggles at nmax=10 are physical truncation error.
+    np.testing.assert_allclose(dens, expected, rtol=0.35)
+
+
+def test_sharded_psum_equivalence(setup):
+    """Coefficients from an 8-device shard_map == single-device result."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from exp_tpu.nbody.step import shard_map
+
+    _, _, force, x, mass = setup
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+
+    ref = force.coefficients(x, mass, accum_dtype=jnp.float64)
+
+    mesh = Mesh(np.array(jax.devices()), ("p",))
+
+    def body(xs, ms):
+        return force.coefficients(xs, ms, axis_name="p",
+                                  accum_dtype=jnp.float64)
+
+    fn = jax.jit(shard_map(body, mesh, (P("p", None), P("p")), P()))
+    # pad to multiple of 8
+    n = x.shape[0]
+    npad = (-n) % n_dev
+    xp = jnp.concatenate([x, jnp.zeros((npad, 3), x.dtype)])
+    mp = jnp.concatenate([mass, jnp.zeros((npad,), mass.dtype)])
+    out = fn(xp, mp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
