@@ -1,0 +1,176 @@
+"""YAML run configuration (the reference's config schema, validated).
+
+Parses the same stanza layout as the reference (src/parse.cc:64-501:
+Global / Components / Output / External / Interaction) into validated
+dataclasses with unknown-key detection (the YamlCheck/`unmatched()` behavior
+that hard-fails bad configs, OutputContainer.cc:128-131).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _check_keys(mapping: dict, allowed: set, where: str):
+    unknown = set(mapping) - allowed
+    if unknown:
+        raise ConfigError(f"unknown key(s) {sorted(unknown)} in {where}; "
+                          f"allowed: {sorted(allowed)}")
+
+
+_GLOBAL_KEYS = {
+    "dtime", "nsteps", "runtag", "multistep", "nbodmax", "VERBOSE",
+    "dynfracV", "dynfracA", "dynfracP", "dynfracS", "dynfracD",
+    "infile", "ldlibdir", "outdir", "nthrds", "cuda", "allcouples",
+    "restart", "nbalance", "dbthresh", "dtime_rel", "shiftlevl",
+    "compute_dtype", "accum_dtype",
+}
+
+_COMPONENT_KEYS = {"name", "parameters", "bodyfile", "force"}
+_FORCE_KEYS = {"id", "parameters"}
+_OUTPUT_KEYS = {"id", "parameters"}
+
+#: force ids the framework knows (grows as forces land); mirrors the factory
+#: list in the reference (Component.cc:1077-1108)
+KNOWN_FORCES = {
+    "sphereSL", "bessel", "cube", "slabSL", "cylinder", "flatdisk",
+    "CBDisk", "direct", "noforce", "shells",
+}
+
+KNOWN_OUTPUTS = {
+    "outlog", "outcoef", "outchkpt", "outpsn", "outascii", "outmulti",
+}
+
+
+@dataclass
+class GlobalConfig:
+    dtime: float = 0.01
+    nsteps: int = 100
+    runtag: str = "run0"
+    multistep: int = 0
+    outdir: str = "."
+    infile: str | None = None
+    VERBOSE: int = 0
+    dynfracV: float = 0.01
+    dynfracA: float = 0.03
+    dynfracP: float = 0.05
+    dynfracS: float = 1.0
+    dynfracD: float = 1.0e32
+    allcouples: bool = True
+    shiftlevl: int = 0
+    compute_dtype: str = "float32"
+    accum_dtype: str = "float64"
+
+
+@dataclass
+class ForceConfig:
+    id: str
+    parameters: dict = field(default_factory=dict)
+
+
+@dataclass
+class ComponentConfig:
+    name: str
+    bodyfile: str | None
+    force: ForceConfig
+    parameters: dict = field(default_factory=dict)
+
+
+@dataclass
+class OutputConfig:
+    id: str
+    parameters: dict = field(default_factory=dict)
+
+
+@dataclass
+class RunConfig:
+    glob: GlobalConfig
+    components: list[ComponentConfig]
+    outputs: list[OutputConfig]
+    external: list[dict] = field(default_factory=list)
+    interactions: list[tuple[str, str]] = field(default_factory=list)
+
+    @classmethod
+    def from_file(cls, path) -> "RunConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        return cls.from_dict(raw, where=str(path))
+
+    @classmethod
+    def from_dict(cls, raw: dict, where: str = "<dict>") -> "RunConfig":
+        if raw is None:
+            raise ConfigError(f"{where}: empty config")
+        allowed_top = {"Global", "Components", "Output", "External",
+                       "Interaction"}
+        _check_keys(raw, allowed_top, where)
+
+        graw = raw.get("Global") or {}
+        _check_keys(graw, _GLOBAL_KEYS, "Global")
+        gkw = {k: v for k, v in graw.items()
+               if k in GlobalConfig.__dataclass_fields__}
+        # tolerated-but-ignored legacy keys (nthrds, cuda, ...)
+        glob = GlobalConfig(**gkw)
+
+        comps = []
+        for i, c in enumerate(raw.get("Components") or []):
+            _check_keys(c, _COMPONENT_KEYS, f"Components[{i}]")
+            fraw = c.get("force") or {}
+            _check_keys(fraw, _FORCE_KEYS, f"Components[{i}].force")
+            fid = fraw.get("id")
+            if fid not in KNOWN_FORCES:
+                raise ConfigError(
+                    f"Components[{i}]: unknown force id {fid!r}; "
+                    f"known: {sorted(KNOWN_FORCES)}")
+            comps.append(ComponentConfig(
+                name=c.get("name", f"comp{i}"),
+                bodyfile=c.get("bodyfile"),
+                parameters=c.get("parameters") or {},
+                force=ForceConfig(id=fid,
+                                  parameters=fraw.get("parameters") or {}),
+            ))
+        if not comps:
+            raise ConfigError(f"{where}: no Components")
+
+        outs = []
+        for i, o in enumerate(raw.get("Output") or []):
+            _check_keys(o, _OUTPUT_KEYS, f"Output[{i}]")
+            oid = o.get("id")
+            if oid not in KNOWN_OUTPUTS:
+                raise ConfigError(f"Output[{i}]: unknown output id {oid!r}; "
+                                  f"known: {sorted(KNOWN_OUTPUTS)}")
+            outs.append(OutputConfig(id=oid, parameters=o.get("parameters") or {}))
+
+        inter = []
+        for item in (raw.get("Interaction") or []) if isinstance(
+                raw.get("Interaction"), list) else []:
+            if isinstance(item, dict):
+                for a, b in item.items():
+                    inter.append((a, b))
+
+        return cls(glob=glob, components=comps, outputs=outs,
+                   external=raw.get("External") or [],
+                   interactions=inter)
+
+    def dump(self, path):
+        """Echo the parsed parameters (write_parm analogue, begin.cc:142)."""
+        import dataclasses
+
+        def todict(x):
+            if dataclasses.is_dataclass(x):
+                return {k: todict(v) for k, v in dataclasses.asdict(x).items()}
+            return x
+
+        with open(path, "w") as f:
+            yaml.safe_dump({
+                "Global": todict(self.glob),
+                "Components": [todict(c) for c in self.components],
+                "Output": [todict(o) for o in self.outputs],
+                "Interaction": [{a: b} for a, b in self.interactions],
+            }, f, sort_keys=False)

@@ -1,0 +1,209 @@
+"""Coefficient-file I/O (pyEXP-compatible HDF5 schema).
+
+Implements the reference's native HDF5 coefficient format so files written
+here can be read by pyEXP's `coefs` module and vice versa
+(expui/Coefficients.cc:3100-3160 WriteH5Coefs; SphCoefs::WriteH5Times
+:907-944; SphStruct layout CoefStruct.H:149-155):
+
+  /                         attrs: CoefficientOutputVersion, geometry, name,
+                                   config; + per-geometry params (lmax, nmax,
+                                   scale, forceID)
+  /count                    dataset: number of snapshots
+  /snapshots/%08d           group per time, attrs Time, Center, Rotation
+  /snapshots/%08d/coefficients
+        sphere:   complex matrix ((lmax+1)(lmax+2)/2, nmax), row = l(l+1)/2+m,
+                  value = cos_coef + i sin_coef (SphericalBasis.cc:1927-1936)
+        cylinder: complex matrix (mmax+1, nmax)
+"""
+
+from __future__ import annotations
+
+import json
+import numpy as np
+
+COEFFICIENT_OUTPUT_VERSION = "1.0"
+
+
+def pack_sph_matrix(coef: np.ndarray) -> np.ndarray:
+    """(2, lmax+1, lmax+1, nmax) real cos/sin -> packed complex matrix."""
+    coef = np.asarray(coef)
+    lmax = coef.shape[1] - 1
+    nmax = coef.shape[3]
+    rows = (lmax + 1) * (lmax + 2) // 2
+    out = np.zeros((rows, nmax), dtype=np.complex128)
+    L = 0
+    for l in range(lmax + 1):
+        for m in range(l + 1):
+            out[L] = coef[0, l, m] + 1j * coef[1, l, m]
+            L += 1
+    return out
+
+
+def unpack_sph_matrix(mat: np.ndarray, lmax: int, nmax: int) -> np.ndarray:
+    """Packed complex matrix -> (2, lmax+1, lmax+1, nmax) real cos/sin."""
+    out = np.zeros((2, lmax + 1, lmax + 1, nmax))
+    L = 0
+    for l in range(lmax + 1):
+        for m in range(l + 1):
+            out[0, l, m] = mat[L].real
+            out[1, l, m] = mat[L].imag
+            L += 1
+    return out
+
+
+class SphCoefsFile:
+    """Writer/reader for spherical coefficient files."""
+
+    geometry = "sphere"
+
+    def __init__(self, path, mode="r", name="", lmax=0, nmax=0,
+                 scale=1.0, forceID="sphereSL", config=""):
+        import h5py
+
+        self.path = path
+        self._h5py = h5py
+        if mode == "w":
+            self.lmax, self.nmax, self.scale = lmax, nmax, scale
+            f = h5py.File(path, "w")
+            f.attrs["CoefficientOutputVersion"] = COEFFICIENT_OUTPUT_VERSION
+            f.attrs["geometry"] = self.geometry
+            f.attrs["name"] = name
+            f.attrs["config"] = config
+            f.attrs["lmax"] = np.int32(lmax)
+            f.attrs["nmax"] = np.int32(nmax)
+            f.attrs["scale"] = float(scale)
+            f.attrs["forceID"] = forceID
+            f.create_dataset("count", data=np.uint32(0))
+            f.create_group("snapshots")
+            self._f = f
+        else:
+            f = h5py.File(path, "r")
+            if f.attrs["geometry"] != self.geometry:
+                raise ValueError(f"not a sphere coefficient file: {path}")
+            self.lmax = int(f.attrs["lmax"])
+            self.nmax = int(f.attrs["nmax"])
+            self.scale = float(f.attrs["scale"])
+            self._f = f
+
+    # -- writing ------------------------------------------------------------
+
+    def append(self, time: float, coef, center=None):
+        """coef: (2, lmax+1, lmax+1, nmax) real cos/sin array."""
+        f = self._f
+        count = int(f["count"][()])
+        g = f["snapshots"].create_group(f"{count:08d}")
+        g.attrs["Time"] = float(time)
+        g.attrs["Center"] = np.zeros(3) if center is None else np.asarray(center)
+        g.attrs["Rotation"] = np.eye(3)
+        g.create_dataset("coefficients", data=pack_sph_matrix(np.asarray(coef)))
+        f["count"][...] = np.uint32(count + 1)
+
+    # -- reading ------------------------------------------------------------
+
+    def times(self):
+        snaps = self._f["snapshots"]
+        return np.array(sorted(float(snaps[k].attrs["Time"]) for k in snaps))
+
+    def read_all(self):
+        """Returns (times (T,), coefs (T, 2, lmax+1, lmax+1, nmax))."""
+        snaps = self._f["snapshots"]
+        keys = sorted(snaps.keys())
+        times = np.array([float(snaps[k].attrs["Time"]) for k in keys])
+        coefs = np.stack([
+            unpack_sph_matrix(np.asarray(snaps[k]["coefficients"]).view(
+                np.complex128).reshape(-1, self.nmax), self.lmax, self.nmax)
+            for k in keys])
+        order = np.argsort(times)
+        return times[order], coefs[order]
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class CylCoefsFile:
+    """Writer/reader for cylindrical (m, n) coefficient files."""
+
+    geometry = "cylinder"
+
+    def __init__(self, path, mode="r", name="", mmax=0, nmax=0,
+                 scale=1.0, forceID="cylinder", config=""):
+        import h5py
+
+        self.path = path
+        if mode == "w":
+            self.mmax, self.nmax, self.scale = mmax, nmax, scale
+            f = h5py.File(path, "w")
+            f.attrs["CoefficientOutputVersion"] = COEFFICIENT_OUTPUT_VERSION
+            f.attrs["geometry"] = self.geometry
+            f.attrs["name"] = name
+            f.attrs["config"] = config
+            f.attrs["mmax"] = np.int32(mmax)
+            f.attrs["nmax"] = np.int32(nmax)
+            f.attrs["scale"] = float(scale)
+            f.attrs["forceID"] = forceID
+            f.create_dataset("count", data=np.uint32(0))
+            f.create_group("snapshots")
+            self._f = f
+        else:
+            f = h5py.File(path, "r")
+            if f.attrs["geometry"] != self.geometry:
+                raise ValueError(f"not a cylinder coefficient file: {path}")
+            self.mmax = int(f.attrs["mmax"])
+            self.nmax = int(f.attrs["nmax"])
+            self.scale = float(f.attrs["scale"])
+            self._f = f
+
+    def append(self, time: float, coef, center=None):
+        """coef: (2, mmax+1, nmax) real cos/sin array."""
+        c = np.asarray(coef)
+        mat = c[0] + 1j * c[1]
+        f = self._f
+        count = int(f["count"][()])
+        g = f["snapshots"].create_group(f"{count:08d}")
+        g.attrs["Time"] = float(time)
+        g.attrs["Center"] = np.zeros(3) if center is None else np.asarray(center)
+        g.create_dataset("coefficients", data=mat.astype(np.complex128))
+        f["count"][...] = np.uint32(count + 1)
+
+    def times(self):
+        snaps = self._f["snapshots"]
+        return np.array(sorted(float(snaps[k].attrs["Time"]) for k in snaps))
+
+    def read_all(self):
+        snaps = self._f["snapshots"]
+        keys = sorted(snaps.keys())
+        times = np.array([float(snaps[k].attrs["Time"]) for k in keys])
+        mats = np.stack([np.asarray(snaps[k]["coefficients"]).view(
+            np.complex128).reshape(self.mmax + 1, self.nmax) for k in keys])
+        coefs = np.stack([np.stack([m.real, m.imag]) for m in mats])
+        order = np.argsort(times)
+        return times[order], coefs[order]
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def open_coefs(path):
+    """Factory: open a coefficient file by geometry (Coefs::factory analogue,
+    expui/Coefficients.cc)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        geom = f.attrs["geometry"]
+    if geom == "sphere":
+        return SphCoefsFile(path, "r")
+    elif geom == "cylinder":
+        return CylCoefsFile(path, "r")
+    raise ValueError(f"unknown coefficient geometry {geom!r}")

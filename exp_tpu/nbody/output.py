@@ -1,0 +1,157 @@
+"""Periodic output writers (the reference's Output framework).
+
+Host-side writers dispatched from the run loop every `nint` steps, mirroring
+the reference's OutputContainer factory + writers (src/OutputContainer.cc:48-
+123; OutLog.cc; OutCoef; OutCHKPT.H):
+
+  OutLog   — conserved-quantity table (global + per component): the OUTLOG
+             columns incl. the 2T/VC virial diagnostic (OutLog.cc:24-52,592).
+  OutCoef  — pyEXP-compatible HDF5 coefficient file per component.
+  OutChkpt — full-precision HDF5 phase-space checkpoint with .bak rotation
+             (OutCHKPT.H:6-20); restart via Simulation restore.
+  OutAscii — ascii body-file dump.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+
+
+class Output:
+    def __init__(self, sim, nint=1, **kw):
+        self.sim = sim
+        self.nint = int(nint)
+
+    def run(self, sim, istep, force=False):
+        if force or (self.nint > 0 and istep % self.nint == 0):
+            self.write(sim, istep)
+
+    def write(self, sim, istep):
+        raise NotImplementedError
+
+
+class OutLog(Output):
+    """OUTLOG.<runtag>: pipe-separated conserved-quantity table."""
+
+    GLOBAL_COLS = ["Time", "mass", "bodies", "R(x)", "R(y)", "R(z)",
+                   "V(x)", "V(y)", "V(z)", "L(x)", "L(y)", "L(z)",
+                   "KE", "PE", "VC", "E", "2T/VC", "Clock"]
+
+    def __init__(self, sim, nint=1, filename=None, **kw):
+        super().__init__(sim, nint)
+        self.path = os.path.join(
+            sim.outdir, filename or f"OUTLOG.{sim.runtag}")
+        self._wall0 = time.time()
+        names = list(sim.components)
+        with open(self.path, "w") as f:
+            f.write(f"# exp_tpu run {sim.runtag}; components: "
+                    f"{', '.join(names)}\n")
+            f.write("# Columns: global totals; energies G=1\n")
+            f.write("|".join(f"{c:>16s}" for c in self.GLOBAL_COLS) + "\n")
+
+    def write(self, sim, istep):
+        d = sim.total_diag()
+        mass = float(d["mass"])
+        com = np.asarray(d["com"]) / mass
+        mom = np.asarray(d["mom"]) / mass
+        L = np.asarray(d["L"])
+        ke, pe, vc = float(d["KE"]), float(d["PE"]), float(d["VC"])
+        ratio = -2.0 * ke / vc if vc != 0 else np.nan
+        nb = sum(c.ps.n for c in sim.components.values())
+        row = [sim.time, mass, nb, *com, *mom, *L, ke, pe, vc, ke + vc,
+               ratio, time.time() - self._wall0]
+        with open(self.path, "a") as f:
+            f.write("|".join(
+                f"{v:>16d}" if isinstance(v, (int, np.integer))
+                else f"{v:>16.8g}" for v in row) + "\n")
+
+
+class OutCoef(Output):
+    """Coefficient snapshots to a pyEXP-compatible HDF5 file."""
+
+    def __init__(self, sim, nint=1, name=None, filename=None, **kw):
+        super().__init__(sim, nint)
+        if name is None:
+            name = next(iter(sim.components))
+        self.name = name
+        comp = sim.components[name]
+        from exp_tpu.io.coefs import SphCoefsFile
+
+        path = os.path.join(sim.outdir,
+                            filename or f"outcoef.{name}.{sim.runtag}.h5")
+        if os.path.exists(path):
+            os.remove(path)
+        force = comp.force
+        self.file = SphCoefsFile(
+            path, "w", name=name, lmax=force.lmax, nmax=force.nmax,
+            scale=getattr(force, "scale", 1.0), forceID=comp.config.force.id)
+
+    def write(self, sim, istep):
+        coef = np.asarray(sim._coefs[self.name])
+        self.file.append(sim.time, coef)
+        self.file._f.flush()
+
+
+class OutChkpt(Output):
+    """Rotating full-precision checkpoint (HDF5) with .bak."""
+
+    def __init__(self, sim, nint=100, filename=None, **kw):
+        super().__init__(sim, nint)
+        self.path = os.path.join(sim.outdir,
+                                 filename or f"OUT.{sim.runtag}.chkpt")
+
+    def write(self, sim, istep):
+        import h5py
+
+        if os.path.exists(self.path):
+            os.replace(self.path, self.path + ".bak")
+        with h5py.File(self.path, "w") as f:
+            f.attrs["time"] = sim.time
+            f.attrs["istep"] = sim.istep
+            f.attrs["runtag"] = sim.runtag
+            for n, c in sim.components.items():
+                ps = sim._state[n]
+                g = f.create_group(n)
+                for k in ("x", "v", "mass", "pot", "level"):
+                    g.create_dataset(k, data=np.asarray(getattr(ps, k)))
+
+
+def restore_checkpoint(sim, path=None):
+    """Restart from an OutChkpt file (the reference's `infile:` restart,
+    Component.H:202-204, Component.cc:3253)."""
+    import h5py
+    from dataclasses import replace as drep
+    import jax.numpy as jnp
+    from exp_tpu.nbody.particles import ParticleSystem
+
+    path = path or os.path.join(sim.outdir, f"OUT.{sim.runtag}.chkpt")
+    with h5py.File(path, "r") as f:
+        sim.time = float(f.attrs["time"])
+        sim.istep = int(f.attrs["istep"])
+        state = {}
+        for n in sim.components:
+            g = f[n]
+            ps = ParticleSystem.from_arrays(
+                g["x"][...], g["v"][...], g["mass"][...],
+                dtype=sim.compute_dtype)
+            state[n] = ps.shard(sim.mesh)
+    sim._state = state
+    sim._coefs = None          # recomputed on prime() — coefficients are
+    return sim                 # derived state, not checkpointed (same as ref)
+
+
+class OutAscii(Output):
+    def __init__(self, sim, nint=100, name=None, **kw):
+        super().__init__(sim, nint)
+        self.name = name or next(iter(sim.components))
+
+    def write(self, sim, istep):
+        from exp_tpu.nbody.particles import write_ascii_bodies
+
+        path = os.path.join(sim.outdir,
+                            f"{self.name}.{sim.runtag}.{istep:05d}.ascii")
+        write_ascii_bodies(path, sim._state[self.name])

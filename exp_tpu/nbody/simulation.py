@@ -1,0 +1,306 @@
+"""Simulation driver: config -> components -> jitted run loop.
+
+The orchestration layer of the framework — the TPU-native analogue of the
+reference's expand.cc main loop + ComponentContainer + OutputContainer
+(src/expand.cc:169-575, src/ComponentContainer.cc, src/OutputContainer.cc):
+
+* builds each component's force from its YAML stanza (force factory,
+  Component.cc:1077-1108),
+* reads and shards body files,
+* runs a jitted multi-component KDK step — component interactions follow the
+  reference's Interaction/allcouples pairing (ComponentContainer.cc:309-424,
+  :580-867): every component's particles feel the force of every coupled
+  component's basis expansion,
+* amortizes dispatch latency by running `steps_per_block` steps inside one
+  jit via lax.scan (TPU-native replacement for the per-substep host loop),
+* dispatches periodic outputs (OutLog / OutCoef / checkpoints) on the host.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, replace, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from exp_tpu.config import RunConfig, ComponentConfig, ConfigError
+from exp_tpu.nbody.particles import ParticleSystem, read_ascii_bodies
+from exp_tpu.nbody.step import shard_map, _diagnostics, _ps_specs, _diag_specs
+
+
+# ---------------------------------------------------------------------------
+# Force factory
+# ---------------------------------------------------------------------------
+
+def build_force(fc, dtype, workdir="."):
+    """Instantiate a force from its config stanza (host-side table builds)."""
+    p = dict(fc.parameters)
+    if fc.id == "sphereSL":
+        from exp_tpu.basis.model import SphericalModelTable
+        from exp_tpu.basis.slgrid import build_sph_sl_tables
+        from exp_tpu.forces.spherical import SphereSL
+
+        modelname = p.pop("modelname", "SLGridSph.model")
+        model = SphericalModelTable.from_file(os.path.join(workdir, modelname))
+        cachename = p.pop("cachename", None)
+        if cachename is not None:
+            cachename = os.path.join(workdir, cachename)
+        lmax = int(p.pop("Lmax", 4))
+        nmax = int(p.pop("nmax", 10))
+        numr = int(p.pop("numr", 2000))
+        rmin = p.pop("rmin", None)
+        rmax = p.pop("rmax", None)
+        rmap = float(p.pop("rmapping", 0.067))
+        cmap = int(p.pop("cmap", 1))
+        scale = float(p.pop("scale", 1.0))
+        p.pop("self_consistent", True)
+        p.pop("modelname_override", None)
+        t = build_sph_sl_tables(model, lmax=lmax, nmax=nmax, numr=numr,
+                                rmin=None if rmin is None else float(rmin),
+                                rmax=None if rmax is None else float(rmax),
+                                cmap=cmap, rmap=rmap, cachename=cachename)
+        return SphereSL.from_tables(t, scale=scale, dtype=dtype)
+    elif fc.id == "noforce":
+        from exp_tpu.forces.noforce import NoForce
+
+        return NoForce()
+    elif fc.id == "cube":
+        from exp_tpu.forces.cube import Cube
+
+        return Cube.create(
+            nmaxx=int(p.pop("nmaxx", 6)), nmaxy=int(p.pop("nmaxy", 6)),
+            nmaxz=int(p.pop("nmaxz", 6)), dtype=dtype)
+    raise ConfigError(f"force id {fc.id!r} not implemented yet")
+
+
+# ---------------------------------------------------------------------------
+# Components
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Component:
+    name: str
+    force: object
+    ps: ParticleSystem
+    config: ComponentConfig
+    self_consistent: bool = True
+
+
+class Simulation:
+    """Multi-component BFE N-body run."""
+
+    def __init__(self, config: RunConfig, workdir=".", mesh=None,
+                 steps_per_block: int | None = None):
+        self.config = config
+        self.workdir = workdir
+        g = config.glob
+        self.dt = float(g.dtime)
+        self.nsteps = int(g.nsteps)
+        self.runtag = g.runtag
+        self.outdir = os.path.join(workdir, g.outdir)
+        os.makedirs(self.outdir, exist_ok=True)
+        self.time = 0.0
+        self.istep = 0
+
+        self.compute_dtype = jnp.dtype(g.compute_dtype)
+        self.accum_dtype = jnp.dtype(g.accum_dtype)
+
+        # device mesh over the particle axis
+        if mesh is None:
+            devs = jax.devices()
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(devs), ("p",))
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+
+        # components
+        self.components: dict[str, Component] = {}
+        for cc in config.components:
+            force = build_force(cc.force, self.compute_dtype, workdir)
+            if cc.bodyfile is None:
+                raise ConfigError(f"component {cc.name}: no bodyfile")
+            ps = read_ascii_bodies(os.path.join(workdir, cc.bodyfile),
+                                   dtype=self.compute_dtype,
+                                   pad_to=self.n_shards)
+            ps = ps.shard(mesh)
+            self.components[cc.name] = Component(
+                name=cc.name, force=force, ps=ps, config=cc,
+                self_consistent=bool(cc.force.parameters.get(
+                    "self_consistent", True)))
+
+        # interaction couples: B feels A  (ComponentContainer.cc:309-424)
+        names = list(self.components)
+        self.couples: dict[str, list[str]] = {b: [b] for b in names}
+        if config.interactions:
+            for a, b in config.interactions:
+                if a not in names or b not in names:
+                    raise ConfigError(f"Interaction {a}:{b}: unknown component")
+                self.couples[b].append(a)
+                self.couples[a].append(b)
+        elif config.glob.allcouples:
+            for b in names:
+                self.couples[b] = list(names)
+
+        # outputs
+        self.outputs = [self._make_output(o) for o in config.outputs]
+        self._nint_gcd = 1
+        nints = [o.nint for o in self.outputs if o.nint > 0]
+        if nints:
+            self._nint_gcd = int(np.gcd.reduce(nints))
+        self.steps_per_block = (steps_per_block if steps_per_block
+                                else self._nint_gcd)
+
+        self._step_fn = None
+        self._state = {n: c.ps for n, c in self.components.items()}
+        self._coefs = None
+        self._diag = None
+
+    # ------------------------------------------------------------------
+    # jitted stepping
+    # ------------------------------------------------------------------
+
+    def _system_step_body(self, state):
+        """One KDK step for all components (shard-local view)."""
+        dt = self.dt
+        forces = {n: c.force for n, c in self.components.items()}
+        # half kick + drift
+        new_x = {}
+        v_half = {}
+        for n, ps in state.items():
+            v_half[n] = ps.v + ps.acc * (dt * 0.5)
+            new_x[n] = ps.x + v_half[n] * dt
+        # coefficients for every component from its own particles
+        coefs = {
+            n: forces[n].coefficients(new_x[n], state[n].mass, axis_name="p",
+                                      accum_dtype=self.accum_dtype)
+            for n in state
+        }
+        # acceleration: sum over coupled components' fields
+        out = {}
+        for n, ps in state.items():
+            acc = jnp.zeros_like(ps.x)
+            pot = jnp.zeros_like(ps.mass)
+            for a in self.couples[n]:
+                aa, pp = forces[a].acceleration(coefs[a], new_x[n])
+                acc = acc + aa
+                pot = pot + pp
+            v_new = v_half[n] + acc * (dt * 0.5)
+            out[n] = replace(ps, x=new_x[n], v=v_new, acc=acc, pot=pot)
+        diag = {n: _diagnostics(out[n], axis_name="p") for n in out}
+        return out, coefs, diag
+
+    def _make_step_fn(self, k: int):
+        from jax.sharding import PartitionSpec as P
+
+        names = list(self.components)
+
+        def block(state):
+            def body(carry, _):
+                st = carry
+                st, coefs, diag = self._system_step_body(st)
+                return st, (coefs, diag)
+
+            st, (coefs_hist, diag_hist) = jax.lax.scan(
+                body, state, None, length=k)
+            return st, coefs_hist, diag_hist
+
+        state_specs = {n: _ps_specs("p") for n in names}
+        coef_specs = {n: P() for n in names}
+        diag_specs = {n: _diag_specs() for n in names}
+        return jax.jit(shard_map(
+            block, self.mesh, (state_specs,),
+            (state_specs, coef_specs, diag_specs)))
+
+    def prime(self):
+        """Initial coefficient/force evaluation (begin_run, begin.cc:86-127)."""
+        from jax.sharding import PartitionSpec as P
+
+        names = list(self.components)
+        forces = {n: c.force for n, c in self.components.items()}
+
+        def init(state):
+            coefs = {
+                n: forces[n].coefficients(state[n].x, state[n].mass,
+                                          axis_name="p",
+                                          accum_dtype=self.accum_dtype)
+                for n in state}
+            out = {}
+            for n, ps in state.items():
+                acc = jnp.zeros_like(ps.x)
+                pot = jnp.zeros_like(ps.mass)
+                for a in self.couples[n]:
+                    aa, pp = forces[a].acceleration(coefs[a], ps.x)
+                    acc = acc + aa
+                    pot = pot + pp
+                out[n] = replace(ps, acc=acc, pot=pot)
+            diag = {n: _diagnostics(out[n], axis_name="p") for n in out}
+            return out, coefs, diag
+
+        state_specs = {n: _ps_specs("p") for n in names}
+        fn = jax.jit(shard_map(init, self.mesh, (state_specs,),
+                               (state_specs, {n: P() for n in names},
+                                {n: _diag_specs() for n in names})))
+        self._state, self._coefs, self._diag = fn(self._state)
+        for o in self.outputs:
+            o.run(self, self.istep, force=True)
+
+    def run(self, nsteps=None):
+        """Main loop (expand.cc:422-424)."""
+        if self._coefs is None:
+            self.prime()
+        nsteps = self.nsteps if nsteps is None else nsteps
+        k = max(1, self.steps_per_block)
+        if self._step_fn is None:
+            self._step_fn = self._make_step_fn(k)
+
+        done = 0
+        while done < nsteps:
+            kk = min(k, nsteps - done)
+            if kk != k:
+                fn = self._make_step_fn(kk)
+            else:
+                fn = self._step_fn
+            self._state, coefs_hist, diag_hist = fn(self._state)
+            jax.block_until_ready(jax.tree_util.tree_leaves(self._state)[0])
+            # unpack per-step history for outputs
+            for j in range(kk):
+                self.istep += 1
+                self.time += self.dt
+                done += 1
+                self._coefs = {n: coefs_hist[n][j] for n in coefs_hist}
+                self._diag = {n: jax.tree_util.tree_map(
+                    lambda a: a[j], diag_hist[n]) for n in diag_hist}
+                for o in self.outputs:
+                    o.run(self, self.istep)
+        return self._state
+
+    # ------------------------------------------------------------------
+    # outputs
+    # ------------------------------------------------------------------
+
+    def _make_output(self, oc):
+        from exp_tpu.nbody.output import OutLog, OutCoef, OutChkpt, OutAscii
+
+        cls = {"outlog": OutLog, "outcoef": OutCoef, "outchkpt": OutChkpt,
+               "outascii": OutAscii}.get(oc.id)
+        if cls is None:
+            raise ConfigError(f"output id {oc.id!r} not implemented yet")
+        return cls(self, **oc.parameters)
+
+    def total_diag(self):
+        """Sum per-component diagnostics to global values."""
+        tot = {}
+        for n, d in self._diag.items():
+            for key, val in d.items():
+                v = np.asarray(val)
+                tot[key] = tot.get(key, 0.0) + v
+        return tot
+
+    @classmethod
+    def from_file(cls, path, **kw):
+        cfg = RunConfig.from_file(path)
+        return cls(cfg, workdir=os.path.dirname(os.path.abspath(path)), **kw)

@@ -1,0 +1,71 @@
+"""CLI runner: `python -m exp_tpu.run config.yml` (the `exp` executable).
+
+Equivalent of the reference's `mpirun exp config.yml` entry point
+(src/expand.cc:169-188) — parses the YAML config, builds the simulation,
+echoes the parsed parameters to config.<runtag>.yml, runs nsteps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="exp_tpu.run",
+        description="TPU-native BFE N-body run from a YAML config")
+    ap.add_argument("config", help="YAML run configuration")
+    ap.add_argument("-n", "--nsteps", type=int, default=None,
+                    help="override Global.nsteps")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU backend (virtual device mesh)")
+    ap.add_argument("--ndev", type=int, default=None,
+                    help="with --cpu: number of virtual devices")
+    ap.add_argument("-v", "--version", action="version",
+                    version=_version_string())
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        nd = args.ndev or 1
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={nd}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from exp_tpu.nbody.simulation import Simulation
+    from exp_tpu.nbody.output import restore_checkpoint
+
+    sim = Simulation.from_file(args.config)
+    sim.config.dump(os.path.join(sim.outdir, f"config.{sim.runtag}.yml"))
+
+    if sim.config.glob.infile:
+        chk = os.path.join(sim.workdir, sim.config.glob.infile)
+        if os.path.exists(chk):
+            print(f"[exp_tpu] restoring from {chk}")
+            restore_checkpoint(sim, chk)
+
+    t0 = time.time()
+    sim.prime()
+    print(f"[exp_tpu] primed in {time.time()-t0:.1f}s; "
+          f"{sum(c.ps.n for c in sim.components.values())} particles, "
+          f"{sim.n_shards} shard(s)")
+
+    t0 = time.time()
+    sim.run(args.nsteps)
+    dtw = time.time() - t0
+    n = sum(c.ps.n for c in sim.components.values())
+    nst = args.nsteps or sim.nsteps
+    print(f"[exp_tpu] {nst} steps in {dtw:.2f}s "
+          f"({n*nst/max(dtw,1e-9):.3g} particle-steps/s)")
+
+
+def _version_string():
+    from exp_tpu import __version__
+    return f"exp_tpu {__version__}"
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Driver tests: YAML config -> run -> outputs (the expNbodyTest shape).
+
+Builds a small equilibrium halo fixture on disk (model file + body file +
+YAML config mirroring the reference's tests/Halo/config.yml), runs the CLI
+driver, and checks OUTLOG virial ratio, coefficient-file round-trip, and
+checkpoint/restart.
+"""
+
+import os
+import numpy as np
+import pytest
+import jax
+
+from exp_tpu.basis.model import hernquist_model
+from exp_tpu.config import RunConfig, ConfigError
+from exp_tpu.ic.eddington import sample_spherical_model
+from exp_tpu.nbody.particles import write_ascii_bodies
+
+
+CONFIG_TMPL = """\
+Global:
+  dtime: {dtime}
+  nsteps: {nsteps}
+  runtag: trun
+Components:
+  - name: halo
+    bodyfile: halo.bods
+    force:
+      id: sphereSL
+      parameters:
+        numr: 800
+        Lmax: 2
+        nmax: 8
+        rmapping: 1.0
+        modelname: halo.model
+        cachename: halo.cache.h5
+Output:
+  - id: outlog
+    parameters: {{nint: 1}}
+  - id: outcoef
+    parameters: {{nint: 2, name: halo}}
+  - id: outchkpt
+    parameters: {{nint: 10}}
+"""
+
+
+@pytest.fixture(scope="module")
+def rundir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("halorun")
+    m = hernquist_model(rmin=1e-4, rmax=20.0, numr=1000)
+    m.to_file(d / "halo.model")
+    x, v, mass = sample_spherical_model(m, 3000, seed=11)
+    write_ascii_bodies(d / "halo.bods", (x, v, mass))
+    (d / "config.yml").write_text(CONFIG_TMPL.format(dtime=0.02, nsteps=20))
+    return d
+
+
+def test_config_validation(rundir):
+    cfg = RunConfig.from_file(rundir / "config.yml")
+    assert cfg.glob.nsteps == 20
+    assert cfg.components[0].force.id == "sphereSL"
+
+    # unknown keys hard-fail (YamlCheck behavior)
+    bad = (rundir / "config.yml").read_text().replace(
+        "dtime", "dtmie")
+    (rundir / "bad.yml").write_text(bad)
+    with pytest.raises(ConfigError):
+        RunConfig.from_file(rundir / "bad.yml")
+
+
+def test_run_and_outputs(rundir):
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config.yml"))
+    sim.prime()
+    sim.run()
+
+    # OUTLOG exists and virial ratio is sane
+    log = (rundir / "OUTLOG.trun").read_text().splitlines()
+    rows = [r for r in log if not r.startswith("#") and "Time" not in r]
+    ratios = [float(r.split("|")[16]) for r in rows[1:]]
+    mean = np.mean(ratios)
+    assert (mean - 1.0) ** 2 < 0.01, f"virial {mean}"
+
+    # energy column stable
+    E = [float(r.split("|")[15]) for r in rows]
+    assert abs(E[-1] - E[0]) / abs(E[0]) < 5e-3
+
+    # coefficient file round-trips and matches live coefficients
+    from exp_tpu.io.coefs import SphCoefsFile, open_coefs
+
+    cf = open_coefs(str(rundir / "outcoef.halo.trun.h5"))
+    assert isinstance(cf, SphCoefsFile)
+    times, coefs = cf.read_all()
+    assert len(times) == 11                      # t=0 prime + 20 steps/nint=2
+    assert coefs.shape[1:] == (2, 3, 3, 8)
+    live = np.asarray(sim._coefs["halo"])
+    np.testing.assert_allclose(coefs[-1], live, rtol=1e-6, atol=1e-10)
+    cf.close()
+
+    # monopole coefficient dominates and is stable over the run
+    c000 = coefs[:, 0, 0, 0, 0]
+    assert np.all(np.abs(c000 - c000[0]) < 0.05 * np.abs(c000[0]))
+
+
+def test_checkpoint_restart(rundir):
+    from exp_tpu.nbody.simulation import Simulation
+    from exp_tpu.nbody.output import restore_checkpoint
+
+    sim = Simulation.from_file(str(rundir / "config.yml"))
+    sim.prime()
+    sim.run(10)
+    x10 = np.asarray(sim._state["halo"].x)
+
+    sim2 = Simulation.from_file(str(rundir / "config.yml"))
+    restore_checkpoint(sim2, str(rundir / "OUT.trun.chkpt"))
+    assert sim2.istep == 10
+    np.testing.assert_allclose(np.asarray(sim2._state["halo"].x), x10,
+                               rtol=1e-12)
+    # continues cleanly
+    sim2.prime()
+    sim2.run(4)
+    assert np.isfinite(np.asarray(sim2._state["halo"].x)).all()
+
+
+def test_cli_main(rundir, capsys):
+    from exp_tpu.run import main
+
+    main([str(rundir / "config.yml"), "-n", "4"])
+    out = capsys.readouterr().out
+    assert "particle-steps/s" in out
+    assert (rundir / "config.trun.yml").exists()
