@@ -40,6 +40,12 @@ from exp_tpu.ops.special import legendre_lm, dlegendre_lm, sincos_m, real_ylm_no
 DSMALL = 1.0e-16
 
 
+def _dsmall(dtype):
+    """Radius floor guarding r -> 0 divisions; dtype-aware so that r^3 does
+    not underflow in float32 (the reference's DSMALL=1e-16 is f64-only)."""
+    return 1.0e-16 if jnp.dtype(dtype) == jnp.float64 else 1.0e-10
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class SphereSL:
@@ -90,7 +96,7 @@ class SphereSL:
         lmax, nmax = self.lmax, self.nmax
         g = self.grid
 
-        r = jnp.sqrt(jnp.sum(x * x, axis=-1)) + DSMALL
+        r = jnp.sqrt(jnp.sum(x * x, axis=-1)) + _dsmall(x.dtype)
         costh = x[:, 2] / r
         phi = jnp.arctan2(x[:, 1], x[:, 0])
         rs = r / self.scale
@@ -142,7 +148,7 @@ class SphereSL:
         dtype = x.dtype
         coef = coef.astype(dtype)
 
-        r = jnp.sqrt(jnp.sum(x * x, axis=-1)) + DSMALL
+        r = jnp.sqrt(jnp.sum(x * x, axis=-1)) + _dsmall(x.dtype)
         costh = x[:, 2] / r
         phi = jnp.arctan2(x[:, 1], x[:, 0])
 
@@ -199,7 +205,7 @@ class SphereSL:
         ax = -(potr * xx / r - pott * xx * zz / r3)
         ay = -(potr * yy / r - pott * yy * zz / r3)
         az = -(potr * zz / r + pott * rho2 / r3)
-        safe = rho2 > DSMALL
+        safe = rho2 > _dsmall(x.dtype)
         ax = ax + jnp.where(safe, potp * yy / rho2, 0.0)
         ay = ay - jnp.where(safe, potp * xx / rho2, 0.0)
 
@@ -215,7 +221,7 @@ class SphereSL:
         g = self.grid
         coef = coef.astype(x.dtype)
 
-        r = jnp.sqrt(jnp.sum(x * x, axis=-1)) + DSMALL
+        r = jnp.sqrt(jnp.sum(x * x, axis=-1)) + _dsmall(x.dtype)
         costh = x[:, 2] / r
         phi = jnp.arctan2(x[:, 1], x[:, 0])
         rs = jnp.clip(r / self.scale, g.rmin, g.rmax)

@@ -1,0 +1,414 @@
+"""Binary multistep (block-timestep) KDK integrator — TPU-native design.
+
+Re-expresses the reference's multistep machinery (src/multistep.cc,
+src/step.cc:98-269, coefficient tableau doc/multistep.doc) with static
+shapes and no scatter:
+
+* Levels 0..M; level l steps with dt_l = dtime/2^l; one big step =
+  Mstep = 2^M fine substeps; level l is "active" (hits a step boundary) at
+  substeps ms with ms % 2^(M-l) == 0 — the active set is always the suffix
+  [mfirst(ms), M] (multistep.cc:630-679).
+
+* Particles live in per-level BUCKETS padded to static capacities, so each
+  substep compiles to work proportional to the ACTIVE buckets only — the
+  TPU replacement for the reference's levlist + per-level thread fans
+  (Component levlist, PotAccel::exp_thread_fork).  Buckets are re-packed on
+  the host at big-step boundaries when levels change.
+
+* Coefficient tableau: per-level registers (coefL, coefN).  When level l
+  activates it drifts a full dt_l and its register pair advances
+  (L <- N, N <- new); the full coefficient set at substep position mdrft is
+  sum_l lerp(L_l, N_l, w_l) with w_l = ((ms mod 2^(M-l)) + 1)/2^(M-l) —
+  linear interpolation identical to the reference's
+  compute_multistep_coefficients (SphericalBasis.cc:1231-1330), but with
+  STATIC weights because the substep loop is unrolled at trace time.
+
+* Level assignment uses the reference's timestep criteria
+  (multistep.cc:94-130: dtd/dtv/dta/dtA with dynfrac* factors,
+  nlev = floor(log2(dtime/dtreq)), shiftlevl clamp) evaluated at big-step
+  boundaries where all levels are synchronized — the reference's `NoSwitch`
+  discipline (multistep.cc:146-155), which avoids the mid-step +/-
+  coefficient patching (SphericalBasis.cc:1013-1228) entirely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from exp_tpu.nbody.particles import ParticleSystem
+from exp_tpu.nbody.step import shard_map, _diagnostics, _ps_specs, _diag_specs
+
+
+def mintvl_table(M: int) -> list[int]:
+    return [2 ** (M - l) for l in range(M + 1)]
+
+
+def mfirst_of(ms: int, M: int) -> int:
+    """Smallest active level at substep ms (multistep.cc mfirst)."""
+    for l in range(M + 1):
+        if ms % (2 ** (M - l)) == 0:
+            return l
+    return M
+
+
+# ---------------------------------------------------------------------------
+# Timestep criteria / level selection (host-callable, jitted)
+# ---------------------------------------------------------------------------
+
+def dtreq_fn(ps: ParticleSystem, dynfracV=0.01, dynfracA=0.03, dynfracP=0.05,
+             dynfracD=1.0e32):
+    """Per-particle requested timestep (multistep.cc:94-130)."""
+    eps = 1.0e-10
+    vtot = jnp.sum(ps.v * ps.v, axis=-1)
+    atot = jnp.sum(ps.acc * ps.acc, axis=-1)
+    dtr = jnp.abs(jnp.sum(ps.v * ps.acc, axis=-1))
+    ptot = jnp.abs(ps.pot)
+
+    dtd = dynfracD / jnp.sqrt(vtot + eps)
+    dtv = dynfracV * jnp.sqrt(vtot / (atot + eps))
+    dta = dynfracA * ptot / (dtr + eps)
+    dtA = dynfracP * jnp.sqrt(ptot / (atot + eps))
+
+    dt = jnp.minimum(jnp.minimum(dtd, dtv), jnp.minimum(dta, dtA))
+    return jnp.maximum(dt, eps)
+
+
+def assign_levels(dtreq, level, dtime: float, M: int, shiftlevl: int = 0):
+    """dtreq -> level, with optional max-shift clamp (multistep.cc:169-190)."""
+    nlev = jnp.where(
+        dtreq > dtime, 0,
+        jnp.floor(jnp.log2(jnp.maximum(dtime / dtreq, 1.0))).astype(jnp.int32))
+    nlev = jnp.clip(nlev, 0, M)
+    if shiftlevl:
+        lo = level - shiftlevl
+        hi = level + shiftlevl
+        nlev = jnp.clip(nlev, lo, hi)
+        nlev = jnp.clip(nlev, 0, M)
+    return nlev.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed state
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LevelBuckets:
+    """Per-level padded particle buckets for one component (host container)."""
+
+    buckets: list[ParticleSystem]       # length M+1, bucket l padded to caps[l]
+    caps: tuple[int, ...]
+
+    @property
+    def n_live(self):
+        return sum(int((np.asarray(b.mass) > 0).sum()) for b in self.buckets)
+
+
+def _pad_cap(n: int, quantum: int) -> int:
+    """Capacity: round up to the quantum (mesh shards), sticky growth."""
+    n = max(n, 1)
+    c = ((n + quantum - 1) // quantum) * quantum
+    # next power-of-two-ish growth to keep recompiles rare
+    p = quantum
+    while p < c:
+        p *= 2
+    return p
+
+
+def bucketize(ps: ParticleSystem, M: int, quantum: int,
+              caps: tuple[int, ...] | None = None,
+              mesh=None) -> LevelBuckets:
+    """Split a flat ParticleSystem into per-level padded buckets (host)."""
+    level = np.asarray(ps.level)
+    mass = np.asarray(ps.mass)
+    live = mass > 0
+    x = np.asarray(ps.x); v = np.asarray(ps.v)
+    acc = np.asarray(ps.acc); pot = np.asarray(ps.pot)
+
+    new_caps = []
+    buckets = []
+    for l in range(M + 1):
+        sel = live & (level == l)
+        n = int(sel.sum())
+        cap = _pad_cap(n, quantum)
+        if caps is not None and caps[l] >= cap:
+            cap = caps[l]
+        new_caps.append(cap)
+        xb = np.zeros((cap, 3)); vb = np.zeros((cap, 3))
+        ab = np.zeros((cap, 3)); pb = np.zeros(cap); mb = np.zeros(cap)
+        xb[:n] = x[sel]; vb[:n] = v[sel]; ab[:n] = acc[sel]; pb[:n] = pot[sel]
+        mb[:n] = mass[sel]
+        b = ParticleSystem(
+            x=jnp.asarray(xb, ps.x.dtype), v=jnp.asarray(vb, ps.v.dtype),
+            mass=jnp.asarray(mb, ps.mass.dtype),
+            acc=jnp.asarray(ab, ps.acc.dtype),
+            pot=jnp.asarray(pb, ps.pot.dtype),
+            level=jnp.full(cap, l, jnp.int32))
+        if mesh is not None:
+            b = b.shard(mesh)
+        buckets.append(b)
+    return LevelBuckets(buckets=buckets, caps=tuple(new_caps))
+
+
+def flatten_buckets(lb: LevelBuckets) -> ParticleSystem:
+    """Concatenate buckets back to a flat system (keeps padding rows)."""
+    return ParticleSystem(
+        x=jnp.concatenate([b.x for b in lb.buckets]),
+        v=jnp.concatenate([b.v for b in lb.buckets]),
+        mass=jnp.concatenate([b.mass for b in lb.buckets]),
+        acc=jnp.concatenate([b.acc for b in lb.buckets]),
+        pot=jnp.concatenate([b.pot for b in lb.buckets]),
+        level=jnp.concatenate([b.level for b in lb.buckets]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The jitted big step
+# ---------------------------------------------------------------------------
+
+def make_bigstep_fn(forces: dict, couples: dict, dtime: float, M: int,
+                    mesh, accum_dtype=jnp.float32, axis_name: str = "p"):
+    """Build the jitted big step over bucketed state.
+
+    state:  {name: tuple(ps_level0, ..., ps_levelM)}
+    regs:   {name: (coefL, coefN)} each (M+1,) + coef_shape
+    returns (state, regs, coef_full, diag) with everything synchronized at
+    t + dtime.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    Mstep = 2 ** M
+    mint = mintvl_table(M)
+    names = list(forces)
+
+    def bigstep(state, regs):
+        state = {n: list(bs) for n, bs in state.items()}
+        regs = {n: [list(r[0]), list(r[1])] for n, r in regs.items()}
+        dt = dtime / Mstep
+
+        for ms in range(Mstep):                       # static unroll
+            mfirst = mfirst_of(ms, M)
+            mdrft = ms + 1
+            mfirst_d = mfirst_of(mdrft, M) if mdrft < Mstep else 0
+
+            # -- opening half-kick + full drift for active levels ---------
+            for n in names:
+                for l in range(mfirst, M + 1):
+                    b = state[n][l]
+                    DT = dt * mint[l]
+                    v_half = b.v + b.acc * (0.5 * DT)
+                    x_new = b.x + v_half * DT
+                    state[n][l] = replace(b, v=v_half, x=x_new)
+
+            # -- recompute coefficient registers for active levels --------
+            for n in names:
+                f = forces[n]
+                for l in range(mfirst, M + 1):
+                    b = state[n][l]
+                    cnew = f.coefficients(b.x, b.mass, axis_name=axis_name,
+                                          accum_dtype=accum_dtype)
+                    regs[n][0][l] = regs[n][1][l]     # L <- N
+                    regs[n][1][l] = cnew              # N <- new
+
+            # -- assemble full coefficients at mdrft (static weights) -----
+            coef_full = {}
+            for n in names:
+                tot = None
+                for l in range(M + 1):
+                    w = ((ms % mint[l]) + 1) / mint[l]
+                    c = regs[n][0][l] * (1.0 - w) + regs[n][1][l] * w
+                    tot = c if tot is None else tot + c
+                coef_full[n] = tot
+
+            # -- closing half-kick for levels at their end boundary -------
+            for n in names:
+                for l in range(M + 1):
+                    if mdrft % mint[l] != 0:
+                        continue
+                    b = state[n][l]
+                    DT = dt * mint[l]
+                    acc = jnp.zeros_like(b.x)
+                    pot = jnp.zeros_like(b.mass)
+                    for a in couples[n]:
+                        aa, pp = forces[a].acceleration(
+                            coef_full[a].astype(b.x.dtype), b.x)
+                        acc = acc + aa
+                        pot = pot + pp
+                    v_new = b.v + acc * (0.5 * DT)
+                    state[n][l] = replace(b, v=v_new, acc=acc, pot=pot)
+
+        out_state = {n: tuple(bs) for n, bs in state.items()}
+        out_regs = {n: (tuple(r[0]), tuple(r[1])) for n, r in regs.items()}
+        diag = {}
+        for n in names:
+            parts = [_diagnostics(b, axis_name=axis_name)
+                     for b in state[n]]
+            diag[n] = jax.tree_util.tree_map(
+                lambda *xs: sum(xs), *parts)
+        return out_state, out_regs, coef_full, diag
+
+    state_specs = {n: tuple(_ps_specs(axis_name) for _ in range(M + 1))
+                   for n in names}
+    reg_specs = {n: (tuple(P() for _ in range(M + 1)),
+                     tuple(P() for _ in range(M + 1))) for n in names}
+    coef_specs = {n: P() for n in names}
+    diag_specs = {n: _diag_specs() for n in names}
+
+    return jax.jit(shard_map(
+        bigstep, mesh, (state_specs, reg_specs),
+        (state_specs, reg_specs, coef_specs, diag_specs)))
+
+
+class MultistepRunner:
+    """Host orchestration: big steps + boundary re-leveling/re-bucketing.
+
+    Compiled big-step functions are cached per capacity signature, so
+    recompiles only happen when a level population outgrows its padded
+    bucket (sticky power-of-two capacities).
+    """
+
+    def __init__(self, forces: dict, couples: dict, dtime: float, M: int,
+                 mesh, accum_dtype=jnp.float32, dynparams=None,
+                 shiftlevl: int = 0):
+        self.forces = forces
+        self.couples = couples
+        self.dtime = dtime
+        self.M = M
+        self.mesh = mesh
+        self.accum_dtype = accum_dtype
+        self.dyn = dynparams or {}
+        self.shiftlevl = shiftlevl
+        self.quantum = int(mesh.devices.size)
+        self._fns = {}
+        self._init_fns = {}
+        self._dt_fn = jax.jit(lambda ps: dtreq_fn(ps, **self.dyn))
+
+    def _caps_sig(self, state):
+        return tuple((n, tuple(b.x.shape[0] for b in bs))
+                     for n, bs in state.items())
+
+    def init_state(self, flat: dict[str, ParticleSystem]):
+        """Initial leveling + bucketing from flat per-component systems.
+
+        Mirrors begin_run's multistep prime (begin.cc:86-127): evaluate
+        forces at level 0, assign levels from the dt criteria, repeat.
+        """
+        # first pass: everything at level 0 to get accelerations
+        state = {n: bucketize(ps, self.M, self.quantum, mesh=self.mesh)
+                 for n, ps in flat.items()}
+        caps = {n: lb.caps for n, lb in state.items()}
+        st = {n: tuple(lb.buckets) for n, lb in state.items()}
+        st, regs, coef, diag = self._init(st)
+        # assign levels from the primed accelerations, rebucket, re-prime
+        flat2 = {n: flatten_buckets(LevelBuckets(list(bs), caps[n]))
+                 for n, bs in st.items()}
+        for n, ps in flat2.items():
+            dtr = self._dt_fn(ps)
+            lev = assign_levels(dtr, ps.level, self.dtime, self.M,
+                                self.shiftlevl)
+            flat2[n] = replace(ps, level=jnp.where(ps.mass > 0, lev, 0))
+        state = {n: bucketize(ps, self.M, self.quantum, mesh=self.mesh)
+                 for n, ps in flat2.items()}
+        self.caps = {n: lb.caps for n, lb in state.items()}
+        st = {n: tuple(lb.buckets) for n, lb in state.items()}
+        st, regs, coef, diag = self._init(st)
+        return st, regs, coef, diag
+
+    def _init(self, st):
+        sig = self._caps_sig(st)
+        if sig not in self._init_fns:
+            self._init_fns[sig] = init_regs_fn(
+                self.forces, self.couples, self.M, self.mesh,
+                accum_dtype=self.accum_dtype)
+        return self._init_fns[sig](st)
+
+    def bigstep(self, st, regs):
+        sig = self._caps_sig(st)
+        if sig not in self._fns:
+            self._fns[sig] = make_bigstep_fn(
+                self.forces, self.couples, self.dtime, self.M, self.mesh,
+                accum_dtype=self.accum_dtype)
+        st, regs, coef, diag = self._fns[sig](st, regs)
+        return st, regs, coef, diag
+
+    def relevel(self, st, regs):
+        """Boundary re-leveling (NoSwitch discipline); returns new (st, regs).
+
+        Registers are rebuilt by the init pass at the synchronized time —
+        every level's L and N coincide there, so no tableau state is lost.
+        """
+        changed = False
+        flat = {}
+        for n, bs in st.items():
+            ps = flatten_buckets(LevelBuckets(list(bs), None))
+            dtr = self._dt_fn(ps)
+            lev = assign_levels(dtr, ps.level, self.dtime, self.M,
+                                self.shiftlevl)
+            lev = jnp.where(ps.mass > 0, lev, 0)
+            if bool(jnp.any(lev != ps.level)):
+                changed = True
+            flat[n] = replace(ps, level=lev)
+        if not changed:
+            return st, regs
+        state = {n: bucketize(ps, self.M, self.quantum,
+                              caps=self.caps.get(n), mesh=self.mesh)
+                 for n, ps in flat.items()}
+        self.caps = {n: lb.caps for n, lb in state.items()}
+        st = {n: tuple(lb.buckets) for n, lb in state.items()}
+        st, regs, _, _ = self._init(st)
+        return st, regs
+
+    def level_counts(self, st):
+        return {n: [int((np.asarray(b.mass) > 0).sum()) for b in bs]
+                for n, bs in st.items()}
+
+
+def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
+                 accum_dtype=jnp.float32, axis_name: str = "p"):
+    """Initial per-level registers + acceleration at t0 (begin_run prime)."""
+    from jax.sharding import PartitionSpec as P
+
+    names = list(forces)
+
+    def init(state):
+        regs = {}
+        coef_full = {}
+        for n in names:
+            f = forces[n]
+            cs = [f.coefficients(b.x, b.mass, axis_name=axis_name,
+                                 accum_dtype=accum_dtype)
+                  for b in state[n]]
+            regs[n] = (tuple(cs), tuple(cs))
+            tot = cs[0]
+            for c in cs[1:]:
+                tot = tot + c
+            coef_full[n] = tot
+        out = {}
+        diag = {}
+        for n in names:
+            bs = []
+            for b in state[n]:
+                acc = jnp.zeros_like(b.x)
+                pot = jnp.zeros_like(b.mass)
+                for a in couples[n]:
+                    aa, pp = forces[a].acceleration(
+                        coef_full[a].astype(b.x.dtype), b.x)
+                    acc = acc + aa
+                    pot = pot + pp
+                bs.append(replace(b, acc=acc, pot=pot))
+            out[n] = tuple(bs)
+            parts = [_diagnostics(b, axis_name=axis_name) for b in bs]
+            diag[n] = jax.tree_util.tree_map(lambda *xs: sum(xs), *parts)
+        return out, regs, coef_full, diag
+
+    state_specs = {n: tuple(_ps_specs(axis_name) for _ in range(M + 1))
+                   for n in names}
+    reg_specs = {n: (tuple(P() for _ in range(M + 1)),
+                     tuple(P() for _ in range(M + 1))) for n in names}
+    return jax.jit(shard_map(
+        init, mesh, (state_specs,),
+        (state_specs, reg_specs, {n: P() for n in names},
+         {n: _diag_specs() for n in names})))

@@ -106,7 +106,12 @@ class Simulation:
         self.istep = 0
 
         self.compute_dtype = jnp.dtype(g.compute_dtype)
-        self.accum_dtype = jnp.dtype(g.accum_dtype)
+        # f64 accumulation only if x64 is enabled (on TPU the f32 path with
+        # chunked partial sums is the native choice; f64 is for CPU testing)
+        if g.accum_dtype == "float64" and not jax.config.jax_enable_x64:
+            self.accum_dtype = jnp.dtype("float32")
+        else:
+            self.accum_dtype = jnp.dtype(g.accum_dtype)
 
         # device mesh over the particle axis
         if mesh is None:
@@ -158,6 +163,22 @@ class Simulation:
         self._state = {n: c.ps for n, c in self.components.items()}
         self._coefs = None
         self._diag = None
+
+        # multistep machinery (Global.multistep > 0)
+        self.M = int(g.multistep)
+        self._ms_runner = None
+        self._ms_state = None
+        self._ms_regs = None
+        if self.M > 0:
+            from exp_tpu.nbody.multistep import MultistepRunner
+
+            forces = {n: c.force for n, c in self.components.items()}
+            self._ms_runner = MultistepRunner(
+                forces, self.couples, self.dt, self.M, self.mesh,
+                accum_dtype=self.accum_dtype,
+                dynparams={"dynfracV": g.dynfracV, "dynfracA": g.dynfracA,
+                           "dynfracP": g.dynfracP, "dynfracD": g.dynfracD},
+                shiftlevl=g.shiftlevl)
 
     # ------------------------------------------------------------------
     # jitted stepping
@@ -217,6 +238,8 @@ class Simulation:
 
     def prime(self):
         """Initial coefficient/force evaluation (begin_run, begin.cc:86-127)."""
+        if self.M > 0:
+            return      # multistep primes lazily in _run_multistep
         from jax.sharding import PartitionSpec as P
 
         names = list(self.components)
@@ -250,6 +273,8 @@ class Simulation:
 
     def run(self, nsteps=None):
         """Main loop (expand.cc:422-424)."""
+        if self.M > 0:
+            return self._run_multistep(nsteps)
         if self._coefs is None:
             self.prime()
         nsteps = self.nsteps if nsteps is None else nsteps
@@ -277,6 +302,45 @@ class Simulation:
                 for o in self.outputs:
                     o.run(self, self.istep)
         return self._state
+
+    def _run_multistep(self, nsteps=None):
+        """Multistep main loop: one jitted big step per dtime, boundary
+        re-leveling (see nbody/multistep.py)."""
+        from exp_tpu.nbody.multistep import flatten_buckets, LevelBuckets
+
+        nsteps = self.nsteps if nsteps is None else nsteps
+        r = self._ms_runner
+        if self._ms_state is None:
+            st, regs, coef, diag = r.init_state(self._state)
+            self._ms_state, self._ms_regs = st, regs
+            self._coefs, self._diag = coef, diag
+            self._sync_flat_state()
+            for o in self.outputs:
+                o.run(self, self.istep, force=True)
+        for _ in range(nsteps):
+            st, regs, coef, diag = r.bigstep(self._ms_state, self._ms_regs)
+            st, regs = r.relevel(st, regs)
+            self._ms_state, self._ms_regs = st, regs
+            self._coefs, self._diag = coef, diag
+            self.istep += 1
+            self.time += self.dt
+            if any((self.nint_due(o) for o in self.outputs)):
+                self._sync_flat_state()
+            for o in self.outputs:
+                o.run(self, self.istep)
+        self._sync_flat_state()
+        return self._state
+
+    def nint_due(self, o):
+        return o.nint > 0 and self.istep % o.nint == 0
+
+    def _sync_flat_state(self):
+        from exp_tpu.nbody.multistep import flatten_buckets, LevelBuckets
+
+        if self._ms_state is not None:
+            self._state = {
+                n: flatten_buckets(LevelBuckets(list(bs), None))
+                for n, bs in self._ms_state.items()}
 
     # ------------------------------------------------------------------
     # outputs

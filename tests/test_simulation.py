@@ -130,3 +130,23 @@ def test_cli_main(rundir, capsys):
     out = capsys.readouterr().out
     assert "particle-steps/s" in out
     assert (rundir / "config.trun.yml").exists()
+
+
+def test_multistep_config_run(rundir):
+    """Driver with Global.multistep: runs, conserves energy, writes outputs."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: msrun\n  multistep: 2\n  dynfracV: 0.05\n  dynfracA: 0.05")
+    (rundir / "config_ms.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_ms.yml"))
+    assert sim.M == 2
+    sim.run(15)
+    log = (rundir / "OUTLOG.msrun").read_text().splitlines()
+    rows = [r for r in log if not r.startswith("#") and "Time" not in r]
+    E = [float(r.split("|")[15]) for r in rows]
+    assert abs(E[-1] - E[0]) / abs(E[0]) < 5e-3
+    ratios = [float(r.split("|")[16]) for r in rows]
+    assert (np.mean(ratios) - 1.0) ** 2 < 0.01
+    counts = sim._ms_runner.level_counts(sim._ms_state)["halo"]
+    assert sum(counts) == 3000
