@@ -79,16 +79,23 @@ class OutCoef(Output):
             name = next(iter(sim.components))
         self.name = name
         comp = sim.components[name]
-        from exp_tpu.io.coefs import SphCoefsFile
+        from exp_tpu.io.coefs import SphCoefsFile, CubeCoefsFile
+        from exp_tpu.forces.cube import Cube
 
         path = os.path.join(sim.outdir,
                             filename or f"outcoef.{name}.{sim.runtag}.h5")
         if os.path.exists(path):
             os.remove(path)
         force = comp.force
-        self.file = SphCoefsFile(
-            path, "w", name=name, lmax=force.lmax, nmax=force.nmax,
-            scale=getattr(force, "scale", 1.0), forceID=comp.config.force.id)
+        if isinstance(force, Cube):
+            self.file = CubeCoefsFile(
+                path, "w", name=name, nmaxx=force.nmaxx, nmaxy=force.nmaxy,
+                nmaxz=force.nmaxz)
+        else:
+            self.file = SphCoefsFile(
+                path, "w", name=name, lmax=force.lmax, nmax=force.nmax,
+                scale=getattr(force, "scale", 1.0),
+                forceID=comp.config.force.id)
 
     def write(self, sim, istep):
         coef = np.asarray(sim._coefs[self.name])
