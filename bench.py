@@ -116,6 +116,15 @@ def main():
     v = rng.normal(0, 0.3, (n, 3))
     mass = np.full(n, 1.0 / n)
 
+    # tiny warmup first: the first compile in a process pays a large fixed
+    # backend-init cost; do it on a small shape (results cached persistently)
+    tiny = ParticleSystem.from_arrays(x[:1024], v[:1024], mass[:1024],
+                                      dtype=jnp.float32)
+    tps, _, _ = init_force_state(force, tiny)
+    tstep = make_kdk_step(force, dt)
+    tout = tstep(tps)
+    jax.block_until_ready(tout[0].x)
+
     ps = ParticleSystem.from_arrays(x, v, mass, dtype=jnp.float32)
     ps, coef, diag = init_force_state(force, ps)
     step = make_kdk_step(force, dt)
@@ -124,7 +133,7 @@ def main():
     ps2, coef2, diag2 = step(ps)
     jax.block_until_ready(ps2.x)
 
-    reps = int(os.environ.get("BENCH_REPS", 10))
+    reps = int(os.environ.get("BENCH_REPS", 20))
     t0 = time.perf_counter()
     cur = ps
     for _ in range(reps):

@@ -19,4 +19,28 @@ Design (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (first TPU compile in a process has a
+    large fixed cost; the cache removes it for every later process).  Opt out
+    with EXP_TPU_NO_CACHE=1 or redirect with EXP_TPU_CACHE_DIR."""
+    if _os.environ.get("EXP_TPU_NO_CACHE"):
+        return
+    import jax
+
+    path = _os.environ.get(
+        "EXP_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "exp_tpu_xla"))
+    try:
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 from exp_tpu import ops, basis, forces, nbody, ic  # noqa: F401

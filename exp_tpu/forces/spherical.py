@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from exp_tpu.basis.slgrid import SLGridSph, SphSLTables
+from exp_tpu.ops import coords
 from exp_tpu.ops.special import legendre_lm, dlegendre_lm, sincos_m, real_ylm_norm
 
 DSMALL = 1.0e-16
@@ -53,27 +54,78 @@ class SphereSL:
 
     A pytree so it can be passed through jit/shard_map.  `fac` is the real-Ylm
     normalization matrix (lmax+1, lmax+1).
+
+    Two evaluation backends:
+      'gather' — per-particle row gather from the full-resolution table
+                 (reference-equivalent; good on CPU, slow XLA gathers on TPU)
+      'matmul' — TPU-first: linear interpolation expressed as a hat-function
+                 two-hot weight matrix W[i,j] = relu(1 - |t_i - j|) against a
+                 coarse resampled table, so the radial evaluation and the
+                 coefficient reduction are MXU matmuls with NO gather.
+                 Processed in particle chunks (lax.map) to bound memory.
     """
 
     grid: SLGridSph
     fac: jax.Array
+    tabc: jax.Array          # coarse table (numr_c, (L+1)*nmax) for 'matmul'
     lmax: int
     nmax: int
     scale: float = 1.0
+    backend: str = "matmul"
+    numr_c: int = 512
+    chunk: int = 65536
 
     @classmethod
     def from_tables(cls, t: SphSLTables, scale: float = 1.0,
-                    dtype=jnp.float32) -> "SphereSL":
+                    dtype=jnp.float32, backend: str = "matmul",
+                    numr_c: int = 512, chunk: int = 65536) -> "SphereSL":
         grid = SLGridSph.from_tables(t, dtype=dtype)
+        # resample the (numr, L+1, nmax) table onto a coarse uniform xi grid
+        import numpy as np
+
+        nc = min(numr_c, t.numr)
+        xi_c = np.linspace(t.xmin, t.xmax, nc)
+        pt = t.pot_table.reshape(t.numr, -1)
+        tabc = np.empty((nc, pt.shape[1]))
+        for k in range(pt.shape[1]):
+            tabc[:, k] = np.interp(xi_c, t.xi, pt[:, k])
         return cls(grid=grid, fac=real_ylm_norm(t.lmax, dtype=dtype),
-                   lmax=t.lmax, nmax=t.nmax, scale=scale)
+                   tabc=jnp.asarray(tabc, dtype=dtype),
+                   lmax=t.lmax, nmax=t.nmax, scale=scale, backend=backend,
+                   numr_c=nc, chunk=chunk)
 
     def tree_flatten(self):
-        return (self.grid, self.fac), (self.lmax, self.nmax, self.scale)
+        return (self.grid, self.fac, self.tabc), (
+            self.lmax, self.nmax, self.scale, self.backend, self.numr_c,
+            self.chunk)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], *aux)
+        return cls(children[0], children[1], children[2], *aux)
+
+    # -- coarse-grid helpers (matmul backend) ---------------------------
+
+    @property
+    def _dxc(self):
+        g = self.grid
+        # coarse grid spans the same [xmin, xmax]
+        return (g.xmin + g.dxi * (g.numr - 1) - g.xmin) / (self.numr_c - 1)
+
+    def _hat_weights(self, rs, deriv=False):
+        """Two-hot interpolation weight matrix (N, numr_c) and optionally its
+        xi-derivative counterpart."""
+        g = self.grid
+        xi = g.xi_of_r(rs)
+        dxc = self._dxc
+        t = jnp.clip((xi - g.xmin) / dxc, 0.0, self.numr_c - 1.0)
+        j = jnp.arange(self.numr_c, dtype=rs.dtype)
+        d = j[None, :] - t[:, None]
+        W = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+        if not deriv:
+            return W, None
+        dW = jnp.where(jnp.abs(d) < 1.0, jnp.sign(d), 0.0) / dxc
+        fac = coords.dxi_dr(xi, g.cmap, g.rmap)
+        return W, dW * fac[:, None]
 
     @property
     def coef_shape(self):
@@ -93,33 +145,72 @@ class SphereSL:
 
         Returns: (2, lmax+1, lmax+1, nmax) coefficient partial sums.
         """
-        lmax, nmax = self.lmax, self.nmax
-        g = self.grid
+        if self.backend == "matmul":
+            return self._chunked_sum(self._coef_chunk_matmul, x, mass,
+                                     accum_dtype)
+        return self._coef_chunk_gather(x, mass, accum_dtype)
 
+    def _angular(self, x, mass):
+        """Common per-particle geometry + masked weight."""
+        g = self.grid
         r = jnp.sqrt(jnp.sum(x * x, axis=-1)) + _dsmall(x.dtype)
         costh = x[:, 2] / r
         phi = jnp.arctan2(x[:, 1], x[:, 0])
         rs = r / self.scale
-
         # mask to the table's radial support (reference: r in [rmin, rmax],
         # SphericalBasis.cc:488)
         w = jnp.where((rs >= g.rmin) & (rs <= g.rmax), mass, 0.0)
+        return r, rs, costh, phi, w
 
+    def _coef_chunk_gather(self, x, mass, accum_dtype):
+        lmax = self.lmax
+        r, rs, costh, phi, w = self._angular(x, mass)
         P = legendre_lm(lmax, costh)                 # (N, L+1, L+1)
         cosm, sinm = sincos_m(lmax, phi)             # (N, L+1)
-        potd = g.get_pot(rs)                         # (N, L+1, nmax)
+        potd = self.grid.get_pot(rs)                 # (N, L+1, nmax)
 
-        yc = self.fac[None] * P * cosm[:, None, :]   # (N, L+1(l), L+1(m))
-        ys = self.fac[None] * P * sinm[:, None, :]
-
-        wyc = yc * w[:, None, None]
-        wys = ys * w[:, None, None]
-
+        wyc = self.fac[None] * P * cosm[:, None, :] * w[:, None, None]
+        wys = self.fac[None] * P * sinm[:, None, :] * w[:, None, None]
         cc = jnp.einsum("ilm,iln->lmn", wyc, potd,
                         preferred_element_type=accum_dtype)
         cs = jnp.einsum("ilm,iln->lmn", wys, potd,
                         preferred_element_type=accum_dtype)
         return -4.0 * math.pi * jnp.stack([cc, cs])
+
+    def _coef_chunk_matmul(self, x, mass, accum_dtype):
+        """Gather-free chunk: hat-weight matmul + one big MXU contraction.
+
+        The (lm) x (l', n) cross terms with l' != l are wasted FLOPs (factor
+        ~(L+1)/2) but the contraction is one dense matmul — far faster on the
+        MXU than gathers + batched skinny einsums."""
+        lmax, nmax = self.lmax, self.nmax
+        nlm = (lmax + 1) * (lmax + 1)
+        r, rs, costh, phi, w = self._angular(x, mass)
+        P = legendre_lm(lmax, costh)
+        cosm, sinm = sincos_m(lmax, phi)
+        yc = (self.fac[None] * P * cosm[:, None, :]).reshape(-1, nlm)
+        ys = (self.fac[None] * P * sinm[:, None, :]).reshape(-1, nlm)
+        Y2 = jnp.concatenate([yc * w[:, None], ys * w[:, None]], axis=1)
+
+        W, _ = self._hat_weights(rs)
+        G = jnp.dot(W, self.tabc, preferred_element_type=x.dtype)
+        big = jnp.dot(Y2.T, G, preferred_element_type=accum_dtype)
+        big = big.reshape(2, lmax + 1, lmax + 1, lmax + 1, nmax)
+        lsel = jnp.arange(lmax + 1)
+        out = jnp.moveaxis(big[:, lsel, :, lsel, :], 0, 1)
+        return -4.0 * math.pi * out
+
+    def _chunked_sum(self, fn, x, mass, accum_dtype):
+        """Apply a per-chunk reducer over particle chunks and sum."""
+        n = x.shape[0]
+        ch = self.chunk
+        if n <= ch or n % ch != 0:
+            return fn(x, mass, accum_dtype)
+        xc = x.reshape(n // ch, ch, 3)
+        mc = mass.reshape(n // ch, ch)
+        parts = jax.lax.map(lambda ab: fn(ab[0], ab[1], accum_dtype),
+                            (xc, mc))
+        return jnp.sum(parts, axis=0)
 
     def coefficients(self, x, mass, axis_name=None, accum_dtype=jnp.float32):
         """Full coefficients; psum across `axis_name` if inside shard_map."""
@@ -143,10 +234,20 @@ class SphereSL:
 
         Returns (acc (N, 3), pot (N,)).
         """
+        coef = coef.astype(x.dtype)
+        n = x.shape[0]
+        ch = self.chunk
+        if self.backend == "matmul" and n > ch and n % ch == 0:
+            xc = x.reshape(n // ch, ch, 3)
+            acc, pot = jax.lax.map(
+                lambda xx: self._accel_chunk(coef, xx, deriv), xc)
+            return acc.reshape(n, 3), pot.reshape(n)
+        return self._accel_chunk(coef, x, deriv)
+
+    def _accel_chunk(self, coef, x, deriv="stencil3"):
         lmax = self.lmax
         g = self.grid
         dtype = x.dtype
-        coef = coef.astype(dtype)
 
         r = jnp.sqrt(jnp.sum(x * x, axis=-1)) + _dsmall(x.dtype)
         costh = x[:, 2] / r
@@ -159,7 +260,15 @@ class SphereSL:
 
         P, dP = dlegendre_lm(lmax, costh)            # (N, L+1, L+1)
         cosm, sinm = sincos_m(lmax, phi)             # (N, L+1)
-        potd, dpot = g.get_pot_dpot(rs, deriv=deriv)  # (N, L+1, nmax)
+        if self.backend == "matmul":
+            W, dW = self._hat_weights(rs, deriv=True)
+            sh = (x.shape[0], lmax + 1, self.nmax)
+            potd = jnp.dot(W, self.tabc,
+                           preferred_element_type=dtype).reshape(sh)
+            dpot = jnp.dot(dW, self.tabc,
+                           preferred_element_type=dtype).reshape(sh)
+        else:
+            potd, dpot = g.get_pot_dpot(rs, deriv=deriv)  # (N, L+1, nmax)
 
         cc, ss = coef[0], coef[1]
         # radial series: contract n  ->  (N, L+1(l), L+1(m))

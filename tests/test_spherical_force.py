@@ -119,3 +119,30 @@ def test_sharded_psum_equivalence(setup):
     out = fn(xp, mp)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_backend_equivalence(setup):
+    """'matmul' (hat-weight MXU path) == 'gather' (reference table path)
+    within coarse-grid interpolation error."""
+    m, t, _, x, mass = setup
+    fg = SphereSL.from_tables(t, dtype=jnp.float64, backend="gather")
+    fm = SphereSL.from_tables(t, dtype=jnp.float64, backend="matmul",
+                              numr_c=512, chunk=4096)
+    cg = fg.coefficients(x, mass, accum_dtype=jnp.float64)
+    cm = fm.coefficients(x, mass, accum_dtype=jnp.float64)
+    scale = float(jnp.abs(cg).max())
+    assert float(jnp.abs(cg - cm).max()) / scale < 5e-5
+
+    pts = x[:200]
+    ag, pg = fg.acceleration(cg, pts)
+    am, pm = fm.acceleration(cg, pts)
+    np.testing.assert_allclose(np.asarray(am), np.asarray(ag),
+                               rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pg),
+                               rtol=1e-4, atol=1e-8)
+
+    # chunking must not change results at all
+    fm2 = SphereSL.from_tables(t, dtype=jnp.float64, backend="matmul",
+                               numr_c=512, chunk=10**9)
+    cm2 = fm2.coefficients(x, mass, accum_dtype=jnp.float64)
+    np.testing.assert_array_equal(np.asarray(cm2), np.asarray(cm))
