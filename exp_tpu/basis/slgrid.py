@@ -29,9 +29,10 @@ SLGridMP2.cc:767-835).  Tables are stored on a uniform grid in the mapped
 coordinate xi(r) (ops/coords.py) and evaluated on device by linear
 interpolation (values) and a 3-point stencil (radial derivative).
 
-The discretization is a symmetric P1 finite-volume scheme in xi, reduced to a
-standard symmetric tridiagonal eigenproblem and solved with LAPACK's
-eigh_tridiagonal (only the lowest nmax eigenpairs).
+The discretization is a symmetric P1 finite-volume scheme in xi; the
+generalized tridiagonal eigenproblem is solved by shift-invert Lanczos
+(scipy eigsh, sigma=0), which keeps full relative precision for the lowest
+eigenvalues even when the model density spans many decades.
 """
 
 from __future__ import annotations
@@ -41,7 +42,6 @@ import json
 from dataclasses import dataclass
 
 import numpy as np
-from scipy.linalg import eigh_tridiagonal
 
 import jax
 import jax.numpy as jnp
@@ -109,15 +109,40 @@ def _solve_sl_one_l(l: int, xi: np.ndarray, r: np.ndarray, rp: np.ndarray,
     b = r[-1]
     diag[-1] += p[-1] * ((l + 1.0) / b + dpsi[-1] / psi[-1])
 
-    # symmetric reduction with the diagonal mass matrix M = diag(wt * cell)
+    # diagonal mass matrix M = diag(wt * cell)
     m = wt[idx] * cell
-    s = np.sqrt(m)
-    d_std = diag / m
-    e_std = off / (s[:-1] * s[1:])
 
-    ev, y = eigh_tridiagonal(d_std, e_std, select="i",
-                             select_range=(0, nmax - 1))
-    u = (y / s[:, None]).T                           # (nmax, n), int u^2 w dr = 1
+    # Solve the generalized problem A u = lambda W u by shift-invert Lanczos
+    # (scipy eigsh with sigma=0).  The naive symmetric reduction by
+    # sqrt(W) fails when the model density spans many decades (the matrix
+    # norm blows up as 1/w_min and eigenvalues near 1 drown in roundoff —
+    # e.g. truncated disk models); shift-invert keeps full relative
+    # precision for the smallest eigenvalues.  Non-positive eigenvalues
+    # (spurious boundary modes from the negative l=0 Robin term) are
+    # dropped.
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import eigsh
+
+    nloc = len(diag)
+    A = sp.diags([off, diag, off], [-1, 0, 1], format="csc")
+    W = sp.diags(m)
+    k = min(nmax + 4, nloc - 2)
+    try:
+        ev, y = eigsh(A, k=k, M=W, sigma=0.0, which="LM")
+    except RuntimeError:
+        # fallback: tiny negative shift if A is exactly singular at 0
+        ev, y = eigsh(A, k=k, M=W, sigma=-1e-8, which="LM")
+    order = np.argsort(ev)
+    ev, y = ev[order], y[:, order]
+    pos = ev > 0.0
+    if pos.sum() < nmax:
+        raise RuntimeError(
+            f"SL solve l={l}: only {int(pos.sum())} positive eigenvalues "
+            f"for nmax={nmax}")
+    ev = ev[pos][:nmax]
+    y = y[:, pos][:, :nmax]
+    # eigsh M-normalizes: u^T W u = 1 already (W includes the cell measure)
+    u = y.T                                          # (nmax, n)
 
     ef = np.zeros((nmax, numr))
     ef[:, j0:] = u

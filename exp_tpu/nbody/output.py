@@ -79,8 +79,10 @@ class OutCoef(Output):
             name = next(iter(sim.components))
         self.name = name
         comp = sim.components[name]
-        from exp_tpu.io.coefs import SphCoefsFile, CubeCoefsFile
+        from exp_tpu.io.coefs import (SphCoefsFile, CubeCoefsFile,
+                                      CylCoefsFile)
         from exp_tpu.forces.cube import Cube
+        from exp_tpu.forces.cylinder import CylinderForce
 
         path = os.path.join(sim.outdir,
                             filename or f"outcoef.{name}.{sim.runtag}.h5")
@@ -91,6 +93,9 @@ class OutCoef(Output):
             self.file = CubeCoefsFile(
                 path, "w", name=name, nmaxx=force.nmaxx, nmaxy=force.nmaxy,
                 nmaxz=force.nmaxz)
+        elif isinstance(force, CylinderForce):
+            self.file = CylCoefsFile(
+                path, "w", name=name, mmax=force.mmax, nmax=force.nmax)
         else:
             self.file = SphCoefsFile(
                 path, "w", name=name, lmax=force.lmax, nmax=force.nmax,

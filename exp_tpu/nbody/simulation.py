@@ -73,6 +73,25 @@ def build_force(fc, dtype, workdir="."):
         return Cube.create(
             nmaxx=int(p.pop("nmaxx", 6)), nmaxy=int(p.pop("nmaxy", 6)),
             nmaxz=int(p.pop("nmaxz", 6)), dtype=dtype)
+    elif fc.id == "cylinder":
+        from exp_tpu.basis.empcyl import build_empcyl_tables
+        from exp_tpu.forces.cylinder import CylinderForce
+
+        cachename = p.pop("cachename", p.pop("eof_file", None))
+        if cachename is not None:
+            cachename = os.path.join(workdir, cachename)
+        t = build_empcyl_tables(
+            mmax=int(p.pop("mmax", 6)), nmax=int(p.pop("nmax", 18)),
+            ncylodd=p.pop("ncylodd", None),
+            lmaxfid=int(p.pop("lmaxfid", 48)),
+            nmaxfid=int(p.pop("nmaxfid", 32)),
+            acyl=float(p.pop("acyl", 0.01)), hcyl=float(p.pop("hcyl", 0.002)),
+            rcylmin=float(p.pop("rcylmin", 1e-3)),
+            rcylmax=float(p.pop("rcylmax", 20.0)),
+            numx=int(p.pop("ncylnx", 256)), numy=int(p.pop("ncylny", 128)),
+            rnum=int(p.pop("rnum", 200)), tnum=int(p.pop("tnum", 80)),
+            cachename=cachename)
+        return CylinderForce.from_tables(t, dtype=dtype)
     raise ConfigError(f"force id {fc.id!r} not implemented yet")
 
 
