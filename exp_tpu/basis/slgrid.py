@@ -328,6 +328,26 @@ class SLGridSph:
             rmin=float(t.rmin), rmax=float(t.rmax),
         )
 
+    @classmethod
+    def from_raw(cls, pot_table, dens_table, rmin, rmax, cmap=1, rmap=1.0,
+                 dtype=jnp.float32) -> "SLGridSph":
+        """Build directly from (numr, lmax+1, nmax) pot/dens tables — used by
+        analytic bases (Bessel, Clutton-Brock/Hernquist, biorth.H sets) that
+        don't go through the SL solve."""
+        import numpy as _np
+
+        numr = pot_table.shape[0]
+        lmax = pot_table.shape[1] - 1
+        nmax = pot_table.shape[2]
+        xmin = float(coords.r_to_xi(rmin, cmap, rmap))
+        xmax = float(coords.r_to_xi(rmax, cmap, rmap))
+        return cls(
+            pot_t=jnp.asarray(pot_table, dtype=dtype),
+            dens_t=jnp.asarray(dens_table, dtype=dtype),
+            lmax=lmax, nmax=nmax, numr=numr, cmap=cmap, rmap=float(rmap),
+            xmin=xmin, dxi=(xmax - xmin) / (numr - 1),
+            rmin=float(rmin), rmax=float(rmax))
+
     # pytree plumbing (static metadata as aux)
     def tree_flatten(self):
         children = (self.pot_t, self.dens_t)

@@ -170,7 +170,8 @@ def flatten_buckets(lb: LevelBuckets) -> ParticleSystem:
 # ---------------------------------------------------------------------------
 
 def make_bigstep_fn(forces: dict, couples: dict, dtime: float, M: int,
-                    mesh, accum_dtype=jnp.float32, axis_name: str = "p"):
+                    mesh, accum_dtype=jnp.float32, axis_name: str = "p",
+                    externals=()):
     """Build the jitted big step over bucketed state.
 
     state:  {name: tuple(ps_level0, ..., ps_levelM)}
@@ -184,7 +185,7 @@ def make_bigstep_fn(forces: dict, couples: dict, dtime: float, M: int,
     mint = mintvl_table(M)
     names = list(forces)
 
-    def bigstep(state, regs):
+    def bigstep(state, regs, t0):
         state = {n: list(bs) for n, bs in state.items()}
         regs = {n: [list(r[0]), list(r[1])] for n, r in regs.items()}
         dt = dtime / Mstep
@@ -237,6 +238,10 @@ def make_bigstep_fn(forces: dict, couples: dict, dtime: float, M: int,
                             coef_full[a].astype(b.x.dtype), b.x)
                         acc = acc + aa
                         pot = pot + pp
+                    for ext in externals:
+                        aa, pp = ext.acceleration(b.x, t0 + dt * mdrft)
+                        acc = acc + aa
+                        pot = pot + pp
                     v_new = b.v + acc * (0.5 * DT)
                     state[n][l] = replace(b, v=v_new, acc=acc, pot=pot)
 
@@ -272,7 +277,8 @@ class MultistepRunner:
 
     def __init__(self, forces: dict, couples: dict, dtime: float, M: int,
                  mesh, accum_dtype=jnp.float32, dynparams=None,
-                 shiftlevl: int = 0):
+                 shiftlevl: int = 0, externals=()):
+        self.externals = tuple(externals)
         self.forces = forces
         self.couples = couples
         self.dtime = dtime
@@ -325,13 +331,13 @@ class MultistepRunner:
                 accum_dtype=self.accum_dtype)
         return self._init_fns[sig](st)
 
-    def bigstep(self, st, regs):
+    def bigstep(self, st, regs, t0=0.0):
         sig = self._caps_sig(st)
         if sig not in self._fns:
             self._fns[sig] = make_bigstep_fn(
                 self.forces, self.couples, self.dtime, self.M, self.mesh,
-                accum_dtype=self.accum_dtype)
-        st, regs, coef, diag = self._fns[sig](st, regs)
+                accum_dtype=self.accum_dtype, externals=self.externals)
+        st, regs, coef, diag = self._fns[sig](st, regs, t0)
         return st, regs, coef, diag
 
     def relevel(self, st, regs):

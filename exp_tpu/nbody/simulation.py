@@ -92,6 +92,18 @@ def build_force(fc, dtype, workdir="."):
             rnum=int(p.pop("rnum", 200)), tnum=int(p.pop("tnum", 80)),
             cachename=cachename)
         return CylinderForce.from_tables(t, dtype=dtype)
+    elif fc.id == "bessel":
+        from exp_tpu.basis.bessel import make_bessel_force
+
+        return make_bessel_force(
+            lmax=int(p.pop("Lmax", p.pop("lmax", 4))),
+            nmax=int(p.pop("nmax", 10)),
+            rmax=float(p.pop("rmax", 1.0)),
+            numr=int(p.pop("numr", 2000)), dtype=dtype)
+    elif fc.id == "direct":
+        from exp_tpu.forces.direct import DirectForce
+
+        return DirectForce(eps=float(p.pop("soft", p.pop("eps", 1e-4))))
     raise ConfigError(f"force id {fc.id!r} not implemented yet")
 
 
@@ -169,6 +181,21 @@ class Simulation:
             for b in names:
                 self.couples[b] = list(names)
 
+        # external fields + boundary wrappers (External: stanza)
+        from exp_tpu.forces.external import build_external, PeriodicBC
+
+        self.externals = []
+        self.wrappers = []
+        for e in (config.external or []):
+            if not e:
+                continue
+            if e.get("id") == "periodicBC":
+                self.wrappers.append(PeriodicBC(
+                    **(e.get("parameters") or {})))
+            else:
+                self.externals.append(build_external(
+                    e, workdir=workdir, dtype=self.compute_dtype))
+
         # outputs
         self.outputs = [self._make_output(o) for o in config.outputs]
         self._nint_gcd = 1
@@ -195,6 +222,7 @@ class Simulation:
             self._ms_runner = MultistepRunner(
                 forces, self.couples, self.dt, self.M, self.mesh,
                 accum_dtype=self.accum_dtype,
+                externals=getattr(self, "externals", ()),
                 dynparams={"dynfracV": g.dynfracV, "dynfracA": g.dynfracA,
                            "dynfracP": g.dynfracP, "dynfracD": g.dynfracD},
                 shiftlevl=g.shiftlevl)
@@ -203,8 +231,9 @@ class Simulation:
     # jitted stepping
     # ------------------------------------------------------------------
 
-    def _system_step_body(self, state):
-        """One KDK step for all components (shard-local view)."""
+    def _system_step_body(self, state, t_new):
+        """One KDK step for all components (shard-local view); t_new is the
+        (traced) time at the end of the step, used by external fields."""
         dt = self.dt
         forces = {n: c.force for n, c in self.components.items()}
         # half kick + drift
@@ -212,11 +241,19 @@ class Simulation:
         v_half = {}
         for n, ps in state.items():
             v_half[n] = ps.v + ps.acc * (dt * 0.5)
-            new_x[n] = ps.x + v_half[n] * dt
+            xd = ps.x + v_half[n] * dt
+            for wrp in self.wrappers:
+                xd = wrp.wrap(xd)
+            new_x[n] = xd
         # coefficients for every component from its own particles
+        # (source-based forces like `direct` skip projection: their sources
+        # are the particles themselves)
         coefs = {
-            n: forces[n].coefficients(new_x[n], state[n].mass, axis_name="p",
-                                      accum_dtype=self.accum_dtype)
+            n: (jnp.zeros((1,), new_x[n].dtype)
+                if getattr(forces[n], "needs_sources", False)
+                else forces[n].coefficients(new_x[n], state[n].mass,
+                                            axis_name="p",
+                                            accum_dtype=self.accum_dtype))
             for n in state
         }
         # acceleration: sum over coupled components' fields
@@ -225,7 +262,15 @@ class Simulation:
             acc = jnp.zeros_like(ps.x)
             pot = jnp.zeros_like(ps.mass)
             for a in self.couples[n]:
-                aa, pp = forces[a].acceleration(coefs[a], new_x[n])
+                if getattr(forces[a], "needs_sources", False):
+                    aa, pp = forces[a].acceleration(
+                        (new_x[a], state[a].mass), new_x[n], axis_name="p")
+                else:
+                    aa, pp = forces[a].acceleration(coefs[a], new_x[n])
+                acc = acc + aa
+                pot = pot + pp
+            for ext in self.externals:
+                aa, pp = ext.acceleration(new_x[n], t_new)
                 acc = acc + aa
                 pot = pot + pp
             v_new = v_half[n] + acc * (dt * 0.5)
@@ -238,21 +283,22 @@ class Simulation:
 
         names = list(self.components)
 
-        def block(state):
+        def block(state, t0):
             def body(carry, _):
-                st = carry
-                st, coefs, diag = self._system_step_body(st)
-                return st, (coefs, diag)
+                st, tcur = carry
+                tnew = tcur + self.dt
+                st, coefs, diag = self._system_step_body(st, tnew)
+                return (st, tnew), (coefs, diag)
 
-            st, (coefs_hist, diag_hist) = jax.lax.scan(
-                body, state, None, length=k)
+            (st, _), (coefs_hist, diag_hist) = jax.lax.scan(
+                body, (state, t0), None, length=k)
             return st, coefs_hist, diag_hist
 
         state_specs = {n: _ps_specs("p") for n in names}
         coef_specs = {n: P() for n in names}
         diag_specs = {n: _diag_specs() for n in names}
         return jax.jit(shard_map(
-            block, self.mesh, (state_specs,),
+            block, self.mesh, (state_specs, P()),
             (state_specs, coef_specs, diag_specs)))
 
     def prime(self):
@@ -266,16 +312,26 @@ class Simulation:
 
         def init(state):
             coefs = {
-                n: forces[n].coefficients(state[n].x, state[n].mass,
-                                          axis_name="p",
-                                          accum_dtype=self.accum_dtype)
+                n: (jnp.zeros((1,), state[n].x.dtype)
+                    if getattr(forces[n], "needs_sources", False)
+                    else forces[n].coefficients(state[n].x, state[n].mass,
+                                                axis_name="p",
+                                                accum_dtype=self.accum_dtype))
                 for n in state}
             out = {}
             for n, ps in state.items():
                 acc = jnp.zeros_like(ps.x)
                 pot = jnp.zeros_like(ps.mass)
                 for a in self.couples[n]:
-                    aa, pp = forces[a].acceleration(coefs[a], ps.x)
+                    if getattr(forces[a], "needs_sources", False):
+                        aa, pp = forces[a].acceleration(
+                            (state[a].x, state[a].mass), ps.x, axis_name="p")
+                    else:
+                        aa, pp = forces[a].acceleration(coefs[a], ps.x)
+                    acc = acc + aa
+                    pot = pot + pp
+                for ext in self.externals:
+                    aa, pp = ext.acceleration(ps.x, self.time)
                     acc = acc + aa
                     pot = pot + pp
                 out[n] = replace(ps, acc=acc, pot=pot)
@@ -308,7 +364,7 @@ class Simulation:
                 fn = self._make_step_fn(kk)
             else:
                 fn = self._step_fn
-            self._state, coefs_hist, diag_hist = fn(self._state)
+            self._state, coefs_hist, diag_hist = fn(self._state, self.time)
             jax.block_until_ready(jax.tree_util.tree_leaves(self._state)[0])
             # unpack per-step history for outputs
             for j in range(kk):
@@ -337,7 +393,8 @@ class Simulation:
             for o in self.outputs:
                 o.run(self, self.istep, force=True)
         for _ in range(nsteps):
-            st, regs, coef, diag = r.bigstep(self._ms_state, self._ms_regs)
+            st, regs, coef, diag = r.bigstep(self._ms_state, self._ms_regs,
+                                             self.time)
             st, regs = r.relevel(st, regs)
             self._ms_state, self._ms_regs = st, regs
             self._coefs, self._diag = coef, diag

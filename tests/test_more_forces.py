@@ -1,0 +1,159 @@
+"""Bessel basis, direct-summation force (incl. ppermute ring), external
+fields (autodiff consistency + driver integration)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from exp_tpu.basis.bessel import make_bessel_force, sph_bessel_zeros
+from exp_tpu.forces.direct import DirectForce
+from exp_tpu.forces.external import (UserLogPot, UserMNdisk, UserBar,
+                                     TidalField, build_external)
+
+
+def test_bessel_zeros():
+    from scipy.special import spherical_jn
+
+    for l in (0, 1, 5):
+        z = sph_bessel_zeros(l, 6)
+        assert np.all(np.abs(spherical_jn(l, z)) < 1e-12)
+        assert np.all(np.diff(z) > 0)
+    # j_0 zeros are n pi
+    np.testing.assert_allclose(sph_bessel_zeros(0, 3),
+                               np.pi * np.arange(1, 4), rtol=1e-12)
+
+
+def test_bessel_force_monopole():
+    """Thin shell of particles: force outside is Keplerian, zero inside.
+
+    Note the Bessel basis imposes Phi(rmax)=0 (Dirichlet zeros of j_l), so
+    the potential carries a constant +M/rmax offset relative to the vacuum
+    solution — the force and potential DIFFERENCES are physical (same
+    behavior as the reference's bessel force; that offset is why sphereSL
+    is the preferred spherical basis)."""
+    from exp_tpu.basis.model import plummer_model
+    from exp_tpu.ic.eddington import sample_spherical_model
+
+    force = make_bessel_force(lmax=2, nmax=24, rmax=2.0, dtype=jnp.float64)
+    pm = plummer_model(a=0.3, M=1.0, rmin=1e-3, rmax=1.9)
+    xs, vs, ms = sample_spherical_model(pm, 30000, seed=4)
+    coef = force.coefficients(jnp.asarray(xs), jnp.asarray(ms),
+                              accum_dtype=jnp.float64)
+    rt = np.array([0.3, 0.6, 1.2, 1.6])
+    pts = jnp.asarray(np.stack([rt, 0 * rt, 0 * rt], -1))
+    acc, pot = force.acceleration(coef, pts)
+    g_expect = -pm.get_mass(rt) / rt ** 2
+    np.testing.assert_allclose(np.asarray(acc)[:, 0], g_expect, rtol=0.04)
+    # potential differences physical (the Dirichlet offset drops out)
+    dphi = float(pot[0] - pot[3])
+    expect = float(pm.get_pot(0.3) - pm.get_pot(1.6))
+    assert dphi == pytest.approx(expect, rel=0.05)
+
+
+def test_direct_force_exact():
+    f = DirectForce(eps=0.0, chunk=1000)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (500, 3)))
+    m = jnp.asarray(rng.uniform(0.5, 1.5, 500) / 500)
+    coef = f.coefficients(x, m)
+    pts = jnp.asarray([[3.0, 0.0, 0.0]])
+    acc, pot = f.acceleration(coef, pts)
+    d = np.asarray(pts)[:, None] - np.asarray(x)[None]
+    r = np.linalg.norm(d, axis=-1)
+    pot_ref = -(np.asarray(m) / r).sum()
+    assert float(pot[0]) == pytest.approx(pot_ref, rel=1e-10)
+
+
+def test_direct_ring_matches_single():
+    """ppermute ring over 8 shards == single-device direct sum."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from exp_tpu.nbody.step import shard_map
+
+    f = DirectForce(eps=1e-3)
+    rng = np.random.default_rng(2)
+    n = 1024
+    x = jnp.asarray(rng.normal(0, 1, (n, 3)))
+    m = jnp.full(n, 1.0 / n)
+    acc1, pot1 = f.acceleration(f.coefficients(x, m), x)
+
+    mesh = Mesh(np.array(jax.devices()), ("p",))
+
+    def body(xs, ms):
+        coef = f.coefficients(xs, ms, axis_name="p")
+        return f.acceleration(coef, xs, axis_name="p")
+
+    fn = jax.jit(shard_map(body, mesh, (P("p", None), P("p")),
+                           (P("p", None), P("p"))))
+    acc8, pot8 = fn(x, m)
+    np.testing.assert_allclose(np.asarray(acc8), np.asarray(acc1),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pot8), np.asarray(pot1),
+                               rtol=1e-10)
+
+
+@pytest.mark.parametrize("ext", [
+    UserLogPot(v0=1.2, q=0.8, rc=0.2),
+    UserMNdisk(a=1.0, b=0.2, mass=2.0),
+    UserBar(amplitude=0.05, length=0.5, omega=2.0, Ton=1.0),
+    TidalField(txx=0.1, tyy=-0.05, tzz=0.2),
+])
+def test_external_autodiff(ext):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (16, 3)))
+    t = 1.7
+    acc, pot = ext.acceleration(x, t)
+    assert np.isfinite(np.asarray(acc)).all()
+    # finite-difference check of one component
+    h = 1e-6
+    dx = jnp.zeros((16, 3)).at[:, 0].set(h)
+    num = -(ext.potential(x + dx, t) - ext.potential(x - dx, t)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(acc[:, 0]), np.asarray(num),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_mn_disk_circular_speed():
+    """MN disk: vc^2(R) = M R^2/(R^2+(a+b)^2)^{3/2} in the plane."""
+    ext = UserMNdisk(a=1.0, b=0.2, mass=1.0)
+    R = np.array([0.5, 1.0, 3.0])
+    x = jnp.asarray(np.stack([R, 0 * R, 0 * R], -1))
+    acc, _ = ext.acceleration(x, 0.0)
+    vc2 = -np.asarray(acc)[:, 0] * R
+    expected = R ** 2 / (R ** 2 + 1.2 ** 2) ** 1.5
+    np.testing.assert_allclose(vc2, expected, rtol=1e-5)
+
+
+def test_external_in_driver(tmp_path):
+    """Test particles orbiting in a fixed MN disk via External stanza."""
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+
+    # circular orbit test particle at R=1 in MN(a=1,b=0.2,M=1)
+    vc = np.sqrt(1.0 / (1 + 1.2 ** 2) ** 1.5)
+    x = np.array([[1.0, 0, 0], [0, 1.0, 0]])
+    v = np.array([[0, vc, 0], [-vc, 0, 0]])
+    m = np.array([1e-10, 1e-10])
+    write_ascii_bodies(tmp_path / "t.bods", (x, v, m))
+    (tmp_path / "c.yml").write_text("""\
+Global:
+  dtime: 0.02
+  nsteps: 100
+  runtag: ext0
+Components:
+  - name: test
+    bodyfile: t.bods
+    force: {id: noforce, parameters: {}}
+Output:
+  - id: outlog
+    parameters: {nint: 50}
+External:
+  - id: usermndisk
+    parameters: {a: 1.0, b: 0.2, mass: 1.0}
+""")
+    sim = Simulation.from_file(str(tmp_path / "c.yml"))
+    sim.prime()
+    sim.run()
+    xf = np.asarray(sim._state["test"].x)[:2]
+    # circular orbit: radius preserved
+    np.testing.assert_allclose(np.linalg.norm(xf[:, :2], axis=1), 1.0,
+                               rtol=1e-3)
