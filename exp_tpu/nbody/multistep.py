@@ -263,7 +263,7 @@ def make_bigstep_fn(forces: dict, couples: dict, dtime: float, M: int,
     diag_specs = {n: _diag_specs() for n in names}
 
     return jax.jit(shard_map(
-        bigstep, mesh, (state_specs, reg_specs),
+        bigstep, mesh, (state_specs, reg_specs, P()),
         (state_specs, reg_specs, coef_specs, diag_specs)))
 
 
