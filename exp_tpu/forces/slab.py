@@ -1,0 +1,146 @@
+"""Slab force runtime (periodic x,y plane waves x tabulated z functions).
+
+Companion of basis/slab.py — the reference's SlabSL force path
+(src/SlabSL.cc coefficient/force loops, cudaSlabSL.cu):
+
+  a_{kx ky n} = -4 pi sum_i m_i e^{-2 pi i (kx x + ky y)} phi^{|k|}_n(z_i)
+  Phi(x)      = Re sum a e^{+2 pi i k.x} phi_n(z)
+
+Horizontal accelerations via the 2 pi i k factors (like the cube force),
+vertical via the tabulated dphi/dz.  Tables depend on |kx|,|ky| only; the
+full signed-k coefficient tensor keeps the cube's layout conventions.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exp_tpu.basis.slab import SlabTables
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SlabForce:
+    phi_t: jax.Array      # (numz, nmaxx+1, nmaxy+1, nmax)
+    dphi_t: jax.Array
+    dens_t: jax.Array
+    sgn: jax.Array        # (2nmaxx+1, 2nmaxy+1, nmax) pairing signs
+    nmaxx: int
+    nmaxy: int
+    nmax: int
+    numz: int
+    zmax: float
+
+    scale: float = 1.0
+
+    @property
+    def lmax(self):
+        return max(self.nmaxx, self.nmaxy)
+
+    @classmethod
+    def from_tables(cls, t: SlabTables, dtype=jnp.float32) -> "SlabForce":
+        sg = np.asarray(t.sgn)
+        sg = np.concatenate([sg[:0:-1], sg], axis=0)
+        sg = np.concatenate([sg[:, :0:-1], sg], axis=1)
+        return cls(phi_t=jnp.asarray(t.phi, dtype=dtype),
+                   dphi_t=jnp.asarray(t.dphi, dtype=dtype),
+                   dens_t=jnp.asarray(t.dens, dtype=dtype),
+                   sgn=jnp.asarray(sg, dtype=dtype),
+                   nmaxx=t.nmaxx, nmaxy=t.nmaxy, nmax=t.nmax, numz=t.numz,
+                   zmax=t.zmax)
+
+    def tree_flatten(self):
+        return ((self.phi_t, self.dphi_t, self.dens_t, self.sgn),
+                (self.nmaxx, self.nmaxy, self.nmax, self.numz, self.zmax))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def coef_shape(self):
+        return (2 * self.nmaxx + 1, 2 * self.nmaxy + 1, self.nmax)
+
+    def _cdtype(self, dtype):
+        return jnp.complex128 if jnp.dtype(dtype) == jnp.float64 \
+            else jnp.complex64
+
+    def _phases(self, x, sign):
+        cd = self._cdtype(x.dtype)
+        out = []
+        for c, nmax in ((0, self.nmaxx), (1, self.nmaxy)):
+            n = jnp.arange(-nmax, nmax + 1, dtype=x.dtype)
+            ang = sign * 2.0 * math.pi * x[:, c:c + 1] * n[None, :]
+            out.append(jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(cd))
+        return out
+
+    def _ztab(self, table, z):
+        """Interp (numz, nx+1, ny+1, nmax) tables at z; expand to signed-k
+        layout (N, 2nx+1, 2ny+1, nmax) by |k| symmetry."""
+        dz = 2.0 * self.zmax / (self.numz - 1)
+        tt = jnp.clip((z + self.zmax) / dz, 0.0, self.numz - 1.001)
+        iz = tt.astype(jnp.int32)
+        fz = (tt - iz)[:, None, None, None]
+        v = table[iz] * (1 - fz) + table[iz + 1] * fz   # (N, nx+1, ny+1, n)
+        ax = jnp.concatenate([v[:, :0:-1], v], axis=1)  # signed kx
+        return jnp.concatenate([ax[:, :, :0:-1], ax[:, :, :]], axis=2)
+
+    # ------------------------------------------------------------------
+
+    def coefficients_local(self, x, mass, accum_dtype=jnp.float32):
+        xw = jnp.mod(x[:, :2], 1.0)
+        z = x[:, 2]
+        w = jnp.where(jnp.abs(z) <= self.zmax, mass, 0.0).astype(x.dtype)
+        ex, ey = self._phases(jnp.pad(xw, ((0, 0), (0, 1))), sign=-1.0)
+        cd = self._cdtype(accum_dtype)
+        phi = self._ztab(self.phi_t, z)                 # (N, A, B, n) real
+        t1 = jnp.einsum("ia,ib->iab", ex * w[:, None], ey)
+        coef = jnp.einsum("iab,iabn->abn", t1, phi.astype(cd),
+                          preferred_element_type=cd)
+        # per-function pairing signs (see basis/slab.py eigen-normalization)
+        return -4.0 * math.pi * coef * self.sgn.astype(cd)
+
+    def coefficients(self, x, mass, axis_name=None, accum_dtype=jnp.float32):
+        c = self.coefficients_local(x, mass, accum_dtype=accum_dtype)
+        if axis_name is not None:
+            c = jax.lax.psum(c, axis_name)
+        return c
+
+    def acceleration(self, coef, x):
+        dtype = x.dtype
+        cd = self._cdtype(dtype)
+        coef = coef.astype(cd)
+        z = jnp.clip(x[:, 2], -self.zmax, self.zmax)
+        ex, ey = self._phases(x, sign=+1.0)
+
+        phi = self._ztab(self.phi_t, z).astype(cd)
+        dphi = self._ztab(self.dphi_t, z).astype(cd)
+
+        pot_c = jnp.einsum("abn,ia,ib,iabn->i", coef, ex, ey, phi)
+        pot = pot_c.real.astype(dtype)
+
+        kx = jnp.arange(-self.nmaxx, self.nmaxx + 1, dtype=dtype)
+        ky = jnp.arange(-self.nmaxy, self.nmaxy + 1, dtype=dtype)
+        tpi = 2.0 * math.pi
+        ax = jnp.imag(jnp.einsum("abn,a,ia,ib,iabn->i", coef,
+                                 (tpi * kx).astype(cd), ex, ey, phi))
+        ay = jnp.imag(jnp.einsum("abn,b,ia,ib,iabn->i", coef,
+                                 (tpi * ky).astype(cd), ex, ey, phi))
+        az = -jnp.real(jnp.einsum("abn,ia,ib,iabn->i", coef, ex, ey, dphi))
+        acc = jnp.stack([ax.astype(dtype), ay.astype(dtype),
+                         az.astype(dtype)], axis=-1)
+        return acc, pot
+
+    def density(self, coef, x):
+        cd = self._cdtype(x.dtype)
+        coef = coef.astype(cd)
+        z = jnp.clip(x[:, 2], -self.zmax, self.zmax)
+        ex, ey = self._phases(x, sign=+1.0)
+        dens = self._ztab(self.dens_t, z).astype(cd)
+        out = jnp.einsum("abn,ia,ib,iabn->i", coef, ex, ey, dens)
+        return out.real.astype(x.dtype) / (4.0 * math.pi)

@@ -92,6 +92,41 @@ def build_force(fc, dtype, workdir="."):
             rnum=int(p.pop("rnum", 200)), tnum=int(p.pop("tnum", 80)),
             cachename=cachename)
         return CylinderForce.from_tables(t, dtype=dtype)
+    elif fc.id in ("flatdisk", "CBDisk"):
+        from exp_tpu.basis.flatdisk import build_flatdisk_tables
+        from exp_tpu.forces.cylinder import CylinderForce
+
+        cachename = p.pop("cachename", None)
+        if cachename is not None:
+            cachename = os.path.join(workdir, cachename)
+        # CBDisk: the analytic Clutton-Brock 2D set is the Kuzmin-conditioned
+        # basis (its lowest member IS the Kuzmin disk) — same span
+        model = p.pop("background", "kuzmin" if fc.id == "CBDisk" else "expon")
+        if isinstance(model, dict):
+            model = model.get("name", "expon")
+        t = build_flatdisk_tables(
+            mmax=int(p.pop("Mmax", p.pop("mmax", 6))),
+            nmax=int(p.pop("nmax", 10)), model=str(model),
+            acyl=float(p.pop("acyl", p.pop("scale", 1.0))),
+            rcylmin=float(p.pop("rcylmin", 1e-3)),
+            rcylmax=float(p.pop("rcylmax", 20.0)),
+            numx=int(p.pop("numx", 256)), numy=int(p.pop("numy", 128)),
+            knots=int(p.pop("knots", 400)), numk=int(p.pop("numk", 256)),
+            cachename=cachename)
+        return CylinderForce.from_tables(t, dtype=dtype)
+    elif fc.id == "slabSL":
+        from exp_tpu.basis.slab import build_slab_tables
+        from exp_tpu.forces.slab import SlabForce
+
+        cachename = p.pop("cachename", None)
+        if cachename is not None:
+            cachename = os.path.join(workdir, cachename)
+        t = build_slab_tables(
+            nmaxx=int(p.pop("nmaxx", 4)), nmaxy=int(p.pop("nmaxy", 4)),
+            nmax=int(p.pop("nmaxz", p.pop("nmax", 6))),
+            zmax=float(p.pop("zmax", 0.1)), h=float(p.pop("hslab", 0.01)),
+            cachename=cachename)
+        return SlabForce.from_tables(t, dtype=dtype)
     elif fc.id == "bessel":
         from exp_tpu.basis.bessel import make_bessel_force
 

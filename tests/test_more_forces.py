@@ -157,3 +157,78 @@ External:
     # circular orbit: radius preserved
     np.testing.assert_allclose(np.linalg.norm(xf[:, :2], axis=1), 1.0,
                                rtol=1e-3)
+
+
+def test_flatdisk_kuzmin_analytic():
+    """Razor-thin Kuzmin disk: BFE field matches the closed form
+    Phi = -M/sqrt(R^2 + (a+|z|)^2) (the defining Kuzmin property)."""
+    from exp_tpu.basis.flatdisk import build_flatdisk_tables
+    from exp_tpu.forces.cylinder import CylinderForce
+
+    t = build_flatdisk_tables(mmax=2, nmax=8, model="kuzmin", acyl=1.0,
+                              rcylmax=20.0, numx=128, numy=64, knots=300,
+                              numk=256)
+    force = CylinderForce.from_tables(t, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    n = 50000
+    u = rng.uniform(0, 1, n)
+    R = np.sqrt(1.0 / (1 - u * 0.995) ** 2 - 1.0)      # inverse Kuzmin CDF
+    ph = rng.uniform(0, 2 * np.pi, n)
+    x = np.stack([R * np.cos(ph), R * np.sin(ph), np.zeros(n)], -1)
+    m = np.full(n, 1.0 / n)
+    coef = force.coefficients(jnp.asarray(x), jnp.asarray(m),
+                              accum_dtype=jnp.float64)
+    pts = np.array([[0.5, 0, 0.3], [1.5, 0.5, 0.0], [3.0, 0, 1.0],
+                    [0.8, 0, 0.05]])
+    acc, pot = force.acceleration(coef, jnp.asarray(pts))
+    Rp = np.hypot(pts[:, 0], pts[:, 1])
+    zp = np.abs(pts[:, 2])
+    pot_k = -1.0 / np.sqrt(Rp ** 2 + (1 + zp) ** 2)
+    np.testing.assert_allclose(np.asarray(pot), pot_k, rtol=0.01)
+    az_k = -np.sign(pts[:, 2]) * (1 + zp) / (Rp ** 2 + (1 + zp) ** 2) ** 1.5
+    np.testing.assert_allclose(np.asarray(acc)[:, 2], az_k,
+                               rtol=0.05, atol=1e-4)
+    aR_k = -Rp / (Rp ** 2 + (1 + zp) ** 2) ** 1.5
+    np.testing.assert_allclose(np.asarray(acc)[:, 0],
+                               aR_k * pts[:, 0] / np.maximum(Rp, 1e-12),
+                               rtol=0.05, atol=1e-4)
+
+
+def test_flatdisk_driver(tmp_path):
+    """flatdisk force id through the YAML driver."""
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+
+    rng = np.random.default_rng(1)
+    n = 2000
+    R = -0.5 * (np.log(rng.uniform(size=n)) + np.log(rng.uniform(size=n)))
+    ph = rng.uniform(0, 2 * np.pi, n)
+    x = np.stack([R * np.cos(ph), R * np.sin(ph), np.zeros(n)], -1)
+    # rough rotation
+    vc = np.sqrt(np.clip(R, 0.05, None)) * 0.5
+    v = np.stack([-vc * np.sin(ph), vc * np.cos(ph), np.zeros(n)], -1)
+    m = np.full(n, 1.0 / n)
+    write_ascii_bodies(tmp_path / "d.bods", (x, v, m))
+    (tmp_path / "fd.yml").write_text("""\
+Global:
+  dtime: 0.01
+  nsteps: 5
+  runtag: fd0
+Components:
+  - name: disk
+    bodyfile: d.bods
+    force:
+      id: flatdisk
+      parameters: {mmax: 2, nmax: 6, acyl: 0.5, rcylmax: 20.0,
+                   numx: 128, numy: 64, knots: 200, numk: 128}
+Output:
+  - id: outlog
+    parameters: {nint: 1}
+""")
+    sim = Simulation.from_file(str(tmp_path / "fd.yml"))
+    sim.prime()
+    sim.run()
+    log = (tmp_path / "OUTLOG.fd0").read_text().splitlines()
+    rows = [r for r in log if not r.startswith("#") and "Time" not in r]
+    E = [float(r.split("|")[15]) for r in rows]
+    assert np.isfinite(E).all()

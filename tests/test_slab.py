@@ -1,0 +1,117 @@
+"""SlabSL force gates: analytic sech^2 vertical field, biorthogonality,
+autodiff consistency, driver run."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from exp_tpu.basis.slab import build_slab_tables, SlabTables
+from exp_tpu.forces.slab import SlabForce
+
+ZMAX, H = 0.1, 0.01
+
+
+@pytest.fixture(scope="module")
+def slab():
+    t = build_slab_tables(nmaxx=3, nmaxy=3, nmax=6, zmax=ZMAX, h=H)
+    return t, SlabForce.from_tables(t, dtype=jnp.float64)
+
+
+def _sample(n, seed=0):
+    rng = np.random.default_rng(seed)
+    z = H * np.arctanh(rng.uniform(-1, 1, n) * np.tanh(ZMAX / H))
+    x = np.stack([rng.uniform(0, 1, n), rng.uniform(0, 1, n), z], -1)
+    return x, np.full(n, 1.0 / n)
+
+
+def test_biorthogonality(slab):
+    t, _ = slab
+    zg = t.zgrid
+    w = np.gradient(zg)
+    for ix, iy in [(0, 0), (1, 0), (2, 2)]:
+        B = -np.einsum("zn,zm,z->nm", t.phi[:, ix, iy], t.dens[:, ix, iy], w)
+        target = np.diag(t.sgn[ix, iy])
+        assert np.abs(B - target).max() < 0.02, (ix, iy)
+
+
+def test_sech2_vertical_force(slab):
+    """Mean-field gravity of a sech^2 slab: g_z = -2 pi Sigma tanh(z/h)."""
+    _, f = slab
+    x, m = _sample(150000, seed=1)
+    coef = f.coefficients(jnp.asarray(x), jnp.asarray(m),
+                          accum_dtype=jnp.float64)
+    zt = np.array([0.003, 0.01, 0.03, 0.06])
+    pts = np.stack([0.3 * np.ones_like(zt), 0.7 * np.ones_like(zt), zt], -1)
+    acc, pot = f.acceleration(coef, jnp.asarray(pts))
+    gz = -2 * np.pi * np.tanh(zt / H)
+    np.testing.assert_allclose(np.asarray(acc)[:, 2], gz, rtol=0.06)
+    # horizontal force ~ sampling noise only
+    assert np.abs(np.asarray(acc)[:, :2]).max() < 0.05 * np.abs(gz).max()
+
+
+def test_acceleration_matches_autodiff(slab):
+    _, f = slab
+    x, m = _sample(5000, seed=2)
+    coef = f.coefficients(jnp.asarray(x), jnp.asarray(m),
+                          accum_dtype=jnp.float64)
+    pts = jnp.asarray([[0.2, 0.4, 0.01], [0.8, 0.1, -0.03]])
+
+    def pot_at(p):
+        _, ph = f.acceleration(coef, p[None])
+        return ph[0]
+
+    acc, _ = f.acceleration(coef, pts)
+    g = jax.vmap(jax.grad(pot_at))(pts)
+    # horizontal: exact; vertical: the analytic dphi table vs autodiff of
+    # the interpolant differ at table resolution
+    np.testing.assert_allclose(np.asarray(acc)[:, :2], -np.asarray(g)[:, :2],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(acc)[:, 2], -np.asarray(g)[:, 2],
+                               rtol=0.03)
+
+
+def test_cache_roundtrip(slab, tmp_path):
+    t, _ = slab
+    t.write_cache(str(tmp_path / "slab.h5"))
+    t2 = SlabTables.read_cache(str(tmp_path / "slab.h5"))
+    np.testing.assert_array_equal(t2.phi, t.phi)
+    np.testing.assert_array_equal(t2.sgn, t.sgn)
+
+
+def test_slab_driver(tmp_path):
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+
+    x, m = _sample(3000, seed=3)
+    # vertical oscillation ICs: small velocities
+    v = np.zeros_like(x)
+    v[:, 2] = np.random.default_rng(4).normal(0, 0.3, len(x))
+    write_ascii_bodies(tmp_path / "s.bods", (x, v, m))
+    (tmp_path / "s.yml").write_text("""\
+Global:
+  dtime: 0.002
+  nsteps: 10
+  runtag: sl0
+Components:
+  - name: slab
+    bodyfile: s.bods
+    force:
+      id: slabSL
+      parameters: {nmaxx: 2, nmaxy: 2, nmaxz: 4, zmax: 0.1, hslab: 0.01}
+Output:
+  - id: outlog
+    parameters: {nint: 1}
+""")
+    sim = Simulation.from_file(str(tmp_path / "s.yml"))
+    sim.prime()
+    sim.run()
+    log = (tmp_path / "OUTLOG.sl0").read_text().splitlines()
+    rows = [r for r in log if not r.startswith("#") and "Time" not in r]
+    KE = [float(r.split("|")[12]) for r in rows]
+    PE = [float(r.split("|")[13]) for r in rows]
+    Etot = [k + p_ for k, p_ in zip(KE, PE)]
+    assert np.isfinite(Etot).all()
+    # KE+VC (the E column) is not conserved in periodic geometry (the
+    # Clausius virial uses unwrapped positions); gate on KE+PE instead
+    assert abs(Etot[-1] - Etot[0]) / max(abs(KE[0]), 1e-10) < 0.05
