@@ -1,0 +1,180 @@
+"""PSP binary phase-space files (reference-compatible).
+
+Implements the reference's PSP format (include/header.H MasterHeader/
+ComponentHeader; Particle::writeBinaryBuffered, exputil/Particle.cc:194-262;
+reader magic exputil ParticleReader.H:338-340) so snapshots interchange with
+the reference's `exp` outputs and its psp toolbox:
+
+  MasterHeader: double time; int32 ntot; int32 ncomp        (16 bytes)
+  per component:
+    uint64 cmagic = 0xadbfabc0 | rsize   (rsize = 4 or 8)
+    int32 nbod, niatr, ndatr, ninfochar; char info[ninfochar]  (YAML config)
+    per particle:
+      [uint64 indx  (if indexing)]
+      mass, pos[3], vel[3], pot  (rsize floats; pot = pot + potext)
+      iatr int32 x niatr, datr rsize x ndatr
+
+An OUT. file may hold several dumps appended back to back (PSPout).
+"""
+
+from __future__ import annotations
+
+import io
+import numpy as np
+from dataclasses import dataclass, field
+
+PSP_MAGIC = 0xadbfabc0
+MMASK = 0xF
+NMASK = ~np.uint64(MMASK)
+
+
+@dataclass
+class PSPComponent:
+    name: str
+    info: str
+    mass: np.ndarray
+    x: np.ndarray
+    v: np.ndarray
+    pot: np.ndarray
+    indx: np.ndarray | None = None
+    iattr: np.ndarray | None = None
+    dattr: np.ndarray | None = None
+
+
+@dataclass
+class PSPDump:
+    time: float
+    components: list[PSPComponent] = field(default_factory=list)
+
+    @property
+    def ntot(self):
+        return sum(len(c.mass) for c in self.components)
+
+
+def _component_record_dtype(rsize, niatr, ndatr, indexing):
+    f = np.float32 if rsize == 4 else np.float64
+    fields = []
+    if indexing:
+        fields.append(("indx", np.uint64))
+    fields += [("mass", f), ("pos", f, (3,)), ("vel", f, (3,)), ("pot", f)]
+    if niatr:
+        fields.append(("iatr", np.int32, (niatr,)))
+    if ndatr:
+        fields.append(("datr", f, (ndatr,)))
+    return np.dtype(fields)
+
+
+def write_psp(path, dump: PSPDump, real4=False, indexing=False, append=False):
+    """Write one dump (optionally appended to an existing OUT file)."""
+    mode = "ab" if append else "wb"
+    rsize = 4 if real4 else 8
+    with open(path, mode) as fh:
+        fh.write(np.float64(dump.time).tobytes())
+        fh.write(np.int32(dump.ntot).tobytes())
+        fh.write(np.int32(len(dump.components)).tobytes())
+        for c in dump.components:
+            info = c.info or f"name: {c.name}\n"
+            ib = info.encode()
+            fh.write(np.uint64(PSP_MAGIC + rsize).tobytes())
+            for v in (len(c.mass), 0 if c.iattr is None else c.iattr.shape[1],
+                      0 if c.dattr is None else c.dattr.shape[1], len(ib)):
+                fh.write(np.int32(v).tobytes())
+            fh.write(ib)
+            niatr = 0 if c.iattr is None else c.iattr.shape[1]
+            ndatr = 0 if c.dattr is None else c.dattr.shape[1]
+            rec = np.zeros(len(c.mass),
+                           _component_record_dtype(rsize, niatr, ndatr,
+                                                   indexing))
+            if indexing:
+                rec["indx"] = (np.arange(1, len(c.mass) + 1)
+                               if c.indx is None else c.indx)
+            rec["mass"] = c.mass
+            rec["pos"] = c.x
+            rec["vel"] = c.v
+            rec["pot"] = c.pot
+            if niatr:
+                rec["iatr"] = c.iattr
+            if ndatr:
+                rec["datr"] = c.dattr
+            fh.write(rec.tobytes())
+
+
+def read_psp(path, dump_index=None):
+    """Read PSP dump(s).  Returns a PSPDump, or list of dumps if
+    dump_index is None and the file holds several (OUT. style)."""
+    dumps = []
+    with open(path, "rb") as fh:
+        data = fh.read()
+    off = 0
+    n = len(data)
+    while off + 16 <= n:
+        time = np.frombuffer(data, np.float64, 1, off)[0]
+        ntot, ncomp = np.frombuffer(data, np.int32, 2, off + 8)
+        off += 16
+        dump = PSPDump(time=float(time))
+        ok = True
+        for ci in range(ncomp):
+            if off + 8 > n:
+                ok = False
+                break
+            cmagic = np.frombuffer(data, np.uint64, 1, off)[0]
+            off += 8
+            if (int(cmagic) & ~MMASK) == PSP_MAGIC:
+                rsize = int(cmagic) & MMASK
+                indexing = True      # reference writes indx iff indexing on;
+            else:                    # detect per-size below
+                rsize = 8
+                indexing = False
+                off -= 8             # old headers had no magic
+            nbod, niatr, ndatr, ninfo = np.frombuffer(data, np.int32, 4, off)
+            off += 16
+            info = data[off:off + ninfo].split(b"\x00")[0].decode(
+                errors="replace")
+            off += ninfo
+            # detect indexing by record-size bookkeeping: remaining bytes
+            base = rsize * (8 + ndatr) + 4 * niatr
+            with_idx = base + 8
+            remaining = n - off
+            # choose indexing so that nbod records fit the next stanza
+            indexing = False
+            if remaining >= with_idx * nbod:
+                # prefer indexed layout if the non-indexed one leaves
+                # misaligned leftovers and indexed fits exactly to the next
+                # header boundary; heuristically test mass sanity
+                rec_i = np.frombuffer(
+                    data, _component_record_dtype(rsize, niatr, ndatr, True),
+                    min(nbod, 4), off)
+                rec_n = np.frombuffer(
+                    data, _component_record_dtype(rsize, niatr, ndatr, False),
+                    min(nbod, 4), off)
+                mi = rec_i["mass"]
+                mn = rec_n["mass"]
+
+                def sane(mm):
+                    return bool(np.all(np.isfinite(mm)) and np.all(mm >= 0)
+                                and np.all(mm < 1e30))
+                indexing = sane(mi) and (not sane(mn)
+                                         or remaining == with_idx * nbod)
+            dt = _component_record_dtype(rsize, niatr, ndatr, indexing)
+            rec = np.frombuffer(data, dt, nbod, off)
+            off += dt.itemsize * nbod
+            name = "comp"
+            for line in info.splitlines():
+                if line.strip().startswith("name"):
+                    name = line.split(":", 1)[1].strip()
+                    break
+            dump.components.append(PSPComponent(
+                name=name, info=info,
+                mass=rec["mass"].astype(np.float64),
+                x=rec["pos"].astype(np.float64),
+                v=rec["vel"].astype(np.float64),
+                pot=rec["pot"].astype(np.float64),
+                indx=rec["indx"].copy() if indexing else None,
+                iattr=rec["iatr"].copy() if niatr else None,
+                dattr=rec["datr"].copy() if ndatr else None))
+        if not ok:
+            break
+        dumps.append(dump)
+    if dump_index is not None:
+        return dumps[dump_index]
+    return dumps[0] if len(dumps) == 1 else dumps

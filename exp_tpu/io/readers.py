@@ -1,0 +1,157 @@
+"""Snapshot reader family (pyEXP `read` submodule).
+
+The analogue of the reference's ParticleReader hierarchy
+(exputil/ParticleReader.cc: createReader :99, GadgetNative :103,
+GadgetHDF5 :171, PSP family :333-486, Tipsy :488): uniform access to
+(x, v, mass) arrays from assorted snapshot formats.
+"""
+
+from __future__ import annotations
+
+import os
+import numpy as np
+
+
+class Snapshot:
+    """Uniform snapshot view: dict name -> (x, v, mass [, pot])."""
+
+    def __init__(self, time=0.0):
+        self.time = float(time)
+        self._comp = {}
+
+    def add(self, name, x, v, mass, pot=None):
+        self._comp[name] = dict(
+            x=np.asarray(x, np.float64), v=np.asarray(v, np.float64),
+            mass=np.asarray(mass, np.float64),
+            pot=None if pot is None else np.asarray(pot, np.float64))
+
+    def GetTypes(self):
+        return list(self._comp)
+
+    def GetParticles(self, name=None):
+        if name is None:
+            name = next(iter(self._comp))
+        c = self._comp[name]
+        return c["x"], c["v"], c["mass"]
+
+    def __getitem__(self, name):
+        return self._comp[name]
+
+
+def read_ascii(path, time=0.0, name="comp"):
+    """Reference ascii body file (nbodies niattrib ndattrib header)."""
+    with open(path) as f:
+        header = f.readline().split()
+        n = int(header[0])
+        data = np.loadtxt(f, max_rows=n)
+    if data.ndim == 1:
+        data = data[None]
+    s = Snapshot(time)
+    s.add(name, data[:, 1:4], data[:, 4:7], data[:, 0])
+    return s
+
+
+def read_psp_snapshot(path, dump_index=-1):
+    from exp_tpu.io.psp import read_psp
+
+    d = read_psp(path)
+    if isinstance(d, list):
+        d = d[dump_index]
+    s = Snapshot(d.time)
+    for c in d.components:
+        s.add(c.name, c.x, c.v, c.mass, pot=c.pot)
+    return s
+
+
+def read_gadget_hdf5(path):
+    """GadgetHDF5 snapshots (PartTypeN groups)."""
+    import h5py
+
+    s = None
+    with h5py.File(path, "r") as f:
+        time = float(f["Header"].attrs.get("Time", 0.0))
+        s = Snapshot(time)
+        mtab = f["Header"].attrs.get("MassTable", None)
+        for key in f:
+            if not key.startswith("PartType"):
+                continue
+            g = f[key]
+            if "Coordinates" not in g:
+                continue
+            x = g["Coordinates"][...]
+            v = g["Velocities"][...] if "Velocities" in g else np.zeros_like(x)
+            if "Masses" in g:
+                m = g["Masses"][...]
+            else:
+                it = int(key[8:])
+                m = np.full(len(x), mtab[it] if mtab is not None else 1.0)
+            s.add(key, x, v, m)
+    return s
+
+
+def write_gadget_hdf5(path, snapshot: Snapshot):
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        h = f.create_group("Header")
+        h.attrs["Time"] = snapshot.time
+        npart = [0] * 6
+        for i, name in enumerate(snapshot.GetTypes()):
+            x, v, m = snapshot.GetParticles(name)
+            g = f.create_group(f"PartType{min(i + 1, 5)}")
+            g.create_dataset("Coordinates", data=x)
+            g.create_dataset("Velocities", data=v)
+            g.create_dataset("Masses", data=m)
+            npart[min(i + 1, 5)] = len(m)
+        h.attrs["NumPart_ThisFile"] = np.array(npart, np.int64)
+        h.attrs["NumPart_Total"] = np.array(npart, np.int64)
+
+
+def read_tipsy(path):
+    """Native tipsy binary (header + gas/dark/star records; big endian by
+    convention, auto-detected)."""
+    hdr_t = np.dtype([("time", ">f8"), ("nbodies", ">i4"), ("ndim", ">i4"),
+                      ("nsph", ">i4"), ("ndark", ">i4"), ("nstar", ">i4"),
+                      ("pad", ">i4")])
+    with open(path, "rb") as f:
+        raw = f.read()
+    h = np.frombuffer(raw, hdr_t, 1, 0)[0]
+    swap = not (0 < h["nbodies"] < 2**31 and h["ndim"] in (2, 3))
+    if swap:
+        hdr_t = hdr_t.newbyteorder()
+        h = np.frombuffer(raw, hdr_t, 1, 0)[0]
+    e = hdr_t["time"].byteorder
+    f4 = np.dtype(f"{e}f4")
+    gas_t = np.dtype([("mass", f4), ("pos", f4, (3,)), ("vel", f4, (3,)),
+                      ("rho", f4), ("temp", f4), ("hsmooth", f4),
+                      ("metals", f4), ("phi", f4)])
+    dark_t = np.dtype([("mass", f4), ("pos", f4, (3,)), ("vel", f4, (3,)),
+                       ("eps", f4), ("phi", f4)])
+    star_t = np.dtype([("mass", f4), ("pos", f4, (3,)), ("vel", f4, (3,)),
+                       ("metals", f4), ("tform", f4), ("eps", f4),
+                       ("phi", f4)])
+    off = hdr_t.itemsize
+    s = Snapshot(float(h["time"]))
+    for name, count, dt in (("gas", int(h["nsph"]), gas_t),
+                            ("dark", int(h["ndark"]), dark_t),
+                            ("star", int(h["nstar"]), star_t)):
+        if count <= 0:
+            continue
+        rec = np.frombuffer(raw, dt, count, off)
+        off += dt.itemsize * count
+        s.add(name, rec["pos"], rec["vel"], rec["mass"], pot=rec["phi"])
+    return s
+
+
+def createReader(kind: str, path, **kw):
+    """Reader factory (ParticleReader::createReader, ParticleReader.cc:99)."""
+    kind = kind.lower()
+    if kind in ("psp", "pspout", "pspspl"):
+        return read_psp_snapshot(path, **kw)
+    elif kind in ("gadgethdf5", "gadget"):
+        return read_gadget_hdf5(path)
+    elif kind in ("tipsy", "bonsai"):
+        return read_tipsy(path)
+    elif kind in ("ascii", "bods"):
+        return read_ascii(path, **kw)
+    raise ValueError(f"unknown reader type {kind!r}")

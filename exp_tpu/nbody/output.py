@@ -156,6 +156,30 @@ def restore_checkpoint(sim, path=None):
     return sim                 # derived state, not checkpointed (same as ref)
 
 
+class OutPSN(Output):
+    """PSP binary snapshot per nint steps (OUT.runtag.NNNNN files —
+    the reference's OutPSN writer)."""
+
+    def __init__(self, sim, nint=100, real4=True, **kw):
+        super().__init__(sim, nint)
+        self.real4 = bool(real4)
+
+    def write(self, sim, istep):
+        from exp_tpu.io.psp import PSPDump, PSPComponent, write_psp
+
+        dump = PSPDump(time=sim.time)
+        for n in sim.components:
+            ps = sim._state[n]
+            live = np.asarray(ps.mass) > 0
+            dump.components.append(PSPComponent(
+                name=n, info=f"name: {n}\n",
+                mass=np.asarray(ps.mass)[live],
+                x=np.asarray(ps.x)[live], v=np.asarray(ps.v)[live],
+                pot=np.asarray(ps.pot)[live]))
+        path = os.path.join(sim.outdir, f"OUT.{sim.runtag}.{istep:05d}")
+        write_psp(path, dump, real4=self.real4)
+
+
 class OutAscii(Output):
     def __init__(self, sim, nint=100, name=None, **kw):
         super().__init__(sim, nint)

@@ -458,10 +458,11 @@ class Simulation:
     # ------------------------------------------------------------------
 
     def _make_output(self, oc):
-        from exp_tpu.nbody.output import OutLog, OutCoef, OutChkpt, OutAscii
+        from exp_tpu.nbody.output import (OutLog, OutCoef, OutChkpt,
+                                          OutAscii, OutPSN)
 
         cls = {"outlog": OutLog, "outcoef": OutCoef, "outchkpt": OutChkpt,
-               "outascii": OutAscii}.get(oc.id)
+               "outascii": OutAscii, "outpsn": OutPSN}.get(oc.id)
         if cls is None:
             raise ConfigError(f"output id {oc.id!r} not implemented yet")
         return cls(self, **oc.parameters)

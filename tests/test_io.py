@@ -1,0 +1,131 @@
+"""PSP binary round-trip, reader family, OutPSN driver output."""
+
+import numpy as np
+import pytest
+
+from exp_tpu.io.psp import PSPDump, PSPComponent, write_psp, read_psp
+from exp_tpu.io.readers import (Snapshot, createReader, read_gadget_hdf5,
+                                write_gadget_hdf5, read_tipsy)
+
+
+def _dump(n=100, ncomp=2, seed=0):
+    rng = np.random.default_rng(seed)
+    d = PSPDump(time=1.25)
+    for c in range(ncomp):
+        d.components.append(PSPComponent(
+            name=f"c{c}", info=f"name: c{c}\n",
+            mass=rng.uniform(0.5, 1.0, n),
+            x=rng.normal(0, 1, (n, 3)),
+            v=rng.normal(0, 1, (n, 3)),
+            pot=-rng.uniform(0, 1, n)))
+    return d
+
+
+@pytest.mark.parametrize("real4,indexing", [(False, False), (True, False),
+                                            (False, True), (True, True)])
+def test_psp_roundtrip(tmp_path, real4, indexing):
+    d = _dump()
+    p = tmp_path / "OUT.test"
+    write_psp(str(p), d, real4=real4, indexing=indexing)
+    back = read_psp(str(p))
+    assert back.time == 1.25
+    assert len(back.components) == 2
+    for c0, c1 in zip(d.components, back.components):
+        tol = 1e-6 if real4 else 1e-14
+        np.testing.assert_allclose(c1.mass, c0.mass, rtol=tol)
+        np.testing.assert_allclose(c1.x, c0.x, rtol=tol, atol=tol)
+        np.testing.assert_allclose(c1.pot, c0.pot, rtol=tol, atol=tol)
+        assert c1.name == c0.name
+
+
+def test_psp_multidump(tmp_path):
+    p = tmp_path / "OUT.run"
+    write_psp(str(p), _dump(seed=1))
+    d2 = _dump(seed=2)
+    d2.time = 2.5
+    write_psp(str(p), d2, append=True)
+    dumps = read_psp(str(p))
+    assert isinstance(dumps, list) and len(dumps) == 2
+    assert dumps[0].time == 1.25 and dumps[1].time == 2.5
+
+
+def test_gadget_hdf5_roundtrip(tmp_path):
+    s = Snapshot(0.5)
+    rng = np.random.default_rng(3)
+    s.add("halo", rng.normal(0, 1, (50, 3)), rng.normal(0, 1, (50, 3)),
+          np.full(50, 0.02))
+    p = tmp_path / "snap.h5"
+    write_gadget_hdf5(str(p), s)
+    back = read_gadget_hdf5(str(p))
+    assert back.time == 0.5
+    x, v, m = back.GetParticles()
+    np.testing.assert_allclose(m, 0.02)
+    assert x.shape == (50, 3)
+
+
+def test_tipsy_read(tmp_path):
+    # synthesize a little-endian tipsy file
+    import numpy as np
+
+    hdr = np.zeros(1, np.dtype([("time", "<f8"), ("nbodies", "<i4"),
+                                ("ndim", "<i4"), ("nsph", "<i4"),
+                                ("ndark", "<i4"), ("nstar", "<i4"),
+                                ("pad", "<i4")]))
+    hdr["time"] = 0.75
+    hdr["nbodies"] = 10
+    hdr["ndim"] = 3
+    hdr["ndark"] = 10
+    dark = np.zeros(10, np.dtype([("mass", "<f4"), ("pos", "<f4", (3,)),
+                                  ("vel", "<f4", (3,)), ("eps", "<f4"),
+                                  ("phi", "<f4")]))
+    dark["mass"] = 0.1
+    dark["pos"] = np.arange(30).reshape(10, 3)
+    p = tmp_path / "snap.tipsy"
+    with open(p, "wb") as f:
+        f.write(hdr.tobytes())
+        f.write(dark.tobytes())
+    s = read_tipsy(str(p))
+    assert s.time == 0.75
+    x, v, m = s.GetParticles("dark")
+    np.testing.assert_allclose(m, 0.1, rtol=1e-6)
+    assert x[3, 1] == 10.0
+
+
+def test_outpsn_driver(tmp_path):
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.ic.eddington import sample_spherical_model
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+
+    m = hernquist_model(rmin=1e-4, rmax=20.0, numr=600)
+    m.to_file(tmp_path / "h.model")
+    x, v, mass = sample_spherical_model(m, 1000, seed=9)
+    write_ascii_bodies(tmp_path / "h.bods", (x, v, mass))
+    (tmp_path / "c.yml").write_text("""\
+Global:
+  dtime: 0.02
+  nsteps: 4
+  runtag: psn0
+Components:
+  - name: halo
+    bodyfile: h.bods
+    force:
+      id: sphereSL
+      parameters: {numr: 400, Lmax: 2, nmax: 6, rmapping: 1.0,
+                   modelname: h.model}
+Output:
+  - id: outpsn
+    parameters: {nint: 2}
+""")
+    sim = Simulation.from_file(str(tmp_path / "c.yml"))
+    sim.prime()
+    sim.run()
+    out = sorted(tmp_path.glob("OUT.psn0.*"))
+    assert len(out) >= 2
+    d = read_psp(str(out[-1]))
+    assert d.components[0].name == "halo"
+    assert len(d.components[0].mass) == 1000
+    # and the reader factory path
+    s = createReader("psp", str(out[-1]))
+    xx, vv, mm = s.GetParticles("halo")
+    assert xx.shape == (1000, 3)
