@@ -41,7 +41,7 @@ _OUTPUT_KEYS = {"id", "parameters"}
 #: list in the reference (Component.cc:1077-1108)
 KNOWN_FORCES = {
     "sphereSL", "bessel", "cube", "slabSL", "cylinder", "flatdisk",
-    "CBDisk", "direct", "noforce", "shells",
+    "CBDisk", "direct", "noforce", "shells", "halobulge", "twocenter",
 }
 
 KNOWN_OUTPUTS = {

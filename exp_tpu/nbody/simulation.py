@@ -139,6 +139,29 @@ def build_force(fc, dtype, workdir="."):
         from exp_tpu.forces.direct import DirectForce
 
         return DirectForce(eps=float(p.pop("soft", p.pop("eps", 1e-4))))
+    elif fc.id == "shells":
+        from exp_tpu.forces.shells import ShellsForce
+
+        return ShellsForce(rmax=float(p.pop("rmax", 10.0)),
+                           nbins=int(p.pop("nbins", 256)))
+    elif fc.id == "halobulge":
+        from exp_tpu.basis.model import SphericalModelTable
+        from exp_tpu.forces.shells import HaloBulgeForce
+
+        model = SphericalModelTable.from_file(
+            os.path.join(workdir, p.pop("modelname")))
+        return HaloBulgeForce.from_model(model, dtype=dtype)
+    elif fc.id == "twocenter":
+        import jax.numpy as jnp
+        from exp_tpu.config import ForceConfig
+        from exp_tpu.forces.twocenter import TwoCenterForce
+
+        sub = ForceConfig(id=p.pop("basis", "sphereSL"),
+                          parameters=p.pop("parameters", dict(p)))
+        inner = build_force(sub, dtype, workdir)
+        outer = build_force(sub, dtype, workdir)
+        return TwoCenterForce(inner=inner, outer=outer,
+                              c1=jnp.zeros(3, dtype), c2=jnp.zeros(3, dtype))
     raise ConfigError(f"force id {fc.id!r} not implemented yet")
 
 
@@ -153,6 +176,21 @@ class Component:
     ps: ParticleSystem
     config: ComponentConfig
     self_consistent: bool = True
+    # adiabatic turn-on (Component::Adiabatic, the reference's ton/twid ramp)
+    adiabatic: bool = False
+    ton: float = 0.0
+    twid: float = 1.0
+    # EJ center tracking (Orient)
+    EJ: bool = False
+    orient: object = None
+
+    def adb(self, t):
+        """Adiabatic mass factor in [0, 1]."""
+        if not self.adiabatic:
+            return 1.0
+        import jax.numpy as jnp
+
+        return 0.5 * (1.0 + jnp.tanh((t - self.ton) / self.twid))
 
 
 class Simulation:
@@ -198,10 +236,23 @@ class Simulation:
                                    dtype=self.compute_dtype,
                                    pad_to=self.n_shards)
             ps = ps.shard(mesh)
+            cp = cc.parameters or {}
+            orient = None
+            if cp.get("EJ"):
+                from exp_tpu.nbody.centering import EJOrient
+
+                orient = EJOrient(nkeep=int(cp.get("nEJkeep", 256)),
+                                  window=int(cp.get("EJwindow", 16)),
+                                  damp=float(cp.get("EJdamp", 1.0)))
             self.components[cc.name] = Component(
                 name=cc.name, force=force, ps=ps, config=cc,
                 self_consistent=bool(cc.force.parameters.get(
-                    "self_consistent", True)))
+                    "self_consistent", True)),
+                adiabatic=bool(cp.get("adiabatic", False)),
+                ton=float(cp.get("ton", 0.0)),
+                twid=float(cp.get("twid", 1.0)),
+                EJ=bool(cp.get("EJ", False)), orient=orient)
+        self._centers = {n: np.zeros(3) for n in self.components}
 
         # interaction couples: B feels A  (ComponentContainer.cc:309-424)
         names = list(self.components)
@@ -266,7 +317,7 @@ class Simulation:
     # jitted stepping
     # ------------------------------------------------------------------
 
-    def _system_step_body(self, state, t_new):
+    def _system_step_body(self, state, t_new, centers=None):
         """One KDK step for all components (shard-local view); t_new is the
         (traced) time at the end of the step, used by external fields."""
         dt = self.dt
@@ -283,14 +334,17 @@ class Simulation:
         # coefficients for every component from its own particles
         # (source-based forces like `direct` skip projection: their sources
         # are the particles themselves)
-        coefs = {
-            n: (jnp.zeros((1,), new_x[n].dtype)
-                if getattr(forces[n], "needs_sources", False)
-                else forces[n].coefficients(new_x[n], state[n].mass,
-                                            axis_name="p",
-                                            accum_dtype=self.accum_dtype))
-            for n in state
-        }
+        if centers is None:
+            centers = {n: jnp.zeros(3, new_x[n].dtype) for n in state}
+        coefs = {}
+        for n in state:
+            if getattr(forces[n], "needs_sources", False):
+                coefs[n] = jnp.zeros((1,), new_x[n].dtype)
+            else:
+                adb = self.components[n].adb(t_new)
+                coefs[n] = forces[n].coefficients(
+                    new_x[n] - centers[n][None, :], state[n].mass * adb,
+                    axis_name="p", accum_dtype=self.accum_dtype)
         # acceleration: sum over coupled components' fields
         out = {}
         for n, ps in state.items():
@@ -301,7 +355,8 @@ class Simulation:
                     aa, pp = forces[a].acceleration(
                         (new_x[a], state[a].mass), new_x[n], axis_name="p")
                 else:
-                    aa, pp = forces[a].acceleration(coefs[a], new_x[n])
+                    aa, pp = forces[a].acceleration(
+                        coefs[a], new_x[n] - centers[a][None, :])
                 acc = acc + aa
                 pot = pot + pp
             for ext in self.externals:
@@ -318,11 +373,11 @@ class Simulation:
 
         names = list(self.components)
 
-        def block(state, t0):
+        def block(state, t0, centers):
             def body(carry, _):
                 st, tcur = carry
                 tnew = tcur + self.dt
-                st, coefs, diag = self._system_step_body(st, tnew)
+                st, coefs, diag = self._system_step_body(st, tnew, centers)
                 return (st, tnew), (coefs, diag)
 
             (st, _), (coefs_hist, diag_hist) = jax.lax.scan(
@@ -332,8 +387,9 @@ class Simulation:
         state_specs = {n: _ps_specs("p") for n in names}
         coef_specs = {n: P() for n in names}
         diag_specs = {n: _diag_specs() for n in names}
+        center_specs = {n: P() for n in self.components}
         return jax.jit(shard_map(
-            block, self.mesh, (state_specs, P()),
+            block, self.mesh, (state_specs, P(), center_specs),
             (state_specs, coef_specs, diag_specs)))
 
     def prime(self):
@@ -399,8 +455,15 @@ class Simulation:
                 fn = self._make_step_fn(kk)
             else:
                 fn = self._step_fn
-            self._state, coefs_hist, diag_hist = fn(self._state, self.time)
+            cts = {n: jnp.asarray(self._centers[n], self.compute_dtype)
+                   for n in self.components}
+            self._state, coefs_hist, diag_hist = fn(self._state, self.time,
+                                                    cts)
             jax.block_until_ready(jax.tree_util.tree_leaves(self._state)[0])
+            # EJ center tracking (Orient): host-side update per block
+            for n, c in self.components.items():
+                if c.EJ and c.orient is not None:
+                    self._centers[n] = c.orient.update(self._state[n])
             # unpack per-step history for outputs
             for j in range(kk):
                 self.istep += 1
