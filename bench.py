@@ -97,14 +97,15 @@ def main():
     from exp_tpu.nbody.particles import ParticleSystem
     from exp_tpu.nbody.step import make_kdk_step, init_force_state
 
-    n = int(os.environ.get("BENCH_N", 1_000_000))
+    n = int(os.environ.get("BENCH_N", 1_048_576))
     lmax, nmax = 4, 10
     dt = 0.001
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
 
     m = hernquist_model(rmin=1e-3, rmax=20.0)
     t = build_sph_sl_tables(m, lmax=lmax, nmax=nmax, numr=2000, cmap=1,
                             rmap=1.0)
-    force = SphereSL.from_tables(t, dtype=jnp.float32)
+    force = SphereSL.from_tables(t, dtype=jnp.float32, backend=backend)
 
     # synthetic positions/velocities drawn cheaply (no need for equilibrium)
     rng = np.random.default_rng(0)
@@ -158,6 +159,7 @@ def main():
         "n_particles": n,
         "lmax": lmax, "nmax": nmax,
         "step_ms": (t1 - t0) / reps * 1e3,
+        "backend": backend,
         "cpu_baseline_particle_steps_per_sec": cpu_tput,
         "device": str(jax.devices()[0]),
     }))

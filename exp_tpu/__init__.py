@@ -43,4 +43,21 @@ def _enable_compilation_cache():
 
 _enable_compilation_cache()
 
+
+def _set_matmul_precision():
+    """Default all matmuls to full f32 MXU passes.  TPU's default matmul
+    precision is bf16 (~3 decimal digits) — fine for neural nets, wrong for
+    force computations (coefficient sums would carry ~1e-3 relative error).
+    Override with EXP_TPU_MATMUL_PRECISION=default|high|highest."""
+    import jax
+
+    prec = _os.environ.get("EXP_TPU_MATMUL_PRECISION", "highest")
+    try:
+        jax.config.update("jax_default_matmul_precision", prec)
+    except Exception:
+        pass
+
+
+_set_matmul_precision()
+
 from exp_tpu import ops, basis, forces, nbody, ic  # noqa: F401

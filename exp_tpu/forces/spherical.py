@@ -40,6 +40,9 @@ from exp_tpu.ops.special import legendre_lm, dlegendre_lm, sincos_m, real_ylm_no
 
 DSMALL = 1.0e-16
 
+#: compiled pallas kernels keyed by static basis geometry
+_PALLAS_CACHE: dict = {}
+
 
 def _dsmall(dtype):
     """Radius floor guarding r -> 0 divisions; dtype-aware so that r^3 does
@@ -63,6 +66,9 @@ class SphereSL:
                  coarse resampled table, so the radial evaluation and the
                  coefficient reduction are MXU matmuls with NO gather.
                  Processed in particle chunks (lax.map) to bound memory.
+      'pallas' — fully fused TPU kernels (ops/pallas_sphere.py): one HBM
+                 pass per kernel; ~30x faster than the XLA paths at equal
+                 (full f32) precision.  Falls back to interpret mode on CPU.
     """
 
     grid: SLGridSph
@@ -123,7 +129,12 @@ class SphereSL:
         W = jnp.maximum(0.0, 1.0 - jnp.abs(d))
         if not deriv:
             return W, None
-        dW = jnp.where(jnp.abs(d) < 1.0, jnp.sign(d), 0.0) / dxc
+        # cell-based derivative: +-1/dx at the cell endpoints.  (sign(d) with
+        # |d|<1 has a hole when t lands exactly on a grid node.)
+        fl = jnp.clip(jnp.floor(t), 0.0, self.numr_c - 2.0)
+        e = j[None, :] - fl[:, None]
+        dW = ((e == 1.0).astype(rs.dtype)
+              - (e == 0.0).astype(rs.dtype)) / dxc
         fac = coords.dxi_dr(xi, g.cmap, g.rmap)
         return W, dW * fac[:, None]
 
@@ -145,10 +156,46 @@ class SphereSL:
 
         Returns: (2, lmax+1, lmax+1, nmax) coefficient partial sums.
         """
+        if self.backend == "pallas":
+            from exp_tpu.ops import pallas_sphere as pk
+
+            ck, _ = self._pallas_kernels()
+            n = x.shape[0]
+            npad = (-n) % 1024
+            if npad:
+                x = jnp.concatenate([x, jnp.zeros((npad, 3), x.dtype)])
+                mass = jnp.concatenate([mass, jnp.zeros(npad, mass.dtype)])
+            return ck(pk.pack_xyzm(x, mass), pk.pad_table(
+                self.tabc, self.lmax, self.nmax, self.numr_c)
+            ).astype(accum_dtype)
         if self.backend == "matmul":
             return self._chunked_sum(self._coef_chunk_matmul, x, mass,
                                      accum_dtype)
         return self._coef_chunk_gather(x, mass, accum_dtype)
+
+    def _pallas_kernels(self):
+        from exp_tpu.ops import pallas_sphere as pk
+        import jax as _jax
+
+        key = (self.lmax, self.nmax, self.numr_c, float(self.grid.xmin),
+               float(self._dxc), float(self.grid.rmin), float(self.grid.rmax),
+               self.grid.cmap, float(self.grid.rmap), float(self.scale))
+        ck = _PALLAS_CACHE.get(("coef",) + key)
+        ak = _PALLAS_CACHE.get(("accel",) + key)
+        if ck is None or ak is None:
+            interp = _jax.default_backend() == "cpu"
+            fac_np = np.asarray(self.fac, np.float32)
+            ck = pk.make_coef_kernel(self.lmax, self.nmax, self.numr_c,
+                                     key[3], key[4], key[5], key[6],
+                                     self.grid.cmap, key[8], key[9], fac_np,
+                                     interpret=interp)
+            ak = pk.make_accel_kernel(self.lmax, self.nmax, self.numr_c,
+                                      key[3], key[4], key[5], key[6],
+                                      self.grid.cmap, key[8], key[9], fac_np,
+                                      interpret=interp)
+            _PALLAS_CACHE[("coef",) + key] = ck
+            _PALLAS_CACHE[("accel",) + key] = ak
+        return ck, ak
 
     def _angular(self, x, mass):
         """Common per-particle geometry + masked weight."""
@@ -237,6 +284,19 @@ class SphereSL:
         coef = coef.astype(x.dtype)
         n = x.shape[0]
         ch = self.chunk
+        if self.backend == "pallas":
+            from exp_tpu.ops import pallas_sphere as pk
+
+            _, ak = self._pallas_kernels()
+            wc = pk.expand_coef_matrix_jit(coef, self.lmax, self.nmax)
+            npad = (-n) % 1024
+            xp = x if not npad else jnp.concatenate(
+                [x, jnp.ones((npad, 3), x.dtype)])
+            out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], x.dtype)),
+                     pk.pad_table(self.tabc, self.lmax, self.nmax,
+                                  self.numr_c), wc)
+            return (out[0:3, :n].T.astype(x.dtype),
+                    out[3, :n].astype(x.dtype))
         if self.backend == "matmul" and n > ch and n % ch == 0:
             xc = x.reshape(n // ch, ch, 3)
             acc, pot = jax.lax.map(

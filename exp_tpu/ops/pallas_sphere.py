@@ -1,0 +1,362 @@
+"""Fused Pallas TPU kernels for the spherical BFE hot loops.
+
+The speed-of-light versions of the two dominant kernels (the reference's
+cudaSphericalBasis.cu coordKernel/coefKernel/reduceSum pipeline :247-1255
+and forceKernel :478, collapsed into single fused kernels):
+
+  coefficient kernel — per particle block: geometry, Legendre + azimuthal
+  recurrences (no transcendentals: cos/sin(m phi) by angle addition from
+  x/R, y/R), hat-function interpolation weights Wt[j,i] = relu(1-|t_i - j|)
+  against the coarse radial table, and the reduction
+      big += (Y2 @ Wt^T) @ tab
+  accumulated in VMEM across the grid.  One pass over HBM:
+  32 bytes/particle read, nothing else.
+
+  force kernel — same geometry + Wt and its derivative, table contractions
+  T = tab^T Wt, pc = Wc^T T, and the spherical-to-Cartesian assembly with
+  the vacuum multipole continuation.
+
+Data layout is transposed SoA: particles along the LANE axis — inputs
+(8, N) rows (x, y, z, mass, 0...), outputs (8, N) rows (ax, ay, az, pot,
+0...), so every per-particle quantity is a well-tiled (1, B) vector and the
+matmuls need no in-kernel transposes (dot_general contraction dims).
+
+Conventions match forces/spherical.py's 'matmul' backend exactly (same
+coarse table, same hat interpolation) — the XLA backend remains the
+portable fallback; kernels also run under interpret=True on CPU for tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+# contraction helpers (no materialized transposes)
+_PREC = jax.lax.Precision.HIGHEST   # f32 MXU passes (Mosaic default is bf16)
+
+
+def _dotT(a, b):
+    """a (C, I) x b (J, I) -> (C, J): contract the last dims."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_PREC)
+
+
+def _dotTT(a, b):
+    """a (J, C) x b (J, I) -> (C, I): contract the first dims."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_PREC)
+
+
+def _geometry(xs, cmap, rmap, scale, eps=1e-10):
+    x, y, z, m = xs[0:1, :], xs[1:2, :], xs[2:3, :], xs[3:4, :]
+    r = jnp.sqrt(x * x + y * y + z * z) + eps
+    R = jnp.sqrt(x * x + y * y) + eps
+    costh = z / r
+    cphi = x / R
+    sphi = y / R
+    rs = r / scale
+    return x, y, z, m, r, rs, costh, cphi, sphi
+
+
+def _ximap(rs, cmap, rmap):
+    if cmap == 1:
+        return (rs / rmap - 1.0) / (rs / rmap + 1.0)
+    return rs
+
+
+def _legendre_rows(lmax, x):
+    """Unrolled P_lm rows; x (1,B).  Returns dict[(l,m)] -> (1,B)."""
+    p = {(0, 0): jnp.ones_like(x)}
+    if lmax > 0:
+        somx2 = jnp.sqrt(jnp.maximum((1.0 - x) * (1.0 + x), 0.0))
+        pll = p[(0, 0)]
+        fact = 1.0
+        for mm in range(1, lmax + 1):
+            pll = pll * (-fact) * somx2
+            p[(mm, mm)] = pll
+            fact += 2.0
+    for mm in range(lmax):
+        pl2 = p[(mm, mm)]
+        pl1 = x * (2 * mm + 1) * pl2
+        if mm + 1 <= lmax:
+            p[(mm + 1, mm)] = pl1
+        for ll in range(mm + 2, lmax + 1):
+            pnew = (x * (2 * ll - 1) * pl1 - (ll + mm - 1) * pl2) / (ll - mm)
+            p[(ll, mm)] = pnew
+            pl2, pl1 = pl1, pnew
+    return p
+
+
+def _trig_rows(lmax, cphi, sphi):
+    c = [jnp.ones_like(cphi)]
+    s = [jnp.zeros_like(sphi)]
+    for mm in range(1, lmax + 1):
+        c.append(c[-1] * cphi - s[-1] * sphi)
+        s.append(s[-1] * cphi + c[-2] * sphi)
+    return c, s
+
+
+def _hat_rows(xi, xmin, dxc, nc, B, deriv=False):
+    """Wt (nc, B): hat interpolation weights, particles on lanes."""
+    t = jnp.clip((xi - xmin) / dxc, 0.0, nc - 1.0)          # (1, B)
+    j = jax.lax.broadcasted_iota(jnp.int32, (nc, B), 0).astype(xi.dtype)
+    d = j - t                                               # (nc, B)
+    W = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    if not deriv:
+        return W, None
+    # cell-based derivative (no hole at exact grid nodes)
+    fl = jnp.clip(jnp.floor(t), 0.0, nc - 2.0)
+    e = j - fl
+    dW = ((e == 1.0).astype(xi.dtype) - (e == 0.0).astype(xi.dtype)) / dxc
+    return W, dW
+
+
+# ---------------------------------------------------------------------------
+
+def make_coef_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
+                     scale, fac_np, block=1024, interpret=False):
+    """Returns fn(xyzm8 (8, N), tabc_padded (numr_c, Fp))
+    -> (2, lmax+1, lmax+1, nmax) f32."""
+    nlm = (lmax + 1) * (lmax + 1)
+    C1 = _round_up(2 * nlm, 8)
+    F = (lmax + 1) * nmax
+    Fp = _round_up(F, 128)
+
+    def kernel(xs_ref, tab_ref, out_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        xs = xs_ref[:]
+        B = xs.shape[1]
+        x, y, z, m, r, rs, costh, cphi, sphi = _geometry(xs, cmap, rmap,
+                                                         scale)
+        xi = _ximap(rs, cmap, rmap)
+        w = jnp.where((rs >= rmin) & (rs <= rmax), m, 0.0)
+
+        P = _legendre_rows(lmax, costh)
+        cm, sm = _trig_rows(lmax, cphi, sphi)
+
+        rows = []
+        for l in range(lmax + 1):
+            for mm in range(lmax + 1):
+                rows.append(w * fac_np[l, mm] * P[(l, mm)] * cm[mm]
+                            if mm <= l else jnp.zeros_like(w))
+        for l in range(lmax + 1):
+            for mm in range(lmax + 1):
+                rows.append(w * fac_np[l, mm] * P[(l, mm)] * sm[mm]
+                            if mm <= l else jnp.zeros_like(w))
+        while len(rows) < C1:
+            rows.append(jnp.zeros_like(w))
+        Y2 = jnp.concatenate(rows, axis=0)              # (C1, B)
+
+        Wt, _ = _hat_rows(xi, xmin, dxc, numr_c, B)     # (nc, B)
+        YW = _dotT(Y2, Wt)                              # (C1, nc)
+        out_ref[:] += jnp.dot(YW, tab_ref[:],
+                              preferred_element_type=jnp.float32,
+                              precision=_PREC)
+
+    def fn(xyzm8, tabc_padded):
+        n = xyzm8.shape[1]
+        grid = n // block
+        big = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((C1, Fp), jnp.float32),
+            in_specs=[
+                pl.BlockSpec((8, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((numr_c, Fp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((C1, Fp), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xyzm8, tabc_padded)
+        big = big[:2 * nlm, :F].reshape(2, lmax + 1, lmax + 1, lmax + 1,
+                                        nmax)
+        lsel = jnp.arange(lmax + 1)
+        out = jnp.moveaxis(big[:, lsel, :, lsel, :], 0, 1)
+        return -4.0 * math.pi * out
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+
+def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
+                      scale, fac_np, block=1024, interpret=False):
+    """Returns fn(xyzm8 (8, N), tabc_padded, Wc (Fp, C1)) -> (8, N) with
+    rows (ax, ay, az, pot, 0...)."""
+    nlm = (lmax + 1) * (lmax + 1)
+    C1 = _round_up(2 * nlm, 8)
+    F = (lmax + 1) * nmax
+    Fp = _round_up(F, 128)
+    eps = 1e-10
+
+    def kernel(xs_ref, tab_ref, wc_ref, out_ref):
+        xs = xs_ref[:]
+        B = xs.shape[1]
+        x, y, z, m, r, rs, costh, cphi, sphi = _geometry(xs, cmap, rmap,
+                                                         scale)
+        rb = rmax * scale
+        outside = r > rb
+        rs_c = jnp.minimum(rs, rmax)
+        xi = _ximap(rs_c, cmap, rmap)
+
+        xc = jnp.clip(costh, -1.0 + 1e-12, 1.0 - 1e-12)
+        P = _legendre_rows(lmax, xc)
+        inv = 1.0 / (xc * xc - 1.0)
+        dP = {}
+        for l in range(lmax + 1):
+            for mm in range(0, l + 1):
+                if l == 0:
+                    dP[(l, mm)] = jnp.zeros_like(xc)
+                elif l == mm:
+                    dP[(l, mm)] = inv * (l * xc * P[(l, mm)])
+                else:
+                    dP[(l, mm)] = inv * (l * xc * P[(l, mm)]
+                                         - (l + mm) * P[(l - 1, mm)])
+        cm, sm = _trig_rows(lmax, cphi, sphi)
+
+        Wt, dWt = _hat_rows(xi, xmin, dxc, numr_c, B, deriv=True)
+        T1 = _dotTT(tab_ref[:], Wt)                     # (Fp, B)
+        dT1 = _dotTT(tab_ref[:], dWt)
+        if cmap == 1:
+            dxidr = 0.5 * (1.0 - xi) * (1.0 - xi) / rmap
+        else:
+            dxidr = jnp.ones_like(xi)
+
+        pc = _dotTT(wc_ref[:], T1)                      # (C1, B)
+        dpc = _dotTT(wc_ref[:], dT1) * dxidr
+
+        base = jnp.where(outside, rb / r, 1.0)
+        att = {0: base}                                 # (rb/r)^(l+1)
+        for l in range(1, lmax + 1):
+            att[l] = att[l - 1] * base
+
+        potl = jnp.zeros_like(r)
+        potr = jnp.zeros_like(r)
+        pott = jnp.zeros_like(r)
+        potp = jnp.zeros_like(r)
+        idx = 0
+        for cs in range(2):
+            trig = cm if cs == 0 else sm
+            for l in range(lmax + 1):
+                for mm in range(lmax + 1):
+                    row = idx
+                    idx += 1
+                    if mm > l:
+                        continue
+                    a = att[l]
+                    pcv = pc[row:row + 1, :] * a
+                    dpv = jnp.where(outside, -(l + 1.0) / r * pcv,
+                                    dpc[row:row + 1, :] * a)
+                    fl = fac_np[l, mm] * P[(l, mm)]
+                    fd = fac_np[l, mm] * dP[(l, mm)]
+                    tg = trig[mm]
+                    potl += fl * pcv * tg
+                    potr += fl * dpv * tg
+                    pott += fd * pcv * tg
+                    og = sm[mm] if cs == 0 else cm[mm]
+                    sgn = -1.0 if cs == 0 else 1.0
+                    potp += sgn * mm * fac_np[l, mm] * P[(l, mm)] * pcv * og
+
+        potr = potr / (scale * scale)
+        potl = potl / scale
+        pott = pott / scale
+        potp = potp / scale
+
+        r3 = r * r * r
+        rho2 = x * x + y * y
+        ax = -(potr * x / r - pott * x * z / r3)
+        ay = -(potr * y / r - pott * y * z / r3)
+        az = -(potr * z / r + pott * rho2 / r3)
+        safe = rho2 > eps
+        ax = ax + jnp.where(safe, potp * y / rho2, 0.0)
+        ay = ay - jnp.where(safe, potp * x / rho2, 0.0)
+        zero = jnp.zeros_like(ax)
+        out_ref[:] = jnp.concatenate(
+            [ax, ay, az, potl, zero, zero, zero, zero], axis=0)
+
+    def fn(xyzm8, tabc_padded, Wc):
+        n = xyzm8.shape[1]
+        grid = n // block
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+            in_specs=[
+                pl.BlockSpec((8, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((numr_c, Fp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Fp, C1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xyzm8, tabc_padded, Wc)
+
+    return fn
+
+
+def expand_coef_matrix(coef, lmax, nmax):
+    """coef (2, L+1, L+1, nmax) -> Wc (Fp, C1): rows (l, n), columns
+    cs*nlm + l*(L+1) + m (matching the force kernel's pc rows)."""
+    nlm = (lmax + 1) * (lmax + 1)
+    C1 = _round_up(2 * nlm, 8)
+    F = (lmax + 1) * nmax
+    Fp = _round_up(F, 128)
+    c = np.zeros((Fp, C1), np.float32)
+    cf = np.asarray(coef, np.float32)
+    for cs in range(2):
+        for l in range(lmax + 1):
+            for mm in range(l + 1):
+                col = cs * nlm + l * (lmax + 1) + mm
+                c[l * nmax:(l + 1) * nmax, col] = cf[cs, l, mm, :]
+    return jnp.asarray(c)
+
+
+def expand_coef_matrix_jit(coef, lmax, nmax):
+    """Traced version of expand_coef_matrix (for use inside jitted steps)."""
+    nlm = (lmax + 1) * (lmax + 1)
+    C1 = _round_up(2 * nlm, 8)
+    F = (lmax + 1) * nmax
+    Fp = _round_up(F, 128)
+    Wc = jnp.zeros((Fp, C1), jnp.float32)
+    c = coef.astype(jnp.float32)
+    for cs in range(2):
+        for l in range(lmax + 1):
+            for mm in range(l + 1):
+                col = cs * nlm + l * (lmax + 1) + mm
+                Wc = Wc.at[l * nmax:(l + 1) * nmax, col].set(c[cs, l, mm, :])
+    return Wc
+
+
+def pad_table(tabc, lmax, nmax, numr_c):
+    F = (lmax + 1) * nmax
+    Fp = _round_up(F, 128)
+    out = jnp.zeros((numr_c, Fp), jnp.float32)
+    return out.at[:, :F].set(jnp.asarray(tabc, jnp.float32))
+
+
+def pack_xyzm(x, mass):
+    """(N,3) + (N,) -> (8, N) transposed SoA input."""
+    n = x.shape[0]
+    out = jnp.zeros((8, n), jnp.float32)
+    out = out.at[0:3, :].set(x.T.astype(jnp.float32))
+    return out.at[3, :].set(mass.astype(jnp.float32))

@@ -146,3 +146,28 @@ def test_backend_equivalence(setup):
                                numr_c=512, chunk=10**9)
     cm2 = fm2.coefficients(x, mass, accum_dtype=jnp.float64)
     np.testing.assert_array_equal(np.asarray(cm2), np.asarray(cm))
+
+
+def test_pallas_backend_equivalence(setup):
+    """backend='pallas' (interpret mode on CPU) == 'matmul' backend."""
+    m, t, _, x, mass = setup
+    x32 = x.astype(jnp.float32)
+    m32 = mass.astype(jnp.float32)
+    fm = SphereSL.from_tables(t, dtype=jnp.float32, backend="matmul",
+                              numr_c=256)
+    fp = SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas",
+                              numr_c=256)
+    # small N exercises the padding path too
+    xs, ms = x32[:1500], m32[:1500]
+    cm = fm.coefficients(xs, ms)
+    cp = fp.coefficients(xs, ms)
+    scale = float(jnp.abs(cm).max())
+    assert float(jnp.abs(cp - cm).max()) / scale < 5e-5
+
+    pts = xs[:300]
+    am, pm = fm.acceleration(cm, pts)
+    ap, pp = fp.acceleration(cm, pts)
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(am),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(pm),
+                               rtol=1e-4, atol=1e-6)
