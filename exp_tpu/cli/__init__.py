@@ -1,0 +1,18 @@
+"""Standalone command-line utilities (the reference's utils/ toolbox).
+
+Each tool runs as `python -m exp_tpu.cli.<tool>` (or via the `exp-tpu`
+umbrella: `python -m exp_tpu.cli <tool> ...`).  Coverage of the reference's
+utils/ inventory (SURVEY section 2.5):
+
+  ICs:         gensph (utils/ICs/gensph), cubeics, gendisk (DiskHalo path)
+  PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp
+  Analysis:    diskprof, haloprof, mssaprof, viewcoefs, h5compare
+  SL/basis:    slcheck, orthochk, cylcache, eofinfo
+"""
+
+TOOLS = [
+    "gensph", "cubeics", "gendisk",
+    "pspinfo", "pspstat", "psp2ascii", "ascii2psp", "snap2ascii", "diffpsp",
+    "diskprof", "haloprof", "mssaprof", "viewcoefs", "h5compare",
+    "slcheck", "orthochk", "cylcache", "eofinfo",
+]

@@ -1,0 +1,47 @@
+"""Shared helpers for the CLI tools."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def make_parser(prog, desc):
+    return argparse.ArgumentParser(prog=f"exp_tpu {prog}", description=desc)
+
+
+def load_model(name_or_file, rmin=1e-4, rmax=20.0, numr=2000):
+    """Model file path, or a builtin name 'hernquist[:a=..,M=..]' etc."""
+    from exp_tpu.basis import model as M
+
+    if ":" in str(name_or_file) or str(name_or_file) in (
+            "hernquist", "plummer", "nfwtrunc"):
+        parts = str(name_or_file).split(":")
+        kind = parts[0]
+        kw = {}
+        if len(parts) > 1:
+            for item in parts[1].split(","):
+                k, v = item.split("=")
+                kw[k] = float(v)
+        if kind == "hernquist":
+            return M.hernquist_model(rmin=rmin, rmax=rmax, numr=numr, **kw)
+        elif kind == "plummer":
+            return M.plummer_model(rmin=rmin, rmax=rmax, numr=numr, **kw)
+        elif kind == "nfwtrunc":
+            return M.truncated_powerlaw_model(rmin=rmin, rmax=rmax,
+                                              numr=numr, **kw)
+        raise SystemExit(f"unknown builtin model {kind!r}")
+    from exp_tpu.basis.model import SphericalModelTable
+
+    return SphericalModelTable.from_file(name_or_file)
+
+
+def load_snapshot(path, kind=None):
+    from exp_tpu.io.readers import createReader
+
+    if kind is None:
+        kind = "psp" if not str(path).endswith((".bods", ".ascii", ".txt")) \
+            else "ascii"
+    return createReader(kind, path)

@@ -1,0 +1,138 @@
+"""PSP phase-space toolbox backends (utils/PhaseSpace/): pspinfo, pspstat,
+psp2ascii, ascii2psp, snap2ascii, diffpsp.  Each has a thin module wrapper
+so `python -m exp_tpu.cli.<tool>` works."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from exp_tpu.cli._common import make_parser
+
+
+def pspinfo(argv=None):
+    """pspinfo — print PSP dump headers."""
+    ap = make_parser("pspinfo", pspinfo.__doc__)
+    ap.add_argument("file")
+    a = ap.parse_args(argv)
+    from exp_tpu.io.psp import read_psp
+
+    dumps = read_psp(a.file)
+    if not isinstance(dumps, list):
+        dumps = [dumps]
+    for i, d in enumerate(dumps):
+        print(f"Dump {i}: time={d.time:.8g} ntot={d.ntot} "
+              f"ncomp={len(d.components)}")
+        for c in d.components:
+            ni = 0 if c.iattr is None else c.iattr.shape[1]
+            nd = 0 if c.dattr is None else c.dattr.shape[1]
+            print(f"  {c.name:>12s}: nbod={len(c.mass)} niatr={ni} "
+                  f"ndatr={nd}")
+
+
+def pspstat(argv=None):
+    """pspstat — per-component mass/COM/velocity statistics."""
+    ap = make_parser("pspstat", pspstat.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("--dump", type=int, default=-1)
+    a = ap.parse_args(argv)
+    from exp_tpu.io.psp import read_psp
+
+    dumps = read_psp(a.file)
+    d = dumps[a.dump] if isinstance(dumps, list) else dumps
+    print(f"time = {d.time:.8g}")
+    for c in d.components:
+        M = c.mass.sum()
+        com = np.average(c.x, axis=0, weights=c.mass)
+        vel = np.average(c.v, axis=0, weights=c.mass)
+        ke = 0.5 * np.sum(c.mass * (c.v ** 2).sum(1))
+        pe = 0.5 * np.sum(c.mass * c.pot)
+        print(f"{c.name}: N={len(c.mass)} M={M:.6g} "
+              f"COM=({com[0]:.4g},{com[1]:.4g},{com[2]:.4g}) "
+              f"V=({vel[0]:.4g},{vel[1]:.4g},{vel[2]:.4g}) "
+              f"KE={ke:.6g} PE={pe:.6g}")
+
+
+def psp2ascii(argv=None):
+    """psp2ascii — PSP dump -> ascii body files (one per component)."""
+    ap = make_parser("psp2ascii", psp2ascii.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("-o", "--prefix", default=None)
+    ap.add_argument("--dump", type=int, default=-1)
+    a = ap.parse_args(argv)
+    from exp_tpu.io.psp import read_psp
+    from exp_tpu.nbody.particles import write_ascii_bodies
+
+    dumps = read_psp(a.file)
+    d = dumps[a.dump] if isinstance(dumps, list) else dumps
+    prefix = a.prefix or a.file
+    for c in d.components:
+        out = f"{prefix}.{c.name}.ascii"
+        write_ascii_bodies(out, (c.x, c.v, c.mass))
+        print(f"wrote {out} ({len(c.mass)} bodies)")
+
+
+def ascii2psp(argv=None):
+    """ascii2psp — ascii body file -> single-component PSP dump."""
+    ap = make_parser("ascii2psp", ascii2psp.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("--name", default="comp")
+    ap.add_argument("--time", type=float, default=0.0)
+    ap.add_argument("--real4", action="store_true")
+    a = ap.parse_args(argv)
+    from exp_tpu.io.readers import read_ascii
+    from exp_tpu.io.psp import PSPDump, PSPComponent, write_psp
+
+    s = read_ascii(a.file, name=a.name)
+    x, v, m = s.GetParticles(a.name)
+    d = PSPDump(time=a.time, components=[PSPComponent(
+        name=a.name, info=f"name: {a.name}\n", mass=m, x=x, v=v,
+        pot=np.zeros(len(m)))])
+    out = a.output or a.file + ".psp"
+    write_psp(out, d, real4=a.real4)
+    print(f"wrote {out}")
+
+
+def snap2ascii(argv=None):
+    """snap2ascii — any supported snapshot -> ascii body file."""
+    ap = make_parser("snap2ascii", snap2ascii.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("--type", default="psp",
+                    choices=["psp", "gadget", "tipsy", "ascii"])
+    ap.add_argument("--comp", default=None)
+    ap.add_argument("-o", "--output", default=None)
+    a = ap.parse_args(argv)
+    from exp_tpu.io.readers import createReader
+    from exp_tpu.nbody.particles import write_ascii_bodies
+
+    s = createReader(a.type, a.file)
+    x, v, m = s.GetParticles(a.comp)
+    out = a.output or a.file + ".ascii"
+    write_ascii_bodies(out, (x, v, m))
+    print(f"wrote {out} ({len(m)} bodies)")
+
+
+def diffpsp(argv=None):
+    """diffpsp — phase-space difference statistics between two PSP dumps
+    (matched by particle index when available, else by order)."""
+    ap = make_parser("diffpsp", diffpsp.__doc__)
+    ap.add_argument("file1")
+    ap.add_argument("file2")
+    a = ap.parse_args(argv)
+    from exp_tpu.io.psp import read_psp
+
+    def last(f):
+        d = read_psp(f)
+        return d[-1] if isinstance(d, list) else d
+
+    d1, d2 = last(a.file1), last(a.file2)
+    status = 0
+    for c1, c2 in zip(d1.components, d2.components):
+        n = min(len(c1.mass), len(c2.mass))
+        dx = np.linalg.norm(c1.x[:n] - c2.x[:n], axis=1)
+        dv = np.linalg.norm(c1.v[:n] - c2.v[:n], axis=1)
+        print(f"{c1.name}: |dx| mean={dx.mean():.6g} max={dx.max():.6g}  "
+              f"|dv| mean={dv.mean():.6g} max={dv.max():.6g}")
+        if dx.max() > 0 or dv.max() > 0:
+            status = 1
+    return status

@@ -1,0 +1,8 @@
+"""snap2ascii — see exp_tpu.cli.psptools.snap2ascii."""
+
+import sys
+
+from exp_tpu.cli.psptools import snap2ascii as main
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

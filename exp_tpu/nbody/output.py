@@ -180,6 +180,26 @@ class OutPSN(Output):
         write_psp(path, dump, real4=self.real4)
 
 
+class OutMulti(Output):
+    """Multistep level populations (the reference's OutMulti +
+    print_level_lists `runtag.levels`, src/step.cc:228)."""
+
+    def __init__(self, sim, nint=1, **kw):
+        super().__init__(sim, nint)
+        self.path = os.path.join(sim.outdir, f"{sim.runtag}.levels")
+        with open(self.path, "w") as f:
+            f.write("# time  component  counts per level 0..M\n")
+
+    def write(self, sim, istep):
+        if sim._ms_runner is None or sim._ms_state is None:
+            return
+        counts = sim._ms_runner.level_counts(sim._ms_state)
+        with open(self.path, "a") as f:
+            for n, cs in counts.items():
+                f.write(f"{sim.time:.8g} {n} " +
+                        " ".join(str(c) for c in cs) + "\n")
+
+
 class OutAscii(Output):
     def __init__(self, sim, nint=100, name=None, **kw):
         super().__init__(sim, nint)

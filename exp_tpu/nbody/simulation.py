@@ -292,6 +292,13 @@ class Simulation:
                                 else self._nint_gcd)
 
         self._step_fn = None
+        # graceful-stop machinery (the reference's chkTimer + signal paths,
+        # src/chkTimer.cc, expand.cc:236-257,430-437)
+        self.stop_requested = False
+        self.dump_requested = False
+        self.wall_limit = None          # seconds of wall clock budget
+        self.restart_cmd = None
+        self._wall0 = time.time()
         self._state = {n: c.ps for n, c in self.components.items()}
         self._coefs = None
         self._diag = None
@@ -450,6 +457,8 @@ class Simulation:
 
         done = 0
         while done < nsteps:
+            if self._check_stop():
+                break
             kk = min(k, nsteps - done)
             if kk != k:
                 fn = self._make_step_fn(kk)
@@ -491,6 +500,8 @@ class Simulation:
             for o in self.outputs:
                 o.run(self, self.istep, force=True)
         for _ in range(nsteps):
+            if self._check_stop():
+                break
             st, regs, coef, diag = r.bigstep(self._ms_state, self._ms_regs,
                                              self.time)
             st, regs = r.relevel(st, regs)
@@ -504,6 +515,55 @@ class Simulation:
                 o.run(self, self.istep)
         self._sync_flat_state()
         return self._state
+
+    def _check_stop(self):
+        """Wall-clock budget / SIGTERM stop; SIGHUP checkpoint dump."""
+        if self.dump_requested:
+            self.dump_requested = False
+            self._write_checkpoint()
+        if self.stop_requested:
+            self._write_checkpoint()
+            return True
+        if self.wall_limit is not None and \
+                time.time() - self._wall0 > self.wall_limit:
+            print(f"[exp_tpu] wall-clock limit reached at step {self.istep}; "
+                  "checkpointing and stopping")
+            self._write_checkpoint()
+            if self.restart_cmd:
+                import subprocess
+
+                print(f"[exp_tpu] launching restart_cmd: {self.restart_cmd}")
+                subprocess.Popen(self.restart_cmd, shell=True)
+            self.stop_requested = True
+            return True
+        return False
+
+    def _write_checkpoint(self):
+        from exp_tpu.nbody.output import OutChkpt
+
+        self._sync_flat_state()
+        for o in self.outputs:
+            if isinstance(o, OutChkpt):
+                o.write(self, self.istep)
+                return
+        OutChkpt(self, nint=0).write(self, self.istep)
+
+    def install_signal_handlers(self):
+        """SIGTERM -> stop after the current block; SIGHUP -> checkpoint
+        (the reference's signals.cc behavior)."""
+        import signal
+
+        def _term(sig, frame):
+            print("[exp_tpu] SIGTERM: stopping after current block")
+            self.stop_requested = True
+
+        def _hup(sig, frame):
+            print("[exp_tpu] SIGHUP: checkpoint requested")
+            self.dump_requested = True
+
+        signal.signal(signal.SIGTERM, _term)
+        if hasattr(signal, "SIGHUP"):
+            signal.signal(signal.SIGHUP, _hup)
 
     def nint_due(self, o):
         return o.nint > 0 and self.istep % o.nint == 0
@@ -522,10 +582,11 @@ class Simulation:
 
     def _make_output(self, oc):
         from exp_tpu.nbody.output import (OutLog, OutCoef, OutChkpt,
-                                          OutAscii, OutPSN)
+                                          OutAscii, OutPSN, OutMulti)
 
         cls = {"outlog": OutLog, "outcoef": OutCoef, "outchkpt": OutChkpt,
-               "outascii": OutAscii, "outpsn": OutPSN}.get(oc.id)
+               "outascii": OutAscii, "outpsn": OutPSN,
+               "outmulti": OutMulti}.get(oc.id)
         if cls is None:
             raise ConfigError(f"output id {oc.id!r} not implemented yet")
         return cls(self, **oc.parameters)

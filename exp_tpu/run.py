@@ -24,6 +24,10 @@ def main(argv=None):
                     help="force CPU backend (virtual device mesh)")
     ap.add_argument("--ndev", type=int, default=None,
                     help="with --cpu: number of virtual devices")
+    ap.add_argument("--wall", type=float, default=None,
+                    help="wall-clock budget in seconds (checkpoint + stop)")
+    ap.add_argument("--restart-cmd", default=None,
+                    help="command launched after a wall-clock stop")
     ap.add_argument("-v", "--version", action="version",
                     version=_version_string())
     args = ap.parse_args(argv)
@@ -40,6 +44,9 @@ def main(argv=None):
 
     sim = Simulation.from_file(args.config)
     sim.config.dump(os.path.join(sim.outdir, f"config.{sim.runtag}.yml"))
+    sim.wall_limit = args.wall
+    sim.restart_cmd = args.restart_cmd
+    sim.install_signal_handlers()
 
     if sim.config.glob.infile:
         chk = os.path.join(sim.workdir, sim.config.glob.infile)

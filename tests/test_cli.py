@@ -1,0 +1,116 @@
+"""CLI toolbox tests: the full pipeline gensph -> run -> psp tools ->
+analysis tools exercised end-to-end through the argv interfaces."""
+
+import os
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, monkeypatch_module=None):
+    d = tmp_path_factory.mktemp("cliwork")
+    return d
+
+
+def test_gensph_and_stats(workdir, capsys):
+    from exp_tpu.cli.gensph import main as gensph
+    from exp_tpu.cli.psptools import ascii2psp, pspinfo, pspstat, psp2ascii
+
+    bods = str(workdir / "h.bods")
+    gensph(["-N", "2000", "-i", "hernquist", "-o", bods, "-s", "3"])
+    assert os.path.exists(bods)
+
+    psp = str(workdir / "h.psp")
+    ascii2psp([bods, "-o", psp, "--name", "halo"])
+    pspinfo([psp])
+    out = capsys.readouterr().out
+    assert "ntot=2000" in out and "halo" in out
+
+    pspstat([psp])
+    out = capsys.readouterr().out
+    assert "N=2000" in out
+
+    psp2ascii([psp, "-o", str(workdir / "back")])
+    assert os.path.exists(str(workdir / "back.halo.ascii"))
+
+
+def test_diffpsp(workdir, capsys):
+    from exp_tpu.cli.psptools import diffpsp
+
+    psp = str(workdir / "h.psp")
+    assert diffpsp([psp, psp]) == 0
+    out = capsys.readouterr().out
+    assert "max=0" in out
+
+
+def test_orthochk_slcheck(capsys):
+    from exp_tpu.cli.analysis_tools import orthochk, slcheck
+
+    assert orthochk(["-i", "hernquist", "--lmax", "1", "--nmax", "6",
+                     "--numr", "500"]) == 0
+    out = capsys.readouterr().out
+    assert "PASS" in out
+
+    slcheck(["-i", "plummer", "--lmax", "1", "--nmax", "4", "--numr", "400"])
+    out = capsys.readouterr().out
+    assert "eigenvalues" in out
+
+
+def test_coef_tools(workdir, tmp_path, capsys):
+    from exp_tpu.cli.analysis_tools import viewcoefs, h5compare, mssaprof
+    from exp_tpu.analysis.coefs import Coefs
+
+    # synthesize a small spherical coefficient file
+    rng = np.random.default_rng(0)
+    c = Coefs(geometry="sphere", name="t", meta={"lmax": 2, "nmax": 4})
+    base = rng.normal(0, 1, (2, 3, 3, 4))
+    for i in range(20):
+        c.add(i * 0.1, base * (1 + 0.1 * np.sin(0.7 * i)))
+    f1 = str(tmp_path / "a.h5")
+    c.to_file(f1)
+
+    viewcoefs([f1])
+    out = capsys.readouterr().out
+    assert "snaps=20" in out
+
+    assert h5compare([f1, f1]) == 0
+    c2 = c.deepcopy()
+    c2._data[list(c2._data)[0]] = c2._data[list(c2._data)[0]] * 1.01
+    f2 = str(tmp_path / "b.h5")
+    c2.to_file(f2)
+    assert h5compare([f1, f2]) == 1
+    capsys.readouterr()
+
+    mssaprof([f1, "--window", "8", "--numpc", "4"])
+    out = capsys.readouterr().out
+    assert "contributions" in out
+    assert os.path.exists(f1 + ".mssa")
+
+
+def test_profiles(workdir, capsys):
+    from exp_tpu.cli.analysis_tools import haloprof
+    from exp_tpu.cli.gendisk import main as gendisk
+    from exp_tpu.cli.analysis_tools import diskprof
+
+    bods = str(workdir / "h.bods")
+    haloprof([bods, "--type", "ascii", "--nbins", "20"])
+    assert os.path.exists(bods + ".haloprof")
+    prof = np.loadtxt(bods + ".haloprof")
+    # density decreasing overall
+    assert prof[0, 1] > prof[-1, 1]
+
+    db = str(workdir / "d.bods")
+    gendisk(["-N", "3000", "-o", db, "--acyl", "1.0", "--hcyl", "0.1",
+             "--mass", "1.0"])
+    diskprof([db, "--type", "ascii", "--nbins", "15"])
+    assert os.path.exists(db + ".diskprof")
+
+
+def test_umbrella_dispatch(capsys, monkeypatch):
+    import sys
+    from exp_tpu.cli.__main__ import main
+
+    monkeypatch.setattr(sys, "argv", ["exp_tpu.cli"])
+    assert main() == 0
+    out = capsys.readouterr().out
+    assert "gensph" in out

@@ -150,3 +150,26 @@ def test_multistep_config_run(rundir):
     assert (np.mean(ratios) - 1.0) ** 2 < 0.01
     counts = sim._ms_runner.level_counts(sim._ms_state)["halo"]
     assert sum(counts) == 3000
+
+
+def test_wall_clock_stop_and_outmulti(rundir):
+    """Wall-budget stop writes a checkpoint; OutMulti logs level counts."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: wallrun\n  multistep: 2")
+    txt += "  - id : outmulti\n    parameters : {nint: 1}\n"
+    (rundir / "config_wall.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_wall.yml"))
+    sim.wall_limit = 0.0       # expire immediately after the first block
+    sim.run(10)
+    assert sim.istep < 10
+    assert (rundir / "OUT.wallrun.chkpt").exists()
+
+    # OutMulti: run a couple of steps without the wall limit
+    sim2 = Simulation.from_file(str(rundir / "config_wall.yml"))
+    sim2.run(3)
+    levels = (rundir / "wallrun.levels").read_text().splitlines()
+    assert len(levels) >= 3
+    counts = [int(v) for v in levels[-1].split()[2:]]
+    assert sum(counts) == 3000
