@@ -46,6 +46,7 @@ KNOWN_FORCES = {
 
 KNOWN_OUTPUTS = {
     "outlog", "outcoef", "outchkpt", "outpsn", "outascii", "outmulti",
+    "outvel", "outsamp",
 }
 
 

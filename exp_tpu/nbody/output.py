@@ -200,6 +200,63 @@ class OutMulti(Output):
                         " ".join(str(c) for c in cs) + "\n")
 
 
+class OutVel(Output):
+    """Velocity-field coefficient snapshots (the reference's OutVel over
+    expui FieldBasis)."""
+
+    def __init__(self, sim, nint=10, name=None, **kw):
+        super().__init__(sim, nint)
+        self.name = name or next(iter(sim.components))
+        from exp_tpu.analysis.field_basis import FieldBasis
+
+        self.fb = FieldBasis(sim.components[self.name].force)
+        self.path = os.path.join(sim.outdir,
+                                 f"outvel.{self.name}.{sim.runtag}.h5")
+        if os.path.exists(self.path):
+            os.remove(self.path)
+
+    def write(self, sim, istep):
+        import h5py
+        import jax.numpy as jnp
+
+        ps = sim._state[self.name]
+        coefs = self.fb.coefficients(ps.x, ps.v, ps.mass,
+                                     accum_dtype=jnp.float32)
+        mode = "a" if os.path.exists(self.path) else "w"
+        with h5py.File(self.path, mode) as f:
+            if "fields" not in f.attrs:
+                f.attrs["fields"] = list(coefs.keys())
+                f.attrs["name"] = self.name
+            g = f.create_group(f"snap{len(f.keys()):08d}")
+            g.attrs["Time"] = sim.time
+            for k, c in coefs.items():
+                g.create_dataset(k, data=np.asarray(c))
+
+
+class OutSamp(Output):
+    """Subsample coefficient covariance (the reference's OutSamp over
+    Covariance.cc)."""
+
+    def __init__(self, sim, nint=20, name=None, nsamples=8, **kw):
+        super().__init__(sim, nint)
+        self.name = name or next(iter(sim.components))
+        self.nsamples = int(nsamples)
+        self.path = os.path.join(sim.outdir,
+                                 f"outsamp.{self.name}.{sim.runtag}.h5")
+        if os.path.exists(self.path):
+            os.remove(self.path)
+
+    def write(self, sim, istep):
+        from exp_tpu.nbody.pca import (subsample_coefficients,
+                                       write_covariance_h5)
+
+        comp = sim.components[self.name]
+        ps = sim._state[self.name]
+        cs = subsample_coefficients(comp.force, ps.x, ps.mass,
+                                    nsamples=self.nsamples)
+        write_covariance_h5(self.path, sim.time, cs, name=self.name)
+
+
 class OutAscii(Output):
     def __init__(self, sim, nint=100, name=None, **kw):
         super().__init__(sim, nint)

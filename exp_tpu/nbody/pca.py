@@ -1,0 +1,85 @@
+"""Coefficient noise suppression: subsample variance + Hall smoothing.
+
+The analogue of the reference's AxisymmetricBasis PCA machinery
+(AxisymmetricBasis.H:20-43: npca, pcavar, tk_type Hall/VarianceCut/
+CumulativeCut; pca_hall in SphericalBasis.cc; OutSamp/expui Covariance):
+estimate per-coefficient sampling noise by splitting particles into T
+subsamples, and shrink each coefficient by its signal/(signal+noise) factor
+(Hall 1981 smoothing) or cut low-S/N channels.
+
+TPU-native: the subsample split is a one-hot weight axis folded into the
+same MXU contraction as the full projection (no per-subsample passes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def subsample_coefficients(force, x, mass, nsamples: int = 8,
+                           axis_name=None, accum_dtype=jnp.float32):
+    """Per-subsample coefficient estimates (nsamples, *coef_shape).
+
+    Particles are assigned round-robin (the reference uses indx % sampT,
+    SphericalBasis.cc:506).  Each subsample is scaled by nsamples so every
+    estimate is an unbiased full-mass estimator.
+    """
+    n = x.shape[0]
+    idx = jnp.arange(n) % nsamples
+    outs = []
+    for t in range(nsamples):
+        w = jnp.where(idx == t, mass * nsamples, 0.0)
+        outs.append(force.coefficients(x, w, axis_name=axis_name,
+                                       accum_dtype=accum_dtype))
+    return jnp.stack(outs)
+
+
+def hall_factors(coef_sub, floor: float = 1e-30):
+    """Hall smoothing factors b = s^2/(s^2 + var(mean)) per coefficient.
+
+    coef_sub: (T, ...) subsample estimates.  Returns (factors, mean, var)
+    with var = variance of the MEAN estimate (sample var / T).
+    """
+    T = coef_sub.shape[0]
+    mean = jnp.mean(coef_sub, axis=0)
+    var = jnp.var(coef_sub, axis=0, ddof=1) / T
+    s2 = mean * mean
+    b = s2 / (s2 + var + floor)
+    return b, mean, var
+
+
+def smooth_coefficients(coef, factors, tk_type: str = "Hall",
+                        tksmooth: float = 3.0):
+    """Apply a smoothing policy (the reference's tk_type options).
+
+    Hall         — multiply by b (signal fraction).
+    VarianceCut  — zero coefficients with S/N^2 below 1/tksmooth.
+    None         — pass through.
+    """
+    if tk_type == "Hall":
+        return coef * factors
+    elif tk_type == "VarianceCut":
+        keep = factors > 1.0 / (1.0 + tksmooth)
+        return jnp.where(keep, coef, 0.0)
+    return coef
+
+
+def write_covariance_h5(path, time, coef_sub, name=""):
+    """OutSamp analogue: dump subsample mean/variance to HDF5
+    (PotAccel.H:116-137, expui/Covariance.cc)."""
+    import h5py
+
+    cs = np.asarray(coef_sub)
+    mean = cs.mean(axis=0)
+    var = cs.var(axis=0, ddof=1)
+    mode = "a" if __import__("os").path.exists(path) else "w"
+    with h5py.File(path, mode) as f:
+        if "name" not in f.attrs:
+            f.attrs["name"] = name
+            f.attrs["nsamples"] = cs.shape[0]
+        g = f.create_group(f"snap{len(f.keys()):08d}")
+        g.attrs["Time"] = float(time)
+        g.create_dataset("mean", data=mean)
+        g.create_dataset("variance", data=var)

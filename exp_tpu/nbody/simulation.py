@@ -183,6 +183,10 @@ class Component:
     # EJ center tracking (Orient)
     EJ: bool = False
     orient: object = None
+    # coefficient playback / Hall smoothing
+    playback: object = None
+    npca: int = 0
+    nsamples: int = 8
 
     def adb(self, t):
         """Adiabatic mass factor in [0, 1]."""
@@ -252,7 +256,20 @@ class Simulation:
                 ton=float(cp.get("ton", 0.0)),
                 twid=float(cp.get("twid", 1.0)),
                 EJ=bool(cp.get("EJ", False)), orient=orient)
+            # coefficient playback (the reference's play_back,
+            # SphericalBasis.cc determine_coefficients_playback): drive the
+            # force from a stored coefficient series instead of particles
+            pb = cp.get("playback")
+            if pb:
+                from exp_tpu.analysis.coefs import Coefs
+
+                self.components[cc.name].playback = Coefs.from_file(
+                    os.path.join(workdir, pb))
+            # Hall smoothing config (npca / nsamples, AxisymmetricBasis)
+            self.components[cc.name].npca = int(cp.get("npca", 0))
+            self.components[cc.name].nsamples = int(cp.get("nsamples", 8))
         self._centers = {n: np.zeros(3) for n in self.components}
+        self._hall = {}          # name -> smoothing factor array
 
         # interaction couples: B feels A  (ComponentContainer.cc:309-424)
         names = list(self.components)
@@ -324,7 +341,7 @@ class Simulation:
     # jitted stepping
     # ------------------------------------------------------------------
 
-    def _system_step_body(self, state, t_new, centers=None):
+    def _system_step_body(self, state, t_new, centers=None, extras=None):
         """One KDK step for all components (shard-local view); t_new is the
         (traced) time at the end of the step, used by external fields."""
         dt = self.dt
@@ -343,15 +360,21 @@ class Simulation:
         # are the particles themselves)
         if centers is None:
             centers = {n: jnp.zeros(3, new_x[n].dtype) for n in state}
+        if extras is None:
+            extras = {}
         coefs = {}
         for n in state:
-            if getattr(forces[n], "needs_sources", False):
+            if n in extras.get("playback", {}):
+                coefs[n] = extras["playback"][n]
+            elif getattr(forces[n], "needs_sources", False):
                 coefs[n] = jnp.zeros((1,), new_x[n].dtype)
             else:
                 adb = self.components[n].adb(t_new)
                 coefs[n] = forces[n].coefficients(
                     new_x[n] - centers[n][None, :], state[n].mass * adb,
                     axis_name="p", accum_dtype=self.accum_dtype)
+                if n in extras.get("hall", {}):
+                    coefs[n] = coefs[n] * extras["hall"][n]
         # acceleration: sum over coupled components' fields
         out = {}
         for n, ps in state.items():
@@ -380,11 +403,12 @@ class Simulation:
 
         names = list(self.components)
 
-        def block(state, t0, centers):
+        def block(state, t0, centers, extras):
             def body(carry, _):
                 st, tcur = carry
                 tnew = tcur + self.dt
-                st, coefs, diag = self._system_step_body(st, tnew, centers)
+                st, coefs, diag = self._system_step_body(st, tnew, centers,
+                                                         extras)
                 return (st, tnew), (coefs, diag)
 
             (st, _), (coefs_hist, diag_hist) = jax.lax.scan(
@@ -395,8 +419,10 @@ class Simulation:
         coef_specs = {n: P() for n in names}
         diag_specs = {n: _diag_specs() for n in names}
         center_specs = {n: P() for n in self.components}
+        extras_specs = jax.tree_util.tree_map(
+            lambda _: P(), self._make_extras(), is_leaf=lambda x: x is None)
         return jax.jit(shard_map(
-            block, self.mesh, (state_specs, P(), center_specs),
+            block, self.mesh, (state_specs, P(), center_specs, extras_specs),
             (state_specs, coef_specs, diag_specs)))
 
     def prime(self):
@@ -452,27 +478,30 @@ class Simulation:
             self.prime()
         nsteps = self.nsteps if nsteps is None else nsteps
         k = max(1, self.steps_per_block)
-        if self._step_fn is None:
-            self._step_fn = self._make_step_fn(k)
+        if not hasattr(self, "_step_fns"):
+            self._step_fns = {}
 
         done = 0
         while done < nsteps:
             if self._check_stop():
                 break
             kk = min(k, nsteps - done)
-            if kk != k:
-                fn = self._make_step_fn(kk)
-            else:
-                fn = self._step_fn
+            extras = self._make_extras()
+            sig = (kk, tuple(sorted(extras["playback"])),
+                   tuple(sorted(extras["hall"])))
+            fn = self._step_fns.get(sig)
+            if fn is None:
+                fn = self._step_fns[sig] = self._make_step_fn(kk)
             cts = {n: jnp.asarray(self._centers[n], self.compute_dtype)
                    for n in self.components}
             self._state, coefs_hist, diag_hist = fn(self._state, self.time,
-                                                    cts)
+                                                    cts, extras)
             jax.block_until_ready(jax.tree_util.tree_leaves(self._state)[0])
             # EJ center tracking (Orient): host-side update per block
             for n, c in self.components.items():
                 if c.EJ and c.orient is not None:
                     self._centers[n] = c.orient.update(self._state[n])
+            self._update_hall()
             # unpack per-step history for outputs
             for j in range(kk):
                 self.istep += 1
@@ -515,6 +544,33 @@ class Simulation:
                 o.run(self, self.istep)
         self._sync_flat_state()
         return self._state
+
+    def _make_extras(self):
+        """Traced per-block extras: playback coefficients (interpolated at
+        the current time) and Hall smoothing factors."""
+        import jax.numpy as jnp
+
+        pb = {}
+        hall = {}
+        for n, c in self.components.items():
+            if c.playback is not None:
+                pb[n] = jnp.asarray(c.playback.interpolate(self.time),
+                                    self.compute_dtype)
+            if n in self._hall:
+                hall[n] = jnp.asarray(self._hall[n], self.compute_dtype)
+        return {"playback": pb, "hall": hall}
+
+    def _update_hall(self):
+        """Recompute Hall factors every npca steps (pca_hall analogue)."""
+        from exp_tpu.nbody.pca import subsample_coefficients, hall_factors
+
+        for n, c in self.components.items():
+            if c.npca > 0 and self.istep % c.npca == 0:
+                ps = self._state[n]
+                cs = subsample_coefficients(c.force, ps.x, ps.mass,
+                                            nsamples=c.nsamples)
+                b, _, _ = hall_factors(cs)
+                self._hall[n] = np.asarray(b)
 
     def _check_stop(self):
         """Wall-clock budget / SIGTERM stop; SIGHUP checkpoint dump."""
@@ -584,9 +640,12 @@ class Simulation:
         from exp_tpu.nbody.output import (OutLog, OutCoef, OutChkpt,
                                           OutAscii, OutPSN, OutMulti)
 
+        from exp_tpu.nbody.output import OutVel, OutSamp
+
         cls = {"outlog": OutLog, "outcoef": OutCoef, "outchkpt": OutChkpt,
                "outascii": OutAscii, "outpsn": OutPSN,
-               "outmulti": OutMulti}.get(oc.id)
+               "outmulti": OutMulti, "outvel": OutVel,
+               "outsamp": OutSamp}.get(oc.id)
         if cls is None:
             raise ConfigError(f"output id {oc.id!r} not implemented yet")
         return cls(self, **oc.parameters)
