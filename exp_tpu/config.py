@@ -46,7 +46,7 @@ KNOWN_FORCES = {
 
 KNOWN_OUTPUTS = {
     "outlog", "outcoef", "outchkpt", "outpsn", "outascii", "outmulti",
-    "outvel", "outsamp",
+    "outvel", "outsamp", "orbtrace", "outdiag", "outfrac",
 }
 
 

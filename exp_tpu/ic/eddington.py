@@ -27,9 +27,16 @@ from exp_tpu.basis.model import SphericalModelTable
 
 @dataclass
 class EddingtonDF:
+    """Isotropic (ra=None) or Osipkov–Merritt anisotropic DF.
+
+    OM (the reference's anisotropic gen_point variants, massmodel.H:112-240):
+    f = f(Q), Q = eps - L^2/(2 ra^2); the inversion is the Eddington formula
+    applied to the augmented density rho_Q = rho (1 + r^2/ra^2)."""
+
     model: SphericalModelTable
     num_e: int = 400
     num_t: int = 200
+    ra: float | None = None
 
     def __post_init__(self):
         m = self.model
@@ -38,9 +45,11 @@ class EddingtonDF:
         psi = phi_max - m.pot                # relative potential, >= 0, decreasing in r
         # ensure strictly decreasing psi for the parametric inversion
         self._psi_of_r = CubicSpline(np.log(r), psi)
+        rho_eff = m.rho if self.ra is None else \
+            m.rho * (1.0 + (r / self.ra) ** 2)
         # rho as a function of psi (psi decreasing with r -> reverse arrays)
         order = np.argsort(psi)
-        psi_s, rho_s = psi[order], m.rho[order]
+        psi_s, rho_s = psi[order], rho_eff[order]
         # dedupe any equal psi values at the outer edge
         keep = np.concatenate([[True], np.diff(psi_s) > 0])
         self._rho_of_psi = CubicSpline(psi_s[keep], rho_s[keep])
@@ -79,13 +88,15 @@ class EddingtonDF:
 
 
 def sample_spherical_model(model: SphericalModelTable, n: int,
-                           seed: int = 0, zero_com: bool = True):
+                           seed: int = 0, zero_com: bool = True,
+                           ra: float | None = None):
     """Draw an equilibrium realization: returns (x, v, mass) arrays.
 
     Equal-mass particles totaling model.total_mass (the gensph convention).
+    ra: Osipkov–Merritt anisotropy radius (isotropic if None).
     """
     rng = np.random.default_rng(seed)
-    df = EddingtonDF(model)
+    df = EddingtonDF(model, ra=ra)
     m = model
 
     # radius from inverse CDF of M(r)
@@ -99,34 +110,65 @@ def sample_spherical_model(model: SphericalModelTable, n: int,
     psi_r = df.psi(r)
     vmax = np.sqrt(2.0 * psi_r)
 
-    # rejection sample speed: p(v) ~ v^2 f(psi - v^2/2)
-    v = np.empty(n)
-    todo = np.arange(n)
-    # envelope: grid-estimate max of v^2 f per particle batch
-    while todo.size:
-        rr = r[todo]
-        pr = psi_r[todo]
-        vm = vmax[todo]
-        # per-particle envelope via coarse scan
-        vg = np.linspace(0.0, 1.0, 32)[None, :] * vm[:, None]
-        pg = vg**2 * df.f(pr[:, None] - 0.5 * vg**2)
-        env = 1.1 * pg.max(axis=1) + 1e-300
-        vt = rng.uniform(0.0, 1.0, todo.size) * vm
-        y = rng.uniform(0.0, 1.0, todo.size) * env
-        p = vt**2 * df.f(pr - 0.5 * vt**2)
-        ok = y <= p
-        v[todo[ok]] = vt[ok]
-        todo = todo[~ok]
-
-    # isotropic directions
     def isotropic(k):
         ct = rng.uniform(-1.0, 1.0, k)
         st = np.sqrt(1.0 - ct**2)
         ph = rng.uniform(0.0, 2.0 * np.pi, k)
         return np.stack([st * np.cos(ph), st * np.sin(ph), ct], axis=-1)
 
-    x = r[:, None] * isotropic(n)
-    vv = v[:, None] * isotropic(n)
+    if ra is None:
+        # rejection sample speed: p(v) ~ v^2 f(psi - v^2/2)
+        v = np.empty(n)
+        todo = np.arange(n)
+        while todo.size:
+            pr = psi_r[todo]
+            vm = vmax[todo]
+            vg = np.linspace(0.0, 1.0, 32)[None, :] * vm[:, None]
+            pg = vg**2 * df.f(pr[:, None] - 0.5 * vg**2)
+            env = 1.1 * pg.max(axis=1) + 1e-300
+            vt = rng.uniform(0.0, 1.0, todo.size) * vm
+            y = rng.uniform(0.0, 1.0, todo.size) * env
+            p = vt**2 * df.f(pr - 0.5 * vt**2)
+            ok = y <= p
+            v[todo[ok]] = vt[ok]
+            todo = todo[~ok]
+        x = r[:, None] * isotropic(n)
+        vv = v[:, None] * isotropic(n)
+    else:
+        # OM: p(vr, vt) ~ vt f(psi - (vr^2+vt^2)/2 - r^2 vt^2/(2 ra^2))
+        vr = np.empty(n)
+        vt_ = np.empty(n)
+        todo = np.arange(n)
+        while todo.size:
+            pr = psi_r[todo]
+            vm = vmax[todo]
+            rr = r[todo]
+            fac = 1.0 + (rr / ra) ** 2
+            # coarse envelope over the (vr, vt) quarter disk
+            g = np.linspace(0, 1, 16)
+            VG, TG = np.meshgrid(g, g, indexing="ij")
+            q = (pr[:, None, None]
+                 - 0.5 * (VG[None] ** 2 + TG[None] ** 2 * fac[:, None, None])
+                 * vm[:, None, None] ** 2)
+            pg = TG[None] * vm[:, None, None] * df.f(q)
+            env = 1.2 * pg.reshape(len(rr), -1).max(axis=1) + 1e-300
+            a1 = rng.uniform(-1, 1, todo.size) * vm
+            a2 = rng.uniform(0, 1, todo.size) * vm
+            Q = pr - 0.5 * (a1 ** 2 + a2 ** 2 * fac)
+            p = a2 * df.f(Q)
+            y = rng.uniform(0, 1, todo.size) * env
+            ok = (y <= p) & (Q > 0)
+            vr[todo[ok]] = a1[ok]
+            vt_[todo[ok]] = a2[ok]
+            todo = todo[~ok]
+        x = r[:, None] * isotropic(n)
+        rhat = x / np.linalg.norm(x, axis=1, keepdims=True)
+        # random tangential direction
+        tmp = isotropic(n)
+        that = tmp - (tmp * rhat).sum(1, keepdims=True) * rhat
+        that /= np.maximum(np.linalg.norm(that, axis=1, keepdims=True),
+                           1e-12)
+        vv = vr[:, None] * rhat + vt_[:, None] * that
     mass = np.full(n, m.total_mass / n)
 
     if zero_com:

@@ -257,6 +257,95 @@ class OutSamp(Output):
         write_covariance_h5(self.path, sim.time, cs, name=self.name)
 
 
+class OrbTrace(Output):
+    """Trace selected particle orbits to a text file (the reference's
+    OrbTrace writer)."""
+
+    def __init__(self, sim, nint=1, name=None, norb=5, orbitlist=None, **kw):
+        super().__init__(sim, nint)
+        self.name = name or next(iter(sim.components))
+        self.idx = (list(orbitlist) if orbitlist
+                    else list(range(int(norb))))
+        self.path = os.path.join(sim.outdir, f"ORBTRACE.{sim.runtag}")
+        with open(self.path, "w") as f:
+            f.write("# time then (x y z u v w) per traced orbit: "
+                    f"{self.idx}" + chr(10))
+
+    def write(self, sim, istep):
+        ps = sim._state[self.name]
+        x = np.asarray(ps.x)[self.idx]
+        v = np.asarray(ps.v)[self.idx]
+        with open(self.path, "a") as f:
+            f.write(f"{sim.time:.10g} " + " ".join(
+                f"{a:.8g}" for row in np.concatenate([x, v], 1)
+                for a in row) + chr(10))
+
+
+class OutDiag(Output):
+    """Per-radial-shell diagnostic table (the reference's OutDiag)."""
+
+    def __init__(self, sim, nint=10, name=None, nbins=20, rmax=None, **kw):
+        super().__init__(sim, nint)
+        self.name = name or next(iter(sim.components))
+        self.nbins = int(nbins)
+        self.rmax = rmax
+        self.path = os.path.join(sim.outdir, f"OUTDIAG.{sim.runtag}")
+        with open(self.path, "w") as f:
+            f.write("# time r_mid N mass KE PE_avg" + chr(10))
+
+    def write(self, sim, istep):
+        ps = sim._state[self.name]
+        m = np.asarray(ps.mass)
+        live = m > 0
+        x = np.asarray(ps.x)[live]
+        v = np.asarray(ps.v)[live]
+        pot = np.asarray(ps.pot)[live]
+        m = m[live]
+        r = np.linalg.norm(x, axis=1)
+        rmax = self.rmax or np.quantile(r, 0.99)
+        edges = np.geomspace(max(r.min(), rmax * 1e-4), rmax,
+                             self.nbins + 1)
+        idx = np.clip(np.digitize(r, edges) - 1, 0, self.nbins - 1)
+        with open(self.path, "a") as f:
+            for b in range(self.nbins):
+                sel = idx == b
+                if not sel.any():
+                    continue
+                rc = np.sqrt(edges[b] * edges[b + 1])
+                ke = 0.5 * np.sum(m[sel] * (v[sel] ** 2).sum(1))
+                f.write(f"{sim.time:.8g} {rc:.8g} {int(sel.sum())} "
+                        f"{m[sel].sum():.8g} {ke:.8g} "
+                        f"{np.average(pot[sel], weights=m[sel]):.8g}"
+                        + chr(10))
+
+
+class OutFrac(Output):
+    """Mass-fraction (Lagrangian) radii vs time (the reference's OutFrac)."""
+
+    FRACS = [0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+    def __init__(self, sim, nint=10, name=None, **kw):
+        super().__init__(sim, nint)
+        self.name = name or next(iter(sim.components))
+        self.path = os.path.join(sim.outdir, f"OUTFRAC.{sim.runtag}")
+        with open(self.path, "w") as f:
+            f.write("# time then r at mass fractions "
+                    f"{self.FRACS}" + chr(10))
+
+    def write(self, sim, istep):
+        ps = sim._state[self.name]
+        m = np.asarray(ps.mass)
+        live = m > 0
+        r = np.linalg.norm(np.asarray(ps.x)[live], axis=1)
+        m = m[live]
+        order = np.argsort(r)
+        cum = np.cumsum(m[order]) / m.sum()
+        radii = [r[order][np.searchsorted(cum, fr)] for fr in self.FRACS]
+        with open(self.path, "a") as f:
+            f.write(f"{sim.time:.10g} " + " ".join(
+                f"{v:.8g}" for v in radii) + chr(10))
+
+
 class OutAscii(Output):
     def __init__(self, sim, nint=100, name=None, **kw):
         super().__init__(sim, nint)

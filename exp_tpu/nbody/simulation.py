@@ -640,12 +640,14 @@ class Simulation:
         from exp_tpu.nbody.output import (OutLog, OutCoef, OutChkpt,
                                           OutAscii, OutPSN, OutMulti)
 
-        from exp_tpu.nbody.output import OutVel, OutSamp
+        from exp_tpu.nbody.output import (OutVel, OutSamp, OrbTrace,
+                                          OutDiag, OutFrac)
 
         cls = {"outlog": OutLog, "outcoef": OutCoef, "outchkpt": OutChkpt,
                "outascii": OutAscii, "outpsn": OutPSN,
                "outmulti": OutMulti, "outvel": OutVel,
-               "outsamp": OutSamp}.get(oc.id)
+               "outsamp": OutSamp, "orbtrace": OrbTrace,
+               "outdiag": OutDiag, "outfrac": OutFrac}.get(oc.id)
         if cls is None:
             raise ConfigError(f"output id {oc.id!r} not implemented yet")
         return cls(self, **oc.parameters)

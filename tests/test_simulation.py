@@ -173,3 +173,26 @@ def test_wall_clock_stop_and_outmulti(rundir):
     assert len(levels) >= 3
     counts = [int(v) for v in levels[-1].split()[2:]]
     assert sum(counts) == 3000
+
+
+def test_diag_outputs(rundir):
+    """OrbTrace, OutDiag, OutFrac writers produce sane tables."""
+    txt = (rundir / "config.yml").read_text().replace("runtag: trun",
+                                                      "runtag: diag0")
+    txt += ("  - id : orbtrace\n    parameters : {nint: 1, norb: 3}\n"
+            "  - id : outdiag\n    parameters : {nint: 2}\n"
+            "  - id : outfrac\n    parameters : {nint: 2}\n")
+    (rundir / "config_diag.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_diag.yml"))
+    sim.prime()
+    sim.run(4)
+    tr = np.loadtxt(rundir / "ORBTRACE.diag0")
+    assert tr.shape[1] == 1 + 3 * 6
+    # traced orbits move
+    assert np.abs(tr[-1, 1:4] - tr[0, 1:4]).max() > 0
+    fr = np.loadtxt(rundir / "OUTFRAC.diag0")
+    assert np.all(np.diff(fr[0, 1:]) > 0)      # Lagrangian radii increase
+    dg = np.loadtxt(rundir / "OUTDIAG.diag0")
+    assert dg.shape[1] == 6
