@@ -81,7 +81,19 @@ def read_ascii_bodies(path, dtype=jnp.float32, pad_to=None) -> ParticleSystem:
     with open(path) as f:
         header = f.readline().split()
         n = int(header[0])
-        data = np.loadtxt(f, max_rows=n)
+    try:
+        # native strtod parser (exp_tpu/native); comparable to numpy 2's C
+        # loadtxt on clean tables, tolerant of trailing attribute columns
+        from exp_tpu import native
+
+        data = native.read_ascii_table(path, max_rows=n, ncols=7,
+                                       skip_lines=1)
+        if len(data) != n:
+            raise ValueError(f"{path}: expected {n} rows, parsed {len(data)}")
+    except RuntimeError:
+        with open(path) as f:
+            f.readline()
+            data = np.loadtxt(f, max_rows=n)
     if data.ndim == 1:
         data = data[None]
     return ParticleSystem.from_arrays(data[:, 1:4], data[:, 4:7], data[:, 0],
@@ -97,9 +109,8 @@ def write_ascii_bodies(path, ps_or_arrays, niattrib=0, ndattrib=0):
         mass = mass[live]
     else:
         x, v, mass = ps_or_arrays
+    table = np.column_stack([np.asarray(mass), np.asarray(x),
+                             np.asarray(v)])
     with open(path, "w") as f:
         f.write(f"{len(mass)} {niattrib} {ndattrib}\n")
-        for i in range(len(mass)):
-            f.write(f"{mass[i]:.16e} "
-                    f"{x[i,0]:.16e} {x[i,1]:.16e} {x[i,2]:.16e} "
-                    f"{v[i,0]:.16e} {v[i,1]:.16e} {v[i,2]:.16e}\n")
+        np.savetxt(f, table, fmt="%.16e")

@@ -129,3 +129,25 @@ Output:
     s = createReader("psp", str(out[-1]))
     xx, vv, mm = s.GetParticles("halo")
     assert xx.shape == (1000, 3)
+
+
+def test_native_fastio(tmp_path):
+    """Native parser == numpy on a table with extra attribute columns."""
+    from exp_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("no compiler for the native lib")
+    rng = np.random.default_rng(5)
+    n = 500
+    arr = rng.normal(0, 1, (n, 9))     # 7 body columns + 2 attributes
+    p = tmp_path / "t.bods"
+    with open(p, "w") as f:
+        f.write(f"{n} 0 2\n")
+        np.savetxt(f, arr, fmt="%.10e")
+    fast = native.read_ascii_table(str(p), max_rows=n, ncols=7, skip_lines=1)
+    np.testing.assert_allclose(fast, arr[:, :7], rtol=1e-9)
+
+    from exp_tpu.nbody.particles import read_ascii_bodies
+    ps = read_ascii_bodies(str(p))
+    assert ps.n == n
+    np.testing.assert_allclose(np.asarray(ps.mass), arr[:, 0], rtol=1e-6)
