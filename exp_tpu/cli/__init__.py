@@ -14,5 +14,5 @@ TOOLS = [
     "gensph", "cubeics", "gendisk",
     "pspinfo", "pspstat", "psp2ascii", "ascii2psp", "snap2ascii", "diffpsp",
     "diskprof", "haloprof", "mssaprof", "viewcoefs", "h5compare",
-    "slcheck", "orthochk", "cylcache", "eofinfo",
+    "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
 ]

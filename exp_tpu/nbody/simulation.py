@@ -44,7 +44,14 @@ def build_force(fc, dtype, workdir="."):
         from exp_tpu.forces.spherical import SphereSL
 
         modelname = p.pop("modelname", "SLGridSph.model")
-        model = SphericalModelTable.from_file(os.path.join(workdir, modelname))
+        mpath = os.path.join(workdir, str(modelname))
+        if os.path.exists(mpath):
+            model = SphericalModelTable.from_file(mpath)
+        else:
+            # builtin analytic models: hernquist[:a=..,M=..], plummer, ...
+            from exp_tpu.cli._common import load_model
+
+            model = load_model(modelname)
         cachename = p.pop("cachename", None)
         if cachename is not None:
             cachename = os.path.join(workdir, cachename)
@@ -56,13 +63,15 @@ def build_force(fc, dtype, workdir="."):
         rmap = float(p.pop("rmapping", 0.067))
         cmap = int(p.pop("cmap", 1))
         scale = float(p.pop("scale", 1.0))
+        backend = str(p.pop("backend", "matmul"))
         p.pop("self_consistent", True)
         p.pop("modelname_override", None)
         t = build_sph_sl_tables(model, lmax=lmax, nmax=nmax, numr=numr,
                                 rmin=None if rmin is None else float(rmin),
                                 rmax=None if rmax is None else float(rmax),
                                 cmap=cmap, rmap=rmap, cachename=cachename)
-        return SphereSL.from_tables(t, scale=scale, dtype=dtype)
+        return SphereSL.from_tables(t, scale=scale, dtype=dtype,
+                                    backend=backend)
     elif fc.id == "noforce":
         from exp_tpu.forces.noforce import NoForce
 
@@ -502,16 +511,21 @@ class Simulation:
                 if c.EJ and c.orient is not None:
                     self._centers[n] = c.orient.update(self._state[n])
             self._update_hall()
-            # unpack per-step history for outputs
+            # advance counters; materialize per-step history slices ONLY for
+            # steps where an output is due (each device slice is a separate
+            # dispatch — per-step unpacking costs more than the physics)
             for j in range(kk):
                 self.istep += 1
                 self.time += self.dt
                 done += 1
-                self._coefs = {n: coefs_hist[n][j] for n in coefs_hist}
-                self._diag = {n: jax.tree_util.tree_map(
-                    lambda a: a[j], diag_hist[n]) for n in diag_hist}
-                for o in self.outputs:
-                    o.run(self, self.istep)
+                due = [o for o in self.outputs
+                       if o.nint > 0 and self.istep % o.nint == 0]
+                if due or j == kk - 1:
+                    self._coefs = {n: coefs_hist[n][j] for n in coefs_hist}
+                    self._diag = {n: jax.tree_util.tree_map(
+                        lambda a: a[j], diag_hist[n]) for n in diag_hist}
+                for o in due:
+                    o.write(self, self.istep)
         return self._state
 
     def _run_multistep(self, nsteps=None):

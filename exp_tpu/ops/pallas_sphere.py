@@ -216,7 +216,10 @@ def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
         rs_c = jnp.minimum(rs, rmax)
         xi = _ximap(rs_c, cmap, rmap)
 
-        xc = jnp.clip(costh, -1.0 + 1e-12, 1.0 - 1e-12)
+        # dtype-aware pole clamp (1e-12 is a no-op in f32 and 1/(x^2-1)
+        # overflows at |costh| == 1)
+        peps = 1e-12 if costh.dtype == jnp.float64 else 1e-6
+        xc = jnp.clip(costh, -1.0 + peps, 1.0 - peps)
         P = _legendre_rows(lmax, xc)
         inv = 1.0 / (xc * xc - 1.0)
         dP = {}
@@ -332,19 +335,21 @@ def expand_coef_matrix(coef, lmax, nmax):
 
 
 def expand_coef_matrix_jit(coef, lmax, nmax):
-    """Traced version of expand_coef_matrix (for use inside jitted steps)."""
+    """Traced version of expand_coef_matrix (for use inside jitted steps).
+
+    One einsum against an identity (scatter-free — the per-entry .at[].set
+    version costs dozens of slow TPU dynamic-update-slices per step)."""
     nlm = (lmax + 1) * (lmax + 1)
     C1 = _round_up(2 * nlm, 8)
     F = (lmax + 1) * nmax
     Fp = _round_up(F, 128)
-    Wc = jnp.zeros((Fp, C1), jnp.float32)
     c = coef.astype(jnp.float32)
-    for cs in range(2):
-        for l in range(lmax + 1):
-            for mm in range(l + 1):
-                col = cs * nlm + l * (lmax + 1) + mm
-                Wc = Wc.at[l * nmax:(l + 1) * nmax, col].set(c[cs, l, mm, :])
-    return Wc
+    # rows (l, n); cols (cs, l', m) with the l==l' block structure
+    T = jnp.transpose(c, (1, 3, 0, 2))             # (l, n, cs, m)
+    eye = jnp.eye(lmax + 1, dtype=jnp.float32)
+    big = jnp.einsum("lncm,lk->lnckm", T, eye)     # (l, n, cs, l', m)
+    Wc = big.reshape(F, 2 * nlm)
+    return jnp.pad(Wc, ((0, Fp - F), (0, C1 - 2 * nlm)))
 
 
 def pad_table(tabc, lmax, nmax, numr_c):

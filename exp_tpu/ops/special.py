@@ -17,8 +17,15 @@ import jax
 import jax.numpy as jnp
 
 # Clamp |cos(theta)| away from 1 for the dP/dx recurrence (mirrors MINEPS
-# clamping in the reference, src/Basis.cc:81-84).
+# clamping in the reference, src/Basis.cc:81-84).  Must be dtype-aware:
+# 1-1e-12 rounds back to 1.0 in float32 and 1/(x^2-1) blows up at the pole.
 _MINEPS = 1.0e-12
+
+
+def _mineps(dtype):
+    import jax.numpy as _jnp
+
+    return 1.0e-12 if _jnp.dtype(dtype) == _jnp.float64 else 1.0e-6
 
 
 def legendre_lm(lmax: int, x: jax.Array) -> jax.Array:
@@ -73,7 +80,8 @@ def dlegendre_lm(lmax: int, x: jax.Array) -> tuple[jax.Array, jax.Array]:
     Returns:
       (P, dP) each of shape (..., lmax+1, lmax+1).
     """
-    xc = jnp.clip(x, -1.0 + _MINEPS, 1.0 - _MINEPS)
+    eps = _mineps(jnp.asarray(x).dtype)
+    xc = jnp.clip(x, -1.0 + eps, 1.0 - eps)
     p = legendre_lm(lmax, xc)
     shape = xc.shape
     zero = jnp.zeros(shape, xc.dtype)

@@ -142,3 +142,18 @@ def test_centers():
 
     centers, labels = util.kmeans(x, 2, seed=2)
     assert len(np.unique(labels)) == 2
+
+
+def test_cross_validation(halo_setup):
+    """BFE force within a few % of the direct sum across radii."""
+    from exp_tpu.analysis.crossval import cross_validate, kl_divergence_radial
+
+    d, m, basis, x, mass = halo_setup
+    out = cross_validate(basis.force, x, mass, ntest=256, eps=5e-3)
+    assert out["ferr_all_med"] < 0.08
+    assert out["perr_all_med"] < 0.02
+
+    # KL of a snapshot against itself is ~0; against a stretched one > 0
+    kl0 = kl_divergence_radial(x, mass, x, mass)
+    kl1 = kl_divergence_radial(x, mass, x * 1.5, mass)
+    assert kl0 < 1e-10 and kl1 > 0.05
