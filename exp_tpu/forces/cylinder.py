@@ -33,10 +33,11 @@ from exp_tpu.basis.empcyl import EmpCylTables
 class CylinderForce:
     """EOF disk force; coefficient layout (2, mmax+1, nmax) [cos/sin, m, n]."""
 
-    pot_t: jax.Array      # (numx, numy, mmax+1, nmax)
+    pot_t: jax.Array      # flat (numx*numy, (mmax+1)*nmax)
     rfrc_t: jax.Array     # dU/dR
     zfrc_t: jax.Array     # dU/dz
     dens_t: jax.Array
+    quad_t: jax.Array     # fused [pot|dUr|dUz] x [y, y+1] rows for the force
     mmax: int
     nmax: int
     numx: int
@@ -58,17 +59,34 @@ class CylinderForce:
 
     @classmethod
     def from_tables(cls, t: EmpCylTables, dtype=jnp.float32) -> "CylinderForce":
+        # tables stored FLAT (numx*numy, (mmax+1)*nmax): 2-D row layout keeps
+        # TPU gathers vectorized (a 4-D (x,y,m,n) array tiles the trailing
+        # (m,n) dims to (8,128) — an 8x physical blowup and scalarized loads)
+        def flat(a):
+            return jnp.asarray(
+                a.reshape(t.numx * t.numy, (t.mmax + 1) * t.nmax),
+                dtype=dtype)
+
+        import numpy as _np
+
+        # fused force table: [pot | dU/dR | dU/dz] rows paired with their
+        # +1-in-y neighbor, so the force path needs TWO gathers total
+        cat = _np.concatenate([
+            t.pot.reshape(t.numx * t.numy, -1),
+            t.rforce.reshape(t.numx * t.numy, -1),
+            t.zforce.reshape(t.numx * t.numy, -1)], axis=1)
+        quad = _np.concatenate([cat, _np.roll(cat, -1, axis=0)], axis=1)
         return cls(
-            pot_t=jnp.asarray(t.pot, dtype=dtype),
-            rfrc_t=jnp.asarray(t.rforce, dtype=dtype),
-            zfrc_t=jnp.asarray(t.zforce, dtype=dtype),
-            dens_t=jnp.asarray(t.dens, dtype=dtype),
+            pot_t=flat(t.pot), rfrc_t=flat(t.rforce), zfrc_t=flat(t.zforce),
+            dens_t=flat(t.dens),
+            quad_t=jnp.asarray(quad, dtype=dtype),
             mmax=t.mmax, nmax=t.nmax, numx=t.numx, numy=t.numy,
             acyl=t.acyl, hcyl=t.hcyl, xmin=t.xmin, dx=t.dx,
             ymin=t.ymin, dy=t.dy, rmax_grid=t.rcylmax * t.acyl)
 
     def tree_flatten(self):
-        return ((self.pot_t, self.rfrc_t, self.zfrc_t, self.dens_t),
+        return ((self.pot_t, self.rfrc_t, self.zfrc_t, self.dens_t,
+                 self.quad_t),
                 (self.mmax, self.nmax, self.numx, self.numy, self.acyl,
                  self.hcyl, self.xmin, self.dx, self.ymin, self.dy,
                  self.rmax_grid))
@@ -89,24 +107,26 @@ class CylinderForce:
         phi = jnp.arctan2(x[:, 1], x[:, 0])
         return R, z, phi
 
-    def _bilinear(self, table, R, z):
-        """Bilinear interpolation of (numx, numy, M, n) table -> (N, M, n)."""
+    def _bilinear_flat(self, table, R, z):
+        """Bilinear interpolation of a flat (numx*numy, M*n) table
+        -> (N, M*n)."""
         xg = (R / self.acyl - 1.0) / (R / self.acyl + 1.0)
         yg = jnp.arcsinh(z / self.hcyl)
         tx = jnp.clip((xg - self.xmin) / self.dx, 0.0, self.numx - 1.001)
         ty = jnp.clip((yg - self.ymin) / self.dy, 0.0, self.numy - 1.001)
         ix = tx.astype(jnp.int32)
         iy = ty.astype(jnp.int32)
-        fx = (tx - ix)[:, None, None]
-        fy = (ty - iy)[:, None, None]
-        flat = table.reshape(self.numx * self.numy, self.mmax + 1, self.nmax)
+        fx = (tx - ix)[:, None]
+        fy = (ty - iy)[:, None]
         i00 = ix * self.numy + iy
-        v00 = flat[i00]
-        v01 = flat[i00 + 1]
-        v10 = flat[i00 + self.numy]
-        v11 = flat[i00 + self.numy + 1]
-        return (v00 * (1 - fx) * (1 - fy) + v01 * (1 - fx) * fy
-                + v10 * fx * (1 - fy) + v11 * fx * fy)
+        return (table[i00] * (1 - fx) * (1 - fy)
+                + table[i00 + 1] * (1 - fx) * fy
+                + table[i00 + self.numy] * fx * (1 - fy)
+                + table[i00 + self.numy + 1] * fx * fy)
+
+    def _bilinear(self, table, R, z):
+        v = self._bilinear_flat(table, R, z)
+        return v.reshape(v.shape[0], self.mmax + 1, self.nmax)
 
     def _trig(self, phi, dtype):
         m = jnp.arange(self.mmax + 1, dtype=dtype)
@@ -119,15 +139,17 @@ class CylinderForce:
         R, z, phi = self._geometry(x)
         r = jnp.sqrt(R * R + z * z)
         w = jnp.where(r <= self.rmax_grid, mass, 0.0)
-        U = self._bilinear(self.pot_t, R, z)             # (N, M+1, nmax)
+        U = self._bilinear_flat(self.pot_t, R, z)        # (N, (M+1)*nmax)
         cosm, sinm = self._trig(phi, x.dtype)
         wc = w[:, None] * cosm                           # (N, M+1)
         ws = w[:, None] * sinm
-        cc = jnp.einsum("im,imn->mn", wc, U,
-                        preferred_element_type=accum_dtype)
-        cs = jnp.einsum("im,imn->mn", ws, U,
-                        preferred_element_type=accum_dtype)
-        return -4.0 * math.pi * jnp.stack([cc, cs])
+        # one dense matmul; select the matching-m diagonal afterwards
+        Wcs = jnp.concatenate([wc, ws], axis=1)          # (N, 2(M+1))
+        big = jnp.dot(U.T, Wcs, preferred_element_type=accum_dtype)
+        big = big.reshape(self.mmax + 1, self.nmax, 2, self.mmax + 1)
+        msel = jnp.arange(self.mmax + 1)
+        sel = big[msel, :, :, msel]                      # (M+1, nmax, 2)
+        return -4.0 * math.pi * jnp.transpose(sel, (2, 0, 1))
 
     def coefficients(self, x, mass, axis_name=None, accum_dtype=jnp.float32):
         c = self.coefficients_local(x, mass, accum_dtype=accum_dtype)
@@ -146,19 +168,40 @@ class CylinderForce:
         Re = R * shrink
         ze = z * shrink
 
-        U = self._bilinear(self.pot_t, Re, ze)
-        dUr = self._bilinear(self.rfrc_t, Re, ze)
-        dUz = self._bilinear(self.zfrc_t, Re, ze)
+        # fused lookup: two gathers of [pot|dUr|dUz] x [y, y+1] rows
+        xg = (Re / self.acyl - 1.0) / (Re / self.acyl + 1.0)
+        yg = jnp.arcsinh(ze / self.hcyl)
+        tx = jnp.clip((xg - self.xmin) / self.dx, 0.0, self.numx - 1.001)
+        ty = jnp.clip((yg - self.ymin) / self.dy, 0.0, self.numy - 1.001)
+        ix = tx.astype(jnp.int32)
+        iy = ty.astype(jnp.int32)
+        fx = (tx - ix)[:, None]
+        fy = (ty - iy)[:, None]
+        i00 = ix * self.numy + iy
+        Fn = 3 * (self.mmax + 1) * self.nmax
+        g0 = self.quad_t[i00]
+        g1 = self.quad_t[i00 + self.numy]
+        v0 = g0[:, :Fn] * (1 - fy) + g0[:, Fn:] * fy
+        v1 = g1[:, :Fn] * (1 - fy) + g1[:, Fn:] * fy
+        v = v0 * (1 - fx) + v1 * fx                      # (N, 3*M*n)
+        Mn = (self.mmax + 1) * self.nmax
+        U, dUr, dUz = v[:, :Mn], v[:, Mn:2 * Mn], v[:, 2 * Mn:]
         cosm, sinm = self._trig(phi, dtype)
 
-        bc, bs = coef[0], coef[1]
-        cmn = jnp.einsum("mn,imn->im", bc, U)
-        smn = jnp.einsum("mn,imn->im", bs, U)
+        # contraction over n as elementwise multiply + reshape-sum (small-m
+        # batched einsums lower pathologically on TPU)
+        M1, nn = self.mmax + 1, self.nmax
+        bcf = coef[0].reshape(-1)[None, :]
+        bsf = coef[1].reshape(-1)[None, :]
+
+        def csum(tab, b):
+            return (tab * b).reshape(-1, M1, nn).sum(axis=2)   # (N, M+1)
+
+        cmn = csum(U, bcf)
+        smn = csum(U, bsf)
         pot = jnp.sum(cmn * cosm + smn * sinm, axis=1)
-        FR = -(jnp.einsum("mn,imn->im", bc, dUr) * cosm
-               + jnp.einsum("mn,imn->im", bs, dUr) * sinm).sum(axis=1)
-        Fz = -(jnp.einsum("mn,imn->im", bc, dUz) * cosm
-               + jnp.einsum("mn,imn->im", bs, dUz) * sinm).sum(axis=1)
+        FR = -(csum(dUr, bcf) * cosm + csum(dUr, bsf) * sinm).sum(axis=1)
+        Fz = -(csum(dUz, bcf) * cosm + csum(dUz, bsf) * sinm).sum(axis=1)
         mvals = jnp.arange(self.mmax + 1, dtype=dtype)
         Fp = jnp.sum((cmn * sinm - smn * cosm) * mvals[None, :], axis=1) / R
 
@@ -179,8 +222,9 @@ class CylinderForce:
     def density(self, coef, x):
         coef = coef.astype(x.dtype)
         R, z, phi = self._geometry(x)
-        D = self._bilinear(self.dens_t, R, z)
+        D = self._bilinear_flat(self.dens_t, R, z)
         cosm, sinm = self._trig(phi, x.dtype)
-        dc = jnp.einsum("mn,imn->im", coef[0], D)
-        ds = jnp.einsum("mn,imn->im", coef[1], D)
+        M1, nn = self.mmax + 1, self.nmax
+        dc = (D * coef[0].reshape(-1)[None, :]).reshape(-1, M1, nn).sum(2)
+        ds = (D * coef[1].reshape(-1)[None, :]).reshape(-1, M1, nn).sum(2)
         return jnp.sum(dc * cosm + ds * sinm, axis=1) / (4.0 * math.pi)
