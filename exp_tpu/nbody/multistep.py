@@ -169,31 +169,29 @@ def flatten_buckets(lb: LevelBuckets) -> ParticleSystem:
 # The jitted big step
 # ---------------------------------------------------------------------------
 
-def make_bigstep_fn(forces: dict, couples: dict, dtime: float, M: int,
-                    mesh, accum_dtype=jnp.float32, axis_name: str = "p",
-                    externals=()):
-    """Build the jitted big step over bucketed state.
+def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
+                    ms: int, mesh, accum_dtype=jnp.float32,
+                    axis_name: str = "p", externals=()):
+    """One compiled SUBSTEP (fine step `ms` of the hierarchy).
 
-    state:  {name: tuple(ps_level0, ..., ps_levelM)}
-    regs:   {name: (coefL, coefN)} each (M+1,) + coef_shape
-    returns (state, regs, coef_full, diag) with everything synchronized at
-    t + dtime.
-    """
+    Compiling substeps separately and dispatching from the host keeps each
+    XLA graph small — the fully-unrolled 2^M-substep graph takes minutes to
+    compile for composite multi-force runs, and re-leveling (new bucket
+    capacities) would recompile all of it."""
     from jax.sharding import PartitionSpec as P
 
     Mstep = 2 ** M
     mint = mintvl_table(M)
     names = list(forces)
 
-    def bigstep(state, regs, t0):
+    def substep(state, regs, t0):
         state = {n: list(bs) for n, bs in state.items()}
         regs = {n: [list(r[0]), list(r[1])] for n, r in regs.items()}
         dt = dtime / Mstep
 
-        for ms in range(Mstep):                       # static unroll
-            mfirst = mfirst_of(ms, M)
-            mdrft = ms + 1
-            mfirst_d = mfirst_of(mdrft, M) if mdrft < Mstep else 0
+        for ms_ in (ms,):                             # single substep
+            mfirst = mfirst_of(ms_, M)
+            mdrft = ms_ + 1
 
             # -- opening half-kick + full drift for active levels ---------
             for n in names:
@@ -219,7 +217,7 @@ def make_bigstep_fn(forces: dict, couples: dict, dtime: float, M: int,
             for n in names:
                 tot = None
                 for l in range(M + 1):
-                    w = ((ms % mint[l]) + 1) / mint[l]
+                    w = ((ms_ % mint[l]) + 1) / mint[l]
                     c = regs[n][0][l] * (1.0 - w) + regs[n][1][l] * w
                     tot = c if tot is None else tot + c
                 coef_full[n] = tot
@@ -263,7 +261,7 @@ def make_bigstep_fn(forces: dict, couples: dict, dtime: float, M: int,
     diag_specs = {n: _diag_specs() for n in names}
 
     return jax.jit(shard_map(
-        bigstep, mesh, (state_specs, reg_specs, P()),
+        substep, mesh, (state_specs, reg_specs, P()),
         (state_specs, reg_specs, coef_specs, diag_specs)))
 
 
@@ -332,12 +330,20 @@ class MultistepRunner:
         return self._init_fns[sig](st)
 
     def bigstep(self, st, regs, t0=0.0):
+        """One big step = host loop over 2^M separately-compiled substeps
+        (small graphs; re-leveling recompiles only what changed)."""
+        import jax.numpy as jnp
+
         sig = self._caps_sig(st)
-        if sig not in self._fns:
-            self._fns[sig] = make_bigstep_fn(
-                self.forces, self.couples, self.dtime, self.M, self.mesh,
-                accum_dtype=self.accum_dtype, externals=self.externals)
-        st, regs, coef, diag = self._fns[sig](st, regs, t0)
+        Mstep = 2 ** self.M
+        for ms in range(Mstep):
+            key = (sig, ms)
+            if key not in self._fns:
+                self._fns[key] = make_substep_fn(
+                    self.forces, self.couples, self.dtime, self.M, ms,
+                    self.mesh, accum_dtype=self.accum_dtype,
+                    externals=self.externals)
+            st, regs, coef, diag = self._fns[key](st, regs, jnp.float32(t0))
         return st, regs, coef, diag
 
     def relevel(self, st, regs):

@@ -47,11 +47,18 @@ class OutLog(Output):
             sim.outdir, filename or f"OUTLOG.{sim.runtag}")
         self._wall0 = time.time()
         names = list(sim.components)
+        comp_cols = ["mass", "R(x)", "R(y)", "R(z)", "V(x)", "V(y)",
+                     "V(z)", "L(x)", "L(y)", "L(z)", "KE", "PE", "VC",
+                     "E", "2T/VC"]
+        cols = list(self.GLOBAL_COLS)
+        for n in names:
+            cols += [f"{n}:{c}" for c in comp_cols]
         with open(self.path, "w") as f:
             f.write(f"# exp_tpu run {sim.runtag}; components: "
                     f"{', '.join(names)}\n")
-            f.write("# Columns: global totals; energies G=1\n")
-            f.write("|".join(f"{c:>16s}" for c in self.GLOBAL_COLS) + "\n")
+            f.write("# Columns: global totals then per-component sections; "
+                    "energies G=1\n")
+            f.write("|".join(f"{c:>16s}" for c in cols) + "\n")
 
     def write(self, sim, istep):
         d = sim.total_diag()
@@ -64,6 +71,17 @@ class OutLog(Output):
         nb = sum(c.ps.n for c in sim.components.values())
         row = [sim.time, mass, nb, *com, *mom, *L, ke, pe, vc, ke + vc,
                ratio, time.time() - self._wall0]
+        # per-component sections (the reference's lab_component columns,
+        # OutLog.cc:34-52) appended after the global block
+        for n, dc in (sim._diag or {}).items():
+            mc = float(dc["mass"])
+            cc = np.asarray(dc["com"]) / max(mc, 1e-30)
+            vv = np.asarray(dc["mom"]) / max(mc, 1e-30)
+            Lc = np.asarray(dc["L"])
+            kec, pec, vcc = (float(dc["KE"]), float(dc["PE"]),
+                             float(dc["VC"]))
+            rc = -2.0 * kec / vcc if vcc != 0 else np.nan
+            row += [mc, *cc, *vv, *Lc, kec, pec, vcc, kec + vcc, rc]
         with open(self.path, "a") as f:
             f.write("|".join(
                 f"{v:>16d}" if isinstance(v, (int, np.integer))
