@@ -42,7 +42,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from exp_tpu.basis.model import SphericalModelTable
-from exp_tpu.basis.slgrid import build_sph_sl_tables, SphSLTables
+from exp_tpu.basis.slgrid import build_sph_sl_tables
 from exp_tpu.ops import coords
 
 

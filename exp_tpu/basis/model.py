@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import io
 import numpy as np
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from scipy.interpolate import CubicSpline
 
 

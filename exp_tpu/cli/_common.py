@@ -3,9 +3,6 @@
 from __future__ import annotations
 
 import argparse
-import sys
-
-import numpy as np
 
 
 def make_parser(prog, desc):

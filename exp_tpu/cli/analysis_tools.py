@@ -4,8 +4,6 @@ utils/Analysis, utils/SL, utils/MSSA and expui CLI helpers)."""
 
 from __future__ import annotations
 
-import sys
-
 import numpy as np
 
 from exp_tpu.cli._common import make_parser, load_model, load_snapshot

@@ -9,8 +9,6 @@ that hard-fails bad configs, OutputContainer.cc:128-131).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any
-
 import yaml
 
 

@@ -15,8 +15,7 @@ Python entry points replace the reference's dlopen plugin registry
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

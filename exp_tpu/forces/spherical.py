@@ -27,8 +27,7 @@ unnormalized Condon–Shortley P_lm (src/SphericalBasis.cc:328-335).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, replace
-from functools import partial
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ its weighted coefficients; forces are the sum of both fields.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ here can be read by pyEXP's `coefs` module and vice versa
 
 from __future__ import annotations
 
-import json
 import numpy as np
 
 COEFFICIENT_OUTPUT_VERSION = "1.0"

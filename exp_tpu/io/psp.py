@@ -19,7 +19,6 @@ An OUT. file may hold several dumps appended back to back (PSPout).
 
 from __future__ import annotations
 
-import io
 import numpy as np
 from dataclasses import dataclass, field
 

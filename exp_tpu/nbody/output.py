@@ -154,11 +154,31 @@ def restore_checkpoint(sim, path=None):
     """Restart from an OutChkpt file (the reference's `infile:` restart,
     Component.H:202-204, Component.cc:3253)."""
     import h5py
-    from dataclasses import replace as drep
-    import jax.numpy as jnp
     from exp_tpu.nbody.particles import ParticleSystem
 
     path = path or os.path.join(sim.outdir, f"OUT.{sim.runtag}.chkpt")
+    # PSP binary checkpoints also restart (the reference's native format)
+    with open(path, "rb") as fh:
+        magic_hdf = fh.read(8)
+    if not magic_hdf.startswith(b"\x89HDF"):
+        from exp_tpu.io.psp import read_psp
+
+        d = read_psp(path)
+        if isinstance(d, list):
+            d = d[-1]
+        sim.time = float(d.time)
+        state = {}
+        for c in d.components:
+            if c.name not in sim.components:
+                continue
+            ps = ParticleSystem.from_arrays(c.x, c.v, c.mass,
+                                            dtype=sim.compute_dtype,
+                                            pad_to=sim.n_shards)
+            state[c.name] = ps.shard(sim.mesh)
+        if state:
+            sim._state.update(state)
+        sim._coefs = None
+        return sim
     with h5py.File(path, "r") as f:
         sim.time = float(f.attrs["time"])
         sim.istep = int(f.attrs["istep"])

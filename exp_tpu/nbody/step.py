@@ -15,8 +15,6 @@ SphericalBasis.cc:871-896; OutLog.cc:534).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

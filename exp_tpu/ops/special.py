@@ -11,7 +11,6 @@ blocks on the VPU (no per-particle scalar loops).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -151,3 +151,43 @@ def test_native_fastio(tmp_path):
     ps = read_ascii_bodies(str(p))
     assert ps.n == n
     np.testing.assert_allclose(np.asarray(ps.mass), arr[:, 0], rtol=1e-6)
+
+
+def test_psp_restart(tmp_path):
+    """infile: pointing at a PSP snapshot restarts the run (reference
+    parity: OUT.runtag.chkpt is PSP in the reference)."""
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.ic.eddington import sample_spherical_model
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+    from exp_tpu.nbody.output import restore_checkpoint
+    from exp_tpu.io.psp import PSPDump, PSPComponent, write_psp
+
+    m = hernquist_model(rmin=1e-4, rmax=20.0, numr=600)
+    m.to_file(tmp_path / "h.model")
+    x, v, mass = sample_spherical_model(m, 800, seed=8)
+    write_ascii_bodies(tmp_path / "h.bods", (x, v, mass))
+    (tmp_path / "c.yml").write_text("""\
+Global: {dtime: 0.02, nsteps: 2, runtag: pr0}
+Components:
+  - name: halo
+    bodyfile: h.bods
+    force:
+      id: sphereSL
+      parameters: {numr: 400, Lmax: 1, nmax: 4, rmapping: 1.0,
+                   modelname: h.model}
+Output: []
+""")
+    # write a PSP with shifted positions and restart from it
+    d = PSPDump(time=3.5, components=[PSPComponent(
+        name="halo", info="name: halo\n", mass=mass, x=x + 0.1, v=v,
+        pot=np.zeros(len(mass)))])
+    write_psp(str(tmp_path / "snap.psp"), d)
+    sim = Simulation.from_file(str(tmp_path / "c.yml"))
+    restore_checkpoint(sim, str(tmp_path / "snap.psp"))
+    assert sim.time == 3.5
+    np.testing.assert_allclose(np.asarray(sim._state["halo"].x)[:800],
+                               x + 0.1, atol=1e-6)
+    sim.prime()
+    sim.run(2)
+    assert np.isfinite(np.asarray(sim._state["halo"].x)).all()
