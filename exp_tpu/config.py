@@ -28,7 +28,7 @@ _GLOBAL_KEYS = {
     "dynfracV", "dynfracA", "dynfracP", "dynfracS", "dynfracD",
     "infile", "ldlibdir", "outdir", "nthrds", "cuda", "allcouples",
     "restart", "nbalance", "dbthresh", "dtime_rel", "shiftlevl",
-    "compute_dtype", "accum_dtype",
+    "compute_dtype", "accum_dtype", "fpe",
 }
 
 _COMPONENT_KEYS = {"name", "parameters", "bodyfile", "force"}
@@ -44,7 +44,7 @@ KNOWN_FORCES = {
 
 KNOWN_OUTPUTS = {
     "outlog", "outcoef", "outchkpt", "outpsn", "outascii", "outmulti",
-    "outvel", "outsamp", "orbtrace", "outdiag", "outfrac",
+    "outvel", "outsamp", "orbtrace", "outdiag", "outfrac", "outcalbr",
 }
 
 
@@ -66,6 +66,10 @@ class GlobalConfig:
     shiftlevl: int = 0
     compute_dtype: str = "float32"
     accum_dtype: str = "float64"
+    #: NaN guard: scan the phase-space state after each block and abort with
+    #: a diagnostic checkpoint (the reference's fpe_trap + bad_values(),
+    #: expand.cc:315-317, ComponentContainer.cc:1596)
+    fpe: bool = False
 
 
 @dataclass

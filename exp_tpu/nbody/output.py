@@ -384,6 +384,60 @@ class OutFrac(Output):
                 f"{v:.8g}" for v in radii) + chr(10))
 
 
+class OutCalbr(Output):
+    """Integration-accuracy calibration (the reference's OutCalbr,
+    src/OutCalbr.H:7-35): rms change in per-particle energy and angular
+    momentum between output intervals, binned by energy.  Columns per bin:
+    E_center, rms dE, rms dLx, rms dLy, rms dLz, count."""
+
+    def __init__(self, sim, nint=10, name=None, num=10, **kw):
+        super().__init__(sim, nint)
+        self.name = name or next(iter(sim.components))
+        self.num = int(num)
+        self.path = os.path.join(sim.outdir, f"OUTCALBR.{sim.runtag}")
+        self._prev = None   # (E, L) at last output
+        self.Emin = None    # bins fixed lazily at the first write (state
+                            # and potentials exist only after prime)
+
+    def _energies(self, sim):
+        ps = sim._state[self.name]
+        m = np.asarray(ps.mass)
+        live = m > 0
+        x = np.asarray(ps.x)[live]
+        v = np.asarray(ps.v)[live]
+        E = 0.5 * np.sum(v * v, axis=1) + np.asarray(ps.pot)[live]
+        L = np.cross(x, v)
+        return E, L
+
+    def write(self, sim, istep):
+        E, L = self._energies(sim)
+        if self.Emin is None:
+            self.Emin, self.Emax = float(E.min()), float(E.max())
+            self.dE = (self.Emax - self.Emin) / self.num or 1.0
+            Ec = self.Emin + self.dE * (np.arange(self.num) + 0.5)
+            with open(self.path, "w") as f:
+                f.write("# per-bin rms dE, dLx, dLy, dLz, N since last "
+                        "output" + chr(10))
+                f.write("# E bin centers: "
+                        + " ".join(f"{v:.6g}" for v in Ec) + chr(10))
+        if self._prev is not None:
+            E0, L0 = self._prev
+            idx = np.clip(((E - self.Emin) / self.dE).astype(int),
+                          0, self.num - 1)
+            cols = np.concatenate([(E - E0)[:, None] ** 2, (L - L0) ** 2],
+                                  axis=1)
+            sums = np.zeros((self.num, 4))
+            np.add.at(sums, idx, cols)
+            cnt = np.bincount(idx, minlength=self.num).astype(float)
+            rms = np.sqrt(sums / np.maximum(cnt, 1.0)[:, None])
+            with open(self.path, "a") as f:
+                f.write(f"{sim.time:.10g} " + " ".join(
+                    f"{rms[b, 0]:.6g} {rms[b, 1]:.6g} {rms[b, 2]:.6g} "
+                    f"{rms[b, 3]:.6g} {int(cnt[b])}"
+                    for b in range(self.num)) + chr(10))
+        self._prev = (E, L)
+
+
 class OutAscii(Output):
     def __init__(self, sim, nint=100, name=None, **kw):
         super().__init__(sim, nint)

@@ -325,6 +325,12 @@ class Simulation:
         self.wall_limit = None          # seconds of wall clock budget
         self.restart_cmd = None
         self._wall0 = time.time()
+        # per-phase wall-clock timers (the reference's step timers printed
+        # at VERBOSE>3, src/step.cc:28-29,347-374; here the jitted block is
+        # one fused phase so the split is Compute/Orient/Hall/Output/Relevel)
+        self.verbose = int(getattr(config.glob, "VERBOSE", 0))
+        self.timers = {k: 0.0 for k in
+                       ("Compute", "Orient", "Hall", "Output", "Relevel")}
         self._state = {n: c.ps for n, c in self.components.items()}
         self._coefs = None
         self._diag = None
@@ -503,14 +509,20 @@ class Simulation:
                 fn = self._step_fns[sig] = self._make_step_fn(kk)
             cts = {n: jnp.asarray(self._centers[n], self.compute_dtype)
                    for n in self.components}
+            t0 = time.time()
             self._state, coefs_hist, diag_hist = fn(self._state, self.time,
                                                     cts, extras)
             jax.block_until_ready(jax.tree_util.tree_leaves(self._state)[0])
+            t1 = time.time()
+            self.timers["Compute"] += t1 - t0
             # EJ center tracking (Orient): host-side update per block
             for n, c in self.components.items():
                 if c.EJ and c.orient is not None:
                     self._centers[n] = c.orient.update(self._state[n])
+            t2 = time.time()
+            self.timers["Orient"] += t2 - t1
             self._update_hall()
+            self.timers["Hall"] += time.time() - t2
             # advance counters; materialize per-step history slices ONLY for
             # steps where an output is due (each device slice is a separate
             # dispatch — per-step unpacking costs more than the physics)
@@ -524,9 +536,33 @@ class Simulation:
                     self._coefs = {n: coefs_hist[n][j] for n in coefs_hist}
                     self._diag = {n: jax.tree_util.tree_map(
                         lambda a: a[j], diag_hist[n]) for n in diag_hist}
+                t3 = time.time()
                 for o in due:
                     o.write(self, self.istep)
+                self.timers["Output"] += time.time() - t3
+            if self.verbose > 3:
+                self._print_timings()
+            self._check_bad_values()
         return self._state
+
+    def _check_bad_values(self):
+        """NaN guard (reference bad_values(), ComponentContainer.cc:1596;
+        fpe_trap expand.cc:315-317): on non-finite diagnostics, dump a
+        diagnostic checkpoint and raise."""
+        if not getattr(self.config.glob, "fpe", False) or self._diag is None:
+            return
+        for n, d in self._diag.items():
+            ke = float(np.asarray(d["KE"]))
+            pe = float(np.asarray(d["PE"]))
+            if np.isfinite(ke) and np.isfinite(pe):
+                continue
+            from exp_tpu.nbody.output import OutChkpt
+            name = f"SPSCHK.{self.runtag}.badvalues"
+            path = os.path.join(self.outdir, name)
+            OutChkpt(self, nint=0, filename=name).write(self, self.istep)
+            raise FloatingPointError(
+                f"non-finite diagnostics in component {n!r} at step "
+                f"{self.istep} (KE={ke}, PE={pe}); state dumped to {path}")
 
     def _run_multistep(self, nsteps=None):
         """Multistep main loop: one jitted big step per dtime, boundary
@@ -545,9 +581,14 @@ class Simulation:
         for _ in range(nsteps):
             if self._check_stop():
                 break
+            t0 = time.time()
             st, regs, coef, diag = r.bigstep(self._ms_state, self._ms_regs,
                                              self.time)
+            t1 = time.time()
+            self.timers["Compute"] += t1 - t0
             st, regs = r.relevel(st, regs)
+            t2 = time.time()
+            self.timers["Relevel"] += t2 - t1
             self._ms_state, self._ms_regs = st, regs
             self._coefs, self._diag = coef, diag
             self.istep += 1
@@ -556,8 +597,18 @@ class Simulation:
                 self._sync_flat_state()
             for o in self.outputs:
                 o.run(self, self.istep)
+            self.timers["Output"] += time.time() - t2
+            if self.verbose > 3:
+                self._print_timings()
         self._sync_flat_state()
         return self._state
+
+    def _print_timings(self):
+        """Per-phase wall-clock percentages (step.cc:347-374 analogue)."""
+        tot = sum(self.timers.values()) or 1.0
+        parts = " ".join(f"{k}={v:.3f}s({100 * v / tot:.0f}%)"
+                         for k, v in self.timers.items() if v > 0)
+        print(f"[exp_tpu] step {self.istep} timing: {parts}")
 
     def _make_extras(self):
         """Traced per-block extras: playback coefficients (interpolated at
@@ -655,13 +706,14 @@ class Simulation:
                                           OutAscii, OutPSN, OutMulti)
 
         from exp_tpu.nbody.output import (OutVel, OutSamp, OrbTrace,
-                                          OutDiag, OutFrac)
+                                          OutDiag, OutFrac, OutCalbr)
 
         cls = {"outlog": OutLog, "outcoef": OutCoef, "outchkpt": OutChkpt,
                "outascii": OutAscii, "outpsn": OutPSN,
                "outmulti": OutMulti, "outvel": OutVel,
                "outsamp": OutSamp, "orbtrace": OrbTrace,
-               "outdiag": OutDiag, "outfrac": OutFrac}.get(oc.id)
+               "outdiag": OutDiag, "outfrac": OutFrac,
+               "outcalbr": OutCalbr}.get(oc.id)
         if cls is None:
             raise ConfigError(f"output id {oc.id!r} not implemented yet")
         return cls(self, **oc.parameters)

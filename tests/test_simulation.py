@@ -196,3 +196,46 @@ def test_diag_outputs(rundir):
     assert np.all(np.diff(fr[0, 1:]) > 0)      # Lagrangian radii increase
     dg = np.loadtxt(rundir / "OUTDIAG.diag0")
     assert dg.shape[1] == 6
+
+
+def test_outcalbr_and_timers(rundir, capsys):
+    """OutCalbr writes per-bin rms dE/dL; VERBOSE>3 prints phase timings."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: calbr0\n  VERBOSE: 4")
+    txt += "  - id : outcalbr\n    parameters : {nint: 2, num: 5}\n"
+    (rundir / "config_calbr.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_calbr.yml"))
+    sim.prime()
+    sim.run(4)
+    lines = [ln for ln in (rundir / "OUTCALBR.calbr0").read_text()
+             .splitlines() if not ln.startswith("#")]
+    assert len(lines) >= 1
+    vals = lines[-1].split()
+    assert len(vals) == 1 + 5 * 5           # time + 5 bins x 5 columns
+    rms_dE = np.array([float(vals[1 + 5 * b]) for b in range(5)])
+    counts = np.array([int(vals[5 + 5 * b]) for b in range(5)])
+    assert counts.sum() == 3000
+    assert np.all(np.isfinite(rms_dE)) and rms_dE.max() < 1.0
+    assert "timing:" in capsys.readouterr().out
+
+
+def test_fpe_guard(rundir):
+    """fpe: true aborts on non-finite state with a diagnostic dump."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: fpe0\n  fpe: true")
+    (rundir / "config_fpe.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_fpe.yml"))
+    sim.prime()
+    sim.run(2)                               # healthy run passes the guard
+    # poison the state
+    import jax.numpy as jnp
+    from dataclasses import replace as _rp
+    ps = sim._state["halo"]
+    sim._state["halo"] = _rp(ps, v=ps.v.at[0, 0].set(jnp.nan))
+    with pytest.raises(FloatingPointError):
+        sim.run(2)
+    assert (rundir / "SPSCHK.fpe0.badvalues").exists()
