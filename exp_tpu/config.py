@@ -45,6 +45,7 @@ KNOWN_FORCES = {
 KNOWN_OUTPUTS = {
     "outlog", "outcoef", "outchkpt", "outpsn", "outascii", "outmulti",
     "outvel", "outsamp", "orbtrace", "outdiag", "outfrac", "outcalbr",
+    "outps", "outhdf5",
 }
 
 

@@ -122,6 +122,115 @@ class UserBar(ExternalField):
 
 
 @dataclass
+class UserMW(ExternalField):
+    """Milky-Way potential a la Gala (src/user/UserMW.H:9-31): NFW halo +
+    Miyamoto–Nagai disk + Hernquist nucleus + Hernquist bulge, with an erf
+    amplitude ramp between Ton and Toff."""
+
+    M_halo: float = 1.0
+    rs_halo: float = 1.0
+    M_disk: float = 0.05
+    a_disk: float = 0.3
+    b_disk: float = 0.03
+    M_nucl: float = 0.0
+    c_nucl: float = 0.01
+    M_bulge: float = 0.01
+    c_bulge: float = 0.1
+    Ton: float = -1.0e20
+    Toff: float = 1.0e20
+    DeltaT: float = 0.25
+
+    def potential(self, x, t):
+        from jax.scipy.special import erf
+
+        r = jnp.sqrt(jnp.sum(x * x, axis=-1)) + 1e-12
+        R2 = x[:, 0] ** 2 + x[:, 1] ** 2
+        # NFW
+        u = r / self.rs_halo
+        phi = -self.M_halo / r * jnp.log1p(u)
+        # MN disk
+        zb = jnp.sqrt(x[:, 2] ** 2 + self.b_disk ** 2)
+        phi = phi - self.M_disk / jnp.sqrt(R2 + (self.a_disk + zb) ** 2)
+        # Hernquist nucleus + bulge
+        phi = phi - self.M_nucl / (r + self.c_nucl)
+        phi = phi - self.M_bulge / (r + self.c_bulge)
+        amp = 0.25 * ((1.0 + erf((t - self.Ton) / self.DeltaT))
+                      * (1.0 + erf((self.Toff - t) / self.DeltaT)))
+        return amp * phi
+
+
+class UserDisk(ExternalField):
+    """Thin exponential disk, potential tabulated on an (R, |z|) grid
+    (src/user/UserDisk.H:8-24).  The table is built host-side from the
+    Bessel integral  Phi(R,z) = -2 pi Sigma0 a^2 \\int J0(kR) e^{-k|z|}
+    k dk / (1+(ka)^2)^{3/2}, then bilinearly interpolated on device;
+    forces come from autodiff of the interpolant."""
+
+    def __init__(self, a=1.0, mass=1.0, Ton=-1e20, Toff=1e20, DeltaT=0.25,
+                 Nscale=25.0, Ngrid=256, Nint=600, dtype=jnp.float32):
+        from scipy.special import j0
+
+        self.a, self.mass = float(a), float(mass)
+        self.Ton, self.Toff, self.DeltaT = Ton, Toff, DeltaT
+        Rmax = Zmax = Nscale * self.a
+        Rg = np.linspace(0.0, Rmax, Ngrid)
+        Zg = np.linspace(0.0, Zmax, Ngrid)
+        # log-spaced k quadrature of the Bessel integral
+        k = np.geomspace(1e-4 / self.a, 2e2 / self.a, Nint)
+        wk = np.gradient(k)
+        Sigma0a2 = self.mass / (2.0 * np.pi)   # Sigma0 a^2 for total mass M
+        kern = k * wk / (1.0 + (k * self.a) ** 2) ** 1.5   # (Nint,)
+        J = j0(k[None, :] * Rg[:, None])                   # (Ngrid, Nint)
+        E = np.exp(-k[None, :] * Zg[:, None])              # (Ngrid, Nint)
+        tab = -2.0 * np.pi * Sigma0a2 * np.einsum(
+            "rk,zk,k->rz", J, E, kern)                     # (R, z)
+        self.Rmax, self.Zmax = Rmax, Zmax
+        self.dR = Rg[1] - Rg[0]
+        self.dZ = Zg[1] - Zg[0]
+        self.tab = jnp.asarray(tab, dtype=dtype)
+
+    def potential(self, x, t):
+        from jax.scipy.special import erf
+
+        R = jnp.sqrt(x[:, 0] ** 2 + x[:, 1] ** 2)
+        Z = jnp.abs(x[:, 2])
+        n = self.tab.shape[0]
+        tr = jnp.clip(R / self.dR, 0.0, n - 1.001)
+        tz = jnp.clip(Z / self.dZ, 0.0, n - 1.001)
+        i = jnp.floor(tr).astype(jnp.int32)
+        j = jnp.floor(tz).astype(jnp.int32)
+        fr, fz = tr - i, tz - j
+        p = (self.tab[i, j] * (1 - fr) * (1 - fz)
+             + self.tab[i + 1, j] * fr * (1 - fz)
+             + self.tab[i, j + 1] * (1 - fr) * fz
+             + self.tab[i + 1, j + 1] * fr * fz)
+        # Keplerian continuation outside the table
+        r = jnp.sqrt(R * R + Z * Z)
+        p = jnp.where((R < self.Rmax) & (Z < self.Zmax), p,
+                      -self.mass / jnp.maximum(r, 1e-12))
+        amp = 0.25 * ((1.0 + erf((t - self.Ton) / self.DeltaT))
+                      * (1.0 + erf((self.Toff - t) / self.DeltaT)))
+        return amp * p
+
+
+@dataclass
+class ExternalShock(ExternalField):
+    """Time-dependent tidal shock along z (src/externalShock.H:7-24):
+    Phi = 1/2 A(t) z^2 with a sech^2 pulse of amplitude AMPL and duration
+    PER centered on each passage (the reference derives A(t) from an orbit
+    through a spherical model; here the pulse profile is specified
+    directly)."""
+
+    AMPL: float = 1.0
+    PER: float = 0.5
+    T0: float = 1.0
+
+    def potential(self, x, t):
+        A = self.AMPL / jnp.cosh((t - self.T0) / self.PER) ** 2
+        return 0.5 * A * x[:, 2] ** 2
+
+
+@dataclass
 class TidalField(ExternalField):
     """Linear tidal tensor Phi = 1/2 x^T T x (src/tidalField.cc)."""
 
@@ -132,6 +241,84 @@ class TidalField(ExternalField):
     def potential(self, x, t):
         return 0.5 * (self.txx * x[:, 0] ** 2 + self.tyy * x[:, 1] ** 2
                       + self.tzz * x[:, 2] ** 2)
+
+
+class ScatterMFP:
+    """Mean-free-path dark-matter self-interaction scattering
+    (src/ScatterMFP.H:14-45).  Host-side stochastic operator applied
+    between jitted blocks: each application, every particle is scattered
+    with probability dt/tau weighted by local density (radial shell
+    estimate); a scattered particle keeps |v| but gets an isotropic random
+    direction (elastic isotropic scattering in the local frame)."""
+
+    is_operator = True
+
+    def __init__(self, tau=10.0, rmax=10.0, tautab=40, nscat=1, seed=11,
+                 **kw):
+        self.tau = float(tau)
+        self.rmax = float(rmax)
+        self.tautab = int(tautab)
+        self.nscat = int(nscat)       # apply every nscat blocks
+        self.rng = np.random.default_rng(seed)
+        self.nscattered = 0
+
+    def apply(self, ps, dt, istep, time=0.0):
+        if self.nscat > 0 and istep % self.nscat:
+            return ps
+        from dataclasses import replace as _rp
+
+        m = np.asarray(ps.mass)
+        live = m > 0
+        x = np.asarray(ps.x)
+        v = np.asarray(ps.v)
+        r = np.linalg.norm(x, axis=1)
+        # shell density estimate -> scattering rate ~ rho(r)
+        edges = np.linspace(0.0, self.rmax, self.tautab + 1)
+        idx = np.clip(np.digitize(r, edges) - 1, 0, self.tautab - 1)
+        vol = 4.0 * np.pi / 3.0 * np.diff(edges ** 3)
+        rho = np.bincount(idx, weights=m, minlength=self.tautab) / vol
+        rate = rho[idx] / max(rho.max(), 1e-300)
+        p = np.clip(dt / self.tau * rate, 0.0, 1.0)
+        hit = live & (self.rng.random(len(m)) < p)
+        nh = int(hit.sum())
+        if nh:
+            u = self.rng.normal(size=(nh, 3))
+            u /= np.linalg.norm(u, axis=1, keepdims=True)
+            v = v.copy()
+            v[hit] = u * np.linalg.norm(v[hit], axis=1, keepdims=True)
+            self.nscattered += nh
+        return _rp(ps, v=jnp.asarray(v, ps.v.dtype))
+
+
+class GenerateRelaxation:
+    """Relaxation diagnostic (src/generateRelaxation.H:4-16): tracks the
+    per-particle relative energy change since the first call and appends
+    the mass-weighted <|dE/E|> to `<runtag>.relx`."""
+
+    is_operator = True
+
+    def __init__(self, runtag="run", outdir=".", nscat=1, **kw):
+        import os
+
+        self.path = os.path.join(outdir, f"{runtag}.relx")
+        self._e0 = None
+        with open(self.path, "w") as f:
+            f.write("# time  <|dE/E|>  max|dE/E|" + chr(10))
+
+    def apply(self, ps, dt, istep, time=0.0):
+        m = np.asarray(ps.mass)
+        live = m > 0
+        E = (0.5 * np.sum(np.asarray(ps.v)[live] ** 2, axis=1)
+             + np.asarray(ps.pot)[live])
+        if self._e0 is None:
+            self._e0 = E
+            return ps
+        rel = np.abs((E - self._e0) / np.minimum(self._e0, -1e-12))
+        w = m[live] / m[live].sum()
+        with open(self.path, "a") as f:
+            f.write(f"{time:.10g} {np.sum(w * rel):.6g} {rel.max():.6g}"
+                    + chr(10))
+        return ps
 
 
 @dataclass
@@ -150,6 +337,17 @@ _REGISTRY = {
     "usermndisk": UserMNdisk,
     "userbar": UserBar,
     "tidalField": TidalField,
+    "usermw": UserMW,
+    "userdisk": UserDisk,
+    "externalShock": ExternalShock,
+}
+
+#: host-side stochastic/diagnostic operators (applied between jitted
+#: blocks, not traced): ExternalCollection.cc:67-89 ScatterMFP and
+#: generateRelaxation
+_OPERATORS = {
+    "scatterMFP": ScatterMFP,
+    "generateRelaxation": GenerateRelaxation,
 }
 
 
@@ -173,5 +371,15 @@ def build_external(conf: dict, workdir=".", dtype=jnp.float32):
     cls = _REGISTRY.get(eid)
     if cls is None:
         raise ValueError(f"unknown external force id {eid!r}; "
-                         f"known: {sorted(_REGISTRY) + ['userhalo']}")
+                         f"known: {sorted(_REGISTRY) + ['userhalo'] + sorted(_OPERATORS)}")
     return cls(**params)
+
+
+def build_operator(conf: dict, runtag="run", outdir="."):
+    """Factory for host-side operators (scatterMFP, generateRelaxation);
+    returns None if the id is not an operator."""
+    cls = _OPERATORS.get(conf.get("id"))
+    if cls is None:
+        return None
+    return cls(runtag=runtag, outdir=outdir,
+               **dict(conf.get("parameters") or {}))

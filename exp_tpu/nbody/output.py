@@ -218,6 +218,71 @@ class OutPSN(Output):
         write_psp(path, dump, real4=self.real4)
 
 
+class OutPS(OutPSN):
+    """All PSP dumps appended to a single OUT.<runtag> file (the
+    reference's OutPS writer; read back with read_psp which returns the
+    dump list)."""
+
+    def __init__(self, sim, nint=100, real4=True, **kw):
+        super().__init__(sim, nint, real4=real4)
+        self.path = os.path.join(sim.outdir, f"OUT.{sim.runtag}")
+        self._started = False
+
+    def write(self, sim, istep):
+        from exp_tpu.io.psp import PSPDump, PSPComponent, write_psp
+
+        dump = PSPDump(time=sim.time)
+        for n in sim.components:
+            ps = sim._state[n]
+            live = np.asarray(ps.mass) > 0
+            dump.components.append(PSPComponent(
+                name=n, info=f"name: {n}\n",
+                mass=np.asarray(ps.mass)[live],
+                x=np.asarray(ps.x)[live], v=np.asarray(ps.v)[live],
+                pot=np.asarray(ps.pot)[live]))
+        write_psp(self.path, dump, real4=self.real4, append=self._started)
+        self._started = True
+
+
+class OutHDF5(Output):
+    """HDF5 phase-space snapshot series (the reference's OutHDF5 writer):
+    one file, one group per dump with per-component mass/pos/vel/pot."""
+
+    def __init__(self, sim, nint=100, filename=None, real4=True, **kw):
+        super().__init__(sim, nint)
+        self.path = os.path.join(sim.outdir,
+                                 filename or f"OUT.{sim.runtag}.h5")
+        self.dtype = np.float32 if real4 else np.float64
+        self._count = 0
+        import h5py
+
+        with h5py.File(self.path, "w") as f:
+            f.attrs["runtag"] = sim.runtag
+
+    def write(self, sim, istep):
+        import h5py
+
+        with h5py.File(self.path, "a") as f:
+            g = f.create_group(f"snapshots/{self._count:08d}")
+            g.attrs["Time"] = float(sim.time)
+            g.attrs["step"] = int(istep)
+            for n in sim.components:
+                ps = sim._state[n]
+                live = np.asarray(ps.mass) > 0
+                c = g.create_group(n)
+                c.create_dataset("mass",
+                                 data=np.asarray(ps.mass)[live]
+                                 .astype(self.dtype))
+                c.create_dataset("pos", data=np.asarray(ps.x)[live]
+                                 .astype(self.dtype))
+                c.create_dataset("vel", data=np.asarray(ps.v)[live]
+                                 .astype(self.dtype))
+                c.create_dataset("pot", data=np.asarray(ps.pot)[live]
+                                 .astype(self.dtype))
+            f.attrs["count"] = self._count + 1
+        self._count += 1
+
+
 class OutMulti(Output):
     """Multistep level populations (the reference's OutMulti +
     print_level_lists `runtag.levels`, src/step.cc:228)."""

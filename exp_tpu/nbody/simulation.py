@@ -294,16 +294,23 @@ class Simulation:
                 self.couples[b] = list(names)
 
         # external fields + boundary wrappers (External: stanza)
-        from exp_tpu.forces.external import build_external, PeriodicBC
+        from exp_tpu.forces.external import (build_external, build_operator,
+                                             PeriodicBC)
 
         self.externals = []
         self.wrappers = []
+        self.operators = []      # host-side per-block operators
         for e in (config.external or []):
             if not e:
                 continue
             if e.get("id") == "periodicBC":
                 self.wrappers.append(PeriodicBC(
                     **(e.get("parameters") or {})))
+                continue
+            op = build_operator(e, runtag=config.glob.runtag,
+                                outdir=self.outdir)
+            if op is not None:
+                self.operators.append(op)
             else:
                 self.externals.append(build_external(
                     e, workdir=workdir, dtype=self.compute_dtype))
@@ -540,6 +547,12 @@ class Simulation:
                 for o in due:
                     o.write(self, self.istep)
                 self.timers["Output"] += time.time() - t3
+            # host-side operators (scatterMFP, generateRelaxation): applied
+            # once per block, outside the jitted step
+            for op in self.operators:
+                for n in self._state:
+                    self._state[n] = op.apply(self._state[n], self.dt * kk,
+                                              self.istep, time=self.time)
             if self.verbose > 3:
                 self._print_timings()
             self._check_bad_values()
@@ -706,14 +719,16 @@ class Simulation:
                                           OutAscii, OutPSN, OutMulti)
 
         from exp_tpu.nbody.output import (OutVel, OutSamp, OrbTrace,
-                                          OutDiag, OutFrac, OutCalbr)
+                                          OutDiag, OutFrac, OutCalbr,
+                                          OutPS, OutHDF5)
 
         cls = {"outlog": OutLog, "outcoef": OutCoef, "outchkpt": OutChkpt,
                "outascii": OutAscii, "outpsn": OutPSN,
                "outmulti": OutMulti, "outvel": OutVel,
                "outsamp": OutSamp, "orbtrace": OrbTrace,
                "outdiag": OutDiag, "outfrac": OutFrac,
-               "outcalbr": OutCalbr}.get(oc.id)
+               "outcalbr": OutCalbr, "outps": OutPS,
+               "outhdf5": OutHDF5}.get(oc.id)
         if cls is None:
             raise ConfigError(f"output id {oc.id!r} not implemented yet")
         return cls(self, **oc.parameters)

@@ -191,3 +191,55 @@ Output: []
     sim.prime()
     sim.run(2)
     assert np.isfinite(np.asarray(sim._state["halo"].x)).all()
+
+
+def test_outps_and_outhdf5_driver(tmp_path):
+    """OutPS appends dumps to one OUT file; OutHDF5 writes a snapshot
+    series; both round-trip."""
+    import numpy as np
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+
+    rng = np.random.default_rng(9)
+    n = 100
+    write_ascii_bodies(tmp_path / "b.bods",
+                       (rng.normal(0, 0.5, (n, 3)),
+                        rng.normal(0, 0.2, (n, 3)), np.full(n, 1.0 / n)))
+    (tmp_path / "c.yml").write_text("""\
+Global:
+  dtime: 0.01
+  nsteps: 4
+  runtag: psrun
+Components:
+  - name: halo
+    bodyfile: b.bods
+    force: {id: noforce, parameters: {}}
+Output:
+  - id: outps
+    parameters: {nint: 2, real4: false}
+  - id: outhdf5
+    parameters: {nint: 2}
+""")
+    sim = Simulation.from_file(str(tmp_path / "c.yml"))
+    sim.prime()
+    sim.run()
+    from exp_tpu.io.psp import read_psp
+
+    dumps = read_psp(tmp_path / "OUT.psrun")
+    # initial dump at prime + one every 2 of 4 steps = 3
+    assert isinstance(dumps, list) and len(dumps) == 3
+    assert dumps[0].time < dumps[-1].time
+    assert len(dumps[-1].components[0].mass) == n
+    np.testing.assert_allclose(
+        dumps[-1].components[0].x,
+        np.asarray(sim._state["halo"].x)[:n], atol=1e-12)
+
+    import h5py
+
+    with h5py.File(tmp_path / "OUT.psrun.h5") as f:
+        assert f.attrs["count"] == 3
+        snap = f["snapshots/00000002"]
+        assert abs(snap.attrs["Time"] - sim.time) < 1e-9
+        np.testing.assert_allclose(snap["halo/pos"][()],
+                                   np.asarray(sim._state["halo"].x)[:n],
+                                   rtol=1e-6)

@@ -232,3 +232,76 @@ Output:
     rows = [r for r in log if not r.startswith("#") and "Time" not in r]
     E = [float(r.split("|")[15]) for r in rows]
     assert np.isfinite(E).all()
+
+
+def test_new_externals_autodiff():
+    """UserMW / UserDisk / ExternalShock: finite, curl-free, sane."""
+    from exp_tpu.forces.external import UserMW, UserDisk, ExternalShock
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1.0, (32, 3)))
+    for ext in (UserMW(), ExternalShock(AMPL=0.3, PER=0.4, T0=1.0),
+                UserDisk(a=1.0, mass=1.0, dtype=jnp.float64)):
+        acc, pot = ext.acceleration(x, 0.9)
+        assert np.isfinite(np.asarray(acc)).all()
+        h = 1e-5
+        dx = jnp.zeros((32, 3)).at[:, 1].set(h)
+        num = -(ext.potential(x + dx, 0.9)
+                - ext.potential(x - dx, 0.9)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(acc[:, 1]), np.asarray(num),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_userdisk_vs_mn_far_field():
+    """UserDisk table: far-field potential is Keplerian -M/r."""
+    from exp_tpu.forces.external import UserDisk
+
+    d = UserDisk(a=0.5, mass=2.0, dtype=jnp.float64)
+    x = jnp.asarray([[20.0, 0.0, 3.0], [0.0, 15.0, -8.0]])
+    pot = np.asarray(d.potential(x, 0.0))
+    r = np.linalg.norm(np.asarray(x), axis=1)
+    np.testing.assert_allclose(pot, -2.0 / r, rtol=5e-2)
+
+
+def test_operators_in_driver(tmp_path):
+    """scatterMFP preserves speeds; generateRelaxation writes .relx."""
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+
+    rng = np.random.default_rng(7)
+    n = 200
+    x = rng.normal(0, 0.5, (n, 3))
+    v = rng.normal(0, 0.3, (n, 3))
+    m = np.full(n, 1.0 / n)
+    write_ascii_bodies(tmp_path / "s.bods", (x, v, m))
+    (tmp_path / "c.yml").write_text("""\
+Global:
+  dtime: 0.01
+  nsteps: 6
+  runtag: scat0
+Components:
+  - name: gas
+    bodyfile: s.bods
+    force: {id: noforce, parameters: {}}
+Output:
+  - id: outlog
+    parameters: {nint: 3}
+External:
+  - id: scatterMFP
+    parameters: {tau: 0.02, rmax: 4.0, seed: 2}
+  - id: generateRelaxation
+    parameters: {}
+""")
+    sim = Simulation.from_file(str(tmp_path / "c.yml"))
+    sim.prime()
+    speeds0 = np.sort(np.linalg.norm(np.asarray(
+        sim._state["gas"].v), axis=1))
+    sim.run()
+    op = sim.operators[0]
+    assert op.nscattered > 0
+    # elastic isotropic scattering with noforce: speed set preserved
+    speeds1 = np.sort(np.linalg.norm(np.asarray(
+        sim._state["gas"].v), axis=1))
+    np.testing.assert_allclose(speeds1, speeds0, rtol=1e-6)
+    relx = (tmp_path / "scat0.relx").read_text().splitlines()
+    assert len(relx) >= 2 and not relx[-1].startswith("#")
