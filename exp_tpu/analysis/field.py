@@ -72,6 +72,29 @@ class FieldGenerator:
             out[t] = self._fields_at(basis, c, pts)
         return out
 
+    def file_slices(self, basis, coefs, prefix, outdir="."):
+        """Render slices for every time and write legacy-VTK files plus a
+        ParaView .pvd time-series index (the reference's
+        FieldGenerator::file_slices via VtkGrid + writePVD,
+        exputil VtkGrid.H / writePVD.cc)."""
+        return self._file_fields(self.slices(basis, coefs), prefix, outdir)
+
+    def file_volumes(self, basis, coefs, prefix, outdir="."):
+        """3D volume analogue of file_slices (FieldGenerator::file_volumes)."""
+        return self._file_fields(self.volumes(basis, coefs), prefix, outdir)
+
+    def _file_fields(self, rendered, prefix, outdir):
+        import os
+
+        paths = []
+        for i, (t, fields) in enumerate(sorted(rendered.items())):
+            p = os.path.join(outdir, f"{prefix}_{i:05d}.vtk")
+            write_vtk(p, fields, self.pmin, self.pmax)
+            paths.append((t, p))
+        pvd = os.path.join(outdir, f"{prefix}.pvd")
+        write_pvd(pvd, paths)
+        return [p for _, p in paths] + [pvd]
+
     def histo2d(self, x, mass, axes=(0, 1)):
         """Particle surface-density histogram on the grid
         (FieldGenerator::histogram analogue)."""
@@ -85,3 +108,45 @@ class FieldGenerator:
             weights=np.asarray(mass))
         dA = (xe[1] - xe[0]) * (ye[1] - ye[0])
         return H / dA
+
+
+def write_vtk(path, fields, pmin, pmax):
+    """Legacy-VTK STRUCTURED_POINTS writer (exputil VtkGrid analogue):
+    each entry of `fields` (name -> 1/2/3-D array) becomes a scalar
+    point-data field; collapsed axes get a single plane."""
+    names = list(fields)
+    a0 = np.asarray(fields[names[0]])
+    shape = list(a0.shape) + [1] * (3 - a0.ndim)
+    pmin = np.asarray(pmin, dtype=float)
+    pmax = np.asarray(pmax, dtype=float)
+    spacing = [(pmax[c] - pmin[c]) / max(shape[c] - 1, 1) if c < len(shape)
+               else 1.0 for c in range(3)]
+    npts = int(np.prod(shape))
+    with open(path, "w") as f:
+        f.write("# vtk DataFile Version 3.0\n"
+                "exp_tpu field\nASCII\nDATASET STRUCTURED_POINTS\n")
+        f.write(f"DIMENSIONS {shape[0]} {shape[1]} {shape[2]}\n")
+        f.write(f"ORIGIN {pmin[0]:g} {pmin[1]:g} {pmin[2]:g}\n")
+        f.write(f"SPACING {spacing[0]:g} {spacing[1]:g} {spacing[2]:g}\n")
+        f.write(f"POINT_DATA {npts}\n")
+        for name in names:
+            a = np.asarray(fields[name]).reshape(shape)
+            # VTK point order: x fastest -> write Fortran-ravelled
+            flat = a.ravel(order="F")
+            f.write(f"SCALARS {name} float 1\nLOOKUP_TABLE default\n")
+            for i in range(0, npts, 8):
+                f.write(" ".join(f"{v:.6e}" for v in flat[i:i + 8]) + "\n")
+
+
+def write_pvd(path, time_paths):
+    """ParaView collection (.pvd) time-series index (exputil writePVD.cc)."""
+    import os
+
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n'
+                '<VTKFile type="Collection" version="0.1">\n'
+                '  <Collection>\n')
+        for t, p in time_paths:
+            f.write(f'    <DataSet timestep="{t:g}" part="0" '
+                    f'file="{os.path.basename(p)}"/>\n')
+        f.write('  </Collection>\n</VTKFile>\n')

@@ -63,3 +63,21 @@ class EJOrient:
         if nrm > 0:
             self.axis = Ln / nrm
         return self.center
+
+
+class CenterFile:
+    """Prescribed expansion-center trajectory from a file
+    (the reference's CenterFile, src/CenterFile.cc; Component `centerfile`
+    option): columns `t x y z`, linearly interpolated in time."""
+
+    def __init__(self, path):
+        a = np.loadtxt(path, ndmin=2)
+        if a.shape[1] < 4:
+            raise ValueError(f"centerfile {path}: need columns t x y z")
+        order = np.argsort(a[:, 0])
+        self.t = a[order, 0]
+        self.xyz = a[order, 1:4]
+
+    def __call__(self, t):
+        return np.array([np.interp(t, self.t, self.xyz[:, k])
+                         for k in range(3)])

@@ -192,6 +192,8 @@ class Component:
     # EJ center tracking (Orient)
     EJ: bool = False
     orient: object = None
+    # prescribed center trajectory (CenterFile)
+    center_traj: object = None
     # coefficient playback / Hall smoothing
     playback: object = None
     npca: int = 0
@@ -257,6 +259,12 @@ class Simulation:
                 orient = EJOrient(nkeep=int(cp.get("nEJkeep", 256)),
                                   window=int(cp.get("EJwindow", 16)),
                                   damp=float(cp.get("EJdamp", 1.0)))
+            center_traj = None
+            if cp.get("centerfile"):
+                from exp_tpu.nbody.centering import CenterFile
+
+                center_traj = CenterFile(os.path.join(workdir,
+                                                      cp["centerfile"]))
             self.components[cc.name] = Component(
                 name=cc.name, force=force, ps=ps, config=cc,
                 self_consistent=bool(cc.force.parameters.get(
@@ -264,7 +272,8 @@ class Simulation:
                 adiabatic=bool(cp.get("adiabatic", False)),
                 ton=float(cp.get("ton", 0.0)),
                 twid=float(cp.get("twid", 1.0)),
-                EJ=bool(cp.get("EJ", False)), orient=orient)
+                EJ=bool(cp.get("EJ", False)), orient=orient,
+                center_traj=center_traj)
             # coefficient playback (the reference's play_back,
             # SphericalBasis.cc determine_coefficients_playback): drive the
             # force from a stored coefficient series instead of particles
@@ -514,6 +523,9 @@ class Simulation:
             fn = self._step_fns.get(sig)
             if fn is None:
                 fn = self._step_fns[sig] = self._make_step_fn(kk)
+            for n, c in self.components.items():
+                if c.center_traj is not None:
+                    self._centers[n] = c.center_traj(self.time)
             cts = {n: jnp.asarray(self._centers[n], self.compute_dtype)
                    for n in self.components}
             t0 = time.time()

@@ -157,3 +157,22 @@ def test_cross_validation(halo_setup):
     kl0 = kl_divergence_radial(x, mass, x, mass)
     kl1 = kl_divergence_radial(x, mass, x * 1.5, mass)
     assert kl0 < 1e-10 and kl1 > 0.05
+
+
+def test_vtk_and_pvd(tmp_path):
+    """write_vtk/write_pvd emit parseable files; FieldGenerator.file_slices
+    writes one VTK per time plus the .pvd index."""
+    from exp_tpu.analysis.field import write_vtk, write_pvd
+
+    f2 = {"dens": np.arange(12.0).reshape(3, 4),
+          "potl": -np.ones((3, 4))}
+    p = tmp_path / "t.vtk"
+    write_vtk(p, f2, [0, 0, 0], [1, 1, 0])
+    txt = p.read_text()
+    assert "DIMENSIONS 3 4 1" in txt and "SCALARS dens" in txt
+    # x varies fastest in legacy VTK: first 3 values are dens[:,0]
+    body = txt.split("LOOKUP_TABLE default\n")[1].split()[:3]
+    np.testing.assert_allclose([float(v) for v in body], [0.0, 4.0, 8.0])
+    write_pvd(tmp_path / "t.pvd", [(0.0, str(p)), (0.5, str(p))])
+    pvd = (tmp_path / "t.pvd").read_text()
+    assert pvd.count("<DataSet") == 2 and 'timestep="0.5"' in pvd

@@ -239,3 +239,26 @@ def test_fpe_guard(rundir):
     with pytest.raises(FloatingPointError):
         sim.run(2)
     assert (rundir / "SPSCHK.fpe0.badvalues").exists()
+
+
+def test_centerfile(rundir):
+    """Component `centerfile`: expansion center follows the file trajectory."""
+    np.savetxt(rundir / "ctr.dat",
+               np.array([[0.0, 0.0, 0.0, 0.0],
+                         [1.0, 0.5, -0.25, 0.1]]))
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: ctr0")
+    txt = txt.replace("bodyfile: halo.bods",
+                      "bodyfile: halo.bods\n    parameters:\n"
+                      "      centerfile: ctr.dat")
+    (rundir / "config_ctr.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_ctr.yml"))
+    sim.prime()
+    sim.run(4)
+    t_block = sim.time - sim.dt * sim.steps_per_block
+    np.testing.assert_allclose(
+        sim._centers["halo"],
+        [0.5 * t_block, -0.25 * t_block, 0.1 * t_block], atol=1e-12)
+    assert np.isfinite(np.asarray(sim._state["halo"].x)).all()
