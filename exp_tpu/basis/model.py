@@ -162,6 +162,45 @@ class SphericalModelTable:
         return cls(r, rho, M, Phi, comment=comment)
 
 
+def model_from_particles(x, mass, numr: int = 800, rmin: float = None,
+                         rmax: float = None,
+                         smooth: int = 3) -> SphericalModelTable:
+    """Spherical model from a particle snapshot by radial binning — the
+    adaptive-basis path (reference Sphere::make_model_bin, Sphere.cc:203-354):
+    log-spaced shells, boxcar-smoothed density, exact cumulative mass, and
+    the potential from the two-integral quadrature in from_density.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    mass = np.asarray(mass, dtype=np.float64)
+    live = mass > 0
+    r = np.linalg.norm(x[live], axis=1)
+    mass = mass[live]
+    if rmin is None:
+        rmin = max(np.percentile(r, 0.01), 1e-6)
+    if rmax is None:
+        rmax = np.percentile(r, 99.9)
+    edges = np.geomspace(rmin, rmax, numr + 1)
+    idx = np.clip(np.digitize(r, edges) - 1, 0, numr - 1)
+    msh = np.bincount(idx, weights=mass, minlength=numr)
+    vol = 4.0 * np.pi / 3.0 * np.diff(edges ** 3)
+    rho = msh / vol
+    if smooth > 1:                       # boxcar in log space
+        k = np.ones(smooth) / smooth
+        rho = np.exp(np.convolve(np.log(np.maximum(rho, rho[rho > 0].min()
+                                                   * 1e-3)), k, mode="same"))
+    rc = np.sqrt(edges[:-1] * edges[1:])
+    good = rho > 0
+    rho_i = np.interp(np.log(rc), np.log(rc[good]), np.log(rho[good]))
+    rho_fn = lambda rr: np.exp(np.interp(np.log(np.maximum(rr, rc[0])),
+                                         np.log(rc), rho_i))
+    m = SphericalModelTable.from_density(rho_fn, rmin, rmax, numr,
+                                         comment="! binned from particles")
+    # normalize to the actual bound mass inside rmax
+    s = mass[r <= rmax].sum() / m.total_mass
+    return SphericalModelTable(m.r, m.rho * s, m.mass * s, m.pot * s,
+                               comment=m.comment)
+
+
 # -- standard analytic models (the reference ships these in include/models.H) -
 
 def hernquist_model(a: float = 1.0, M: float = 1.0, rmin: float = 1e-4,

@@ -43,15 +43,19 @@ def build_force(fc, dtype, workdir="."):
         from exp_tpu.basis.slgrid import build_sph_sl_tables
         from exp_tpu.forces.spherical import SphereSL
 
+        model = p.pop("_model_object", None)   # adaptive-rebuild path
         modelname = p.pop("modelname", "SLGridSph.model")
-        mpath = os.path.join(workdir, str(modelname))
-        if os.path.exists(mpath):
-            model = SphericalModelTable.from_file(mpath)
-        else:
-            # builtin analytic models: hernquist[:a=..,M=..], plummer, ...
-            from exp_tpu.cli._common import load_model
+        if model is None:
+            mpath = os.path.join(workdir, str(modelname))
+            if os.path.exists(mpath):
+                model = SphericalModelTable.from_file(mpath)
+            else:
+                # builtin analytic models: hernquist[:a=..,M=..], plummer...
+                from exp_tpu.cli._common import load_model
 
-            model = load_model(modelname)
+                model = load_model(modelname)
+        p.pop("dtime", None)        # adaptive recompute interval (driver)
+        p.pop("modeltype", None)
         cachename = p.pop("cachename", None)
         if cachename is not None:
             cachename = os.path.join(workdir, cachename)
@@ -194,6 +198,9 @@ class Component:
     orient: object = None
     # prescribed center trajectory (CenterFile)
     center_traj: object = None
+    # adaptive basis recomputation (Sphere 'dtime' option, Sphere.cc:50-52)
+    basis_dtime: float = 0.0
+    basis_tnext: float = 0.0
     # coefficient playback / Hall smoothing
     playback: object = None
     npca: int = 0
@@ -273,7 +280,11 @@ class Simulation:
                 ton=float(cp.get("ton", 0.0)),
                 twid=float(cp.get("twid", 1.0)),
                 EJ=bool(cp.get("EJ", False)), orient=orient,
-                center_traj=center_traj)
+                center_traj=center_traj,
+                basis_dtime=float(cc.force.parameters.get("dtime", 0.0)
+                                  if cc.force.id == "sphereSL" else 0.0))
+            c0 = self.components[cc.name]
+            c0.basis_tnext = c0.basis_dtime
             # coefficient playback (the reference's play_back,
             # SphericalBasis.cc determine_coefficients_playback): drive the
             # force from a stored coefficient series instead of particles
@@ -568,7 +579,38 @@ class Simulation:
             if self.verbose > 3:
                 self._print_timings()
             self._check_bad_values()
+            self._maybe_recompute_bases()
         return self._state
+
+    def _maybe_recompute_bases(self):
+        """Adaptive basis recomputation (Sphere::make_model* — Sphere.H:156,
+        Sphere.cc:203-354): for sphereSL components with `dtime > 0`, rebuild
+        the SL basis from the binned particle distribution every dtime.
+        Triggers one re-jit of the step function per rebuild."""
+        from dataclasses import replace as _rp
+
+        rebuilt = False
+        for n, c in self.components.items():
+            if c.basis_dtime <= 0 or self.time < c.basis_tnext:
+                continue
+            from exp_tpu.basis.model import model_from_particles
+
+            ps = self._state[n]
+            model = model_from_particles(np.asarray(ps.x),
+                                         np.asarray(ps.mass))
+            fc = c.config.force
+            stanza = _rp(fc, parameters={
+                **{k: v for k, v in fc.parameters.items()
+                   if k != "cachename"},
+                "_model_object": model})
+            c.force = build_force(stanza, self.compute_dtype, self.workdir)
+            c.basis_tnext += c.basis_dtime
+            rebuilt = True
+            if self.verbose > 0:
+                print(f"[exp_tpu] recomputed {n!r} basis at t={self.time:g}")
+        if rebuilt:
+            # step functions close over the old force tables — drop them
+            self._step_fns = {}
 
     def _check_bad_values(self):
         """NaN guard (reference bad_values(), ComponentContainer.cc:1596;

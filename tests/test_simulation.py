@@ -262,3 +262,25 @@ def test_centerfile(rundir):
         sim._centers["halo"],
         [0.5 * t_block, -0.25 * t_block, 0.1 * t_block], atol=1e-12)
     assert np.isfinite(np.asarray(sim._state["halo"].x)).all()
+
+
+def test_adaptive_basis_recompute(rundir):
+    """sphereSL dtime>0: basis is rebuilt from the particles mid-run and the
+    equilibrium halo stays in virial balance afterwards."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: adap0")
+    txt = txt.replace("rmapping: 1.0", "rmapping: 1.0\n        dtime: 0.08")
+    (rundir / "config_adap.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_adap.yml"))
+    sim.prime()
+    f0 = sim.components["halo"].force
+    sim.run(10)          # dt=0.02 -> rebuild due at t=0.08
+    f1 = sim.components["halo"].force
+    assert f1 is not f0                       # basis actually swapped
+    assert sim.components["halo"].basis_tnext > 0.08
+    d = sim._diag["halo"]
+    ratio = -2.0 * float(np.asarray(d["KE"])) / float(np.asarray(d["VC"]))
+    assert 0.8 < ratio < 1.25
+    assert np.isfinite(np.asarray(sim._state["halo"].x)).all()
