@@ -4,8 +4,10 @@ Each tool runs as `python -m exp_tpu.cli.<tool>` (or via the `exp-tpu`
 umbrella: `python -m exp_tpu.cli <tool> ...`).  Coverage of the reference's
 utils/ inventory (SURVEY section 2.5):
 
-  ICs:         gensph (utils/ICs/gensph), cubeics, gendisk (DiskHalo path)
-  PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp
+  ICs:         gensph (utils/ICs/gensph), cubeics, gendisk (DiskHalo path),
+               shrinkics
+  PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp,
+               psp2hdf5
   Analysis:    diskprof, haloprof, mssaprof, viewcoefs, h5compare
   SL/basis:    slcheck, orthochk, cylcache, eofinfo
 """
@@ -13,6 +15,7 @@ utils/ inventory (SURVEY section 2.5):
 TOOLS = [
     "gensph", "cubeics", "gendisk",
     "pspinfo", "pspstat", "psp2ascii", "ascii2psp", "snap2ascii", "diffpsp",
+    "psp2hdf5", "shrinkics",
     "diskprof", "haloprof", "mssaprof", "viewcoefs", "h5compare",
     "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
 ]

@@ -136,3 +136,57 @@ def diffpsp(argv=None):
         if dx.max() > 0 or dv.max() > 0:
             status = 1
     return status
+
+
+def psp2hdf5(argv=None):
+    """psp2hdf5 — PSP dump(s) -> HDF5 snapshot series
+    (utils/PhaseSpace/psp2hdf5): same layout as the OutHDF5 writer."""
+    ap = make_parser("psp2hdf5", psp2hdf5.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("--real4", action="store_true")
+    a = ap.parse_args(argv)
+    import h5py
+    from exp_tpu.io.psp import read_psp
+
+    dumps = read_psp(a.file)
+    if not isinstance(dumps, list):
+        dumps = [dumps]
+    dt = np.float32 if a.real4 else np.float64
+    out = a.output or a.file + ".h5"
+    with h5py.File(out, "w") as f:
+        f.attrs["count"] = len(dumps)
+        for i, d in enumerate(dumps):
+            g = f.create_group(f"snapshots/{i:08d}")
+            g.attrs["Time"] = float(d.time)
+            for c in d.components:
+                cg = g.create_group(c.name)
+                cg.create_dataset("mass", data=c.mass.astype(dt))
+                cg.create_dataset("pos", data=c.x.astype(dt))
+                cg.create_dataset("vel", data=c.v.astype(dt))
+                cg.create_dataset("pot", data=c.pot.astype(dt))
+    print(f"wrote {out} ({len(dumps)} dumps)")
+
+
+def shrinkics(argv=None):
+    """shrinkics — subsample a body file by an integer factor, rescaling
+    masses to conserve the total (utils/ICs/shrinkics)."""
+    ap = make_parser("shrinkics", shrinkics.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("-f", "--factor", type=int, default=10)
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("--seed", type=int, default=11)
+    a = ap.parse_args(argv)
+    from exp_tpu.io.readers import read_ascii
+    from exp_tpu.nbody.particles import write_ascii_bodies
+
+    s = read_ascii(a.file, name="c")
+    x, v, m = s.GetParticles("c")
+    n = len(m)
+    keep = np.random.default_rng(a.seed).choice(
+        n, size=max(1, n // a.factor), replace=False)
+    keep.sort()
+    scale = m.sum() / m[keep].sum()
+    out = a.output or a.file + ".shrink"
+    write_ascii_bodies(out, (x[keep], v[keep], m[keep] * scale))
+    print(f"wrote {out} ({len(keep)} of {n} bodies, mass conserved)")

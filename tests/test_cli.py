@@ -114,3 +114,22 @@ def test_umbrella_dispatch(capsys, monkeypatch):
     assert main() == 0
     out = capsys.readouterr().out
     assert "gensph" in out
+
+
+def test_psp2hdf5_and_shrinkics(workdir, capsys):
+    from exp_tpu.cli.psptools import psp2hdf5, shrinkics
+
+    psp = str(workdir / "h.psp")      # from test_gensph_and_stats
+    psp2hdf5([psp])
+    import h5py
+
+    with h5py.File(psp + ".h5") as f:
+        assert f.attrs["count"] == 1
+        assert f["snapshots/00000000/halo/pos"].shape == (2000, 3)
+
+    bods = str(workdir / "h.bods")
+    shrinkics([bods, "-f", "5", "--seed", "1"])
+    a = np.loadtxt(bods, skiprows=1)
+    b = np.loadtxt(bods + ".shrink", skiprows=1)
+    assert len(b) == 400
+    np.testing.assert_allclose(a[:, 0].sum(), b[:, 0].sum(), rtol=1e-12)
