@@ -344,7 +344,8 @@ _REGISTRY = {
 
 #: host-side stochastic/diagnostic operators (applied between jitted
 #: blocks, not traced): ExternalCollection.cc:67-89 ScatterMFP and
-#: generateRelaxation
+#: generateRelaxation.  Applied by the single-rate driver loop only
+#: (multistep runs integrate strictly ballistically between big steps).
 _OPERATORS = {
     "scatterMFP": ScatterMFP,
     "generateRelaxation": GenerateRelaxation,
