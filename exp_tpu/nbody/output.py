@@ -127,18 +127,28 @@ class OutCoef(Output):
 
 
 class OutChkpt(Output):
-    """Rotating full-precision checkpoint (HDF5) with .bak."""
+    """Rotating full-precision checkpoint (HDF5) with .bak generations
+    (OutCHKPT/OutCHKPTQ, OutCHKPT.H:6-20: nbak=1 gives the reference's
+    single-.bak behavior; nbak>1 keeps .bak, .bak1, ... .bak<nbak-1>)."""
 
-    def __init__(self, sim, nint=100, filename=None, **kw):
+    def __init__(self, sim, nint=100, filename=None, nbak=1, **kw):
         super().__init__(sim, nint)
         self.path = os.path.join(sim.outdir,
                                  filename or f"OUT.{sim.runtag}.chkpt")
+        self.nbak = max(1, int(nbak))
+
+    def _rotate(self):
+        baks = [self.path + ".bak"] + [f"{self.path}.bak{i}"
+                                       for i in range(1, self.nbak)]
+        for older, newer in zip(reversed(baks), reversed([self.path]
+                                                         + baks[:-1])):
+            if os.path.exists(newer):
+                os.replace(newer, older)
 
     def write(self, sim, istep):
         import h5py
 
-        if os.path.exists(self.path):
-            os.replace(self.path, self.path + ".bak")
+        self._rotate()
         with h5py.File(self.path, "w") as f:
             f.attrs["time"] = sim.time
             f.attrs["istep"] = sim.istep

@@ -284,3 +284,26 @@ def test_adaptive_basis_recompute(rundir):
     ratio = -2.0 * float(np.asarray(d["KE"])) / float(np.asarray(d["VC"]))
     assert 0.8 < ratio < 1.25
     assert np.isfinite(np.asarray(sim._state["halo"].x)).all()
+
+
+def test_chkpt_bak_generations(rundir):
+    """OutChkpt nbak>1 keeps a chain of rotated .bak generations, and the
+    newest checkpoint restores."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: bak0").replace(
+        "  - id: outchkpt\n    parameters: {nint: 10}\n",
+        "  - id: outchkpt\n    parameters: {nint: 2, nbak: 3}\n")
+    (rundir / "config_bak.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+    from exp_tpu.nbody.output import restore_checkpoint
+
+    sim = Simulation.from_file(str(rundir / "config_bak.yml"))
+    sim.prime()
+    sim.run(6)
+    base = str(rundir / "OUT.bak0.chkpt")
+    import os
+    assert all(os.path.exists(base + s) for s in ("", ".bak", ".bak1",
+                                                  ".bak2"))
+    sim2 = Simulation.from_file(str(rundir / "config_bak.yml"))
+    restore_checkpoint(sim2, base)
+    assert abs(sim2.time - sim.time) < 1e-12
