@@ -16,17 +16,28 @@ def main(argv=None):
     ap.add_argument("--nmax", type=int, default=10)
     ap.add_argument("--rmap", type=float, default=1.0)
     ap.add_argument("--ntest", type=int, default=512)
+    ap.add_argument("--eof", default=None,
+                    help="EOF cache file: cross-validate a cylinder basis "
+                         "instead (cross_validation_cyl path)")
     a = ap.parse_args(argv)
 
     import jax.numpy as jnp
-    from exp_tpu.basis.slgrid import build_sph_sl_tables
-    from exp_tpu.forces.spherical import SphereSL
     from exp_tpu.analysis.crossval import cross_validate
 
-    model = load_model(a.model)
-    t = build_sph_sl_tables(model, lmax=a.lmax, nmax=a.nmax, numr=1000,
-                            cmap=1, rmap=a.rmap)
-    force = SphereSL.from_tables(t, dtype=jnp.float64)
+    if a.eof:
+        from exp_tpu.basis.empcyl import EmpCylTables
+        from exp_tpu.forces.cylinder import CylinderForce
+
+        force = CylinderForce.from_tables(
+            EmpCylTables.read_cache(a.eof), dtype=jnp.float64)
+    else:
+        from exp_tpu.basis.slgrid import build_sph_sl_tables
+        from exp_tpu.forces.spherical import SphereSL
+
+        model = load_model(a.model)
+        t = build_sph_sl_tables(model, lmax=a.lmax, nmax=a.nmax, numr=1000,
+                                cmap=1, rmap=a.rmap)
+        force = SphereSL.from_tables(t, dtype=jnp.float64)
     s = load_snapshot(a.file, a.type)
     x, v, m = s.GetParticles(a.comp)
     out = cross_validate(force, x, m, ntest=a.ntest)

@@ -9,6 +9,15 @@ step as a traced argument — no recompilation when it moves.
 
 TPU-native: the top-K selection is jax.lax.top_k on -(E) over the sharded
 particle arrays (replacing the per-rank sorted EL3 merge).
+
+Note on PseudoAccel (include/PseudoAccel.H; Component::getPseudoAccel,
+Component.cc:4407-4425): the reference adds fictitious accelerations
+(frame acceleration + Coriolis/centrifugal terms) when a component is
+integrated in its moving/rotating expansion frame.  exp_tpu always
+integrates in the inertial frame — the tracked center (EJ or CenterFile)
+only offsets the *expansion origin* passed to the basis evaluation, never
+the coordinates being integrated — so no pseudo-acceleration terms are
+needed; energy/momentum conservation is checked directly in the tests.
 """
 
 from __future__ import annotations
