@@ -35,6 +35,11 @@ from exp_tpu.nbody.step import shard_map, _diagnostics, _ps_specs, _diag_specs
 # Force factory
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _slice_history(hist, j):
+    """Materialize step j of a stacked per-step history in ONE dispatch."""
+    return jax.tree_util.tree_map(lambda a: a[j], hist)
+
 def build_force(fc, dtype, workdir="."):
     """Instantiate a force from its config stanza (host-side table builds)."""
     p = dict(fc.parameters)
@@ -563,9 +568,12 @@ class Simulation:
                 due = [o for o in self.outputs
                        if o.nint > 0 and self.istep % o.nint == 0]
                 if due or j == kk - 1:
-                    self._coefs = {n: coefs_hist[n][j] for n in coefs_hist}
-                    self._diag = {n: jax.tree_util.tree_map(
-                        lambda a: a[j], diag_hist[n]) for n in diag_hist}
+                    # one jitted gather + one transfer: per-array slicing
+                    # costs a tunnel round-trip each (~10-30 ms apiece)
+                    sl = _slice_history({"c": coefs_hist, "d": diag_hist},
+                                        j)
+                    host = jax.device_get(sl)
+                    self._coefs, self._diag = host["c"], host["d"]
                 t3 = time.time()
                 for o in due:
                     o.write(self, self.istep)
