@@ -665,11 +665,14 @@ class Simulation:
             t2 = time.time()
             self.timers["Relevel"] += t2 - t1
             self._ms_state, self._ms_regs = st, regs
-            self._coefs, self._diag = coef, diag
             self.istep += 1
             self.time += self.dt
             if any((self.nint_due(o) for o in self.outputs)):
+                # single batched transfer (see _slice_history note)
+                self._coefs, self._diag = jax.device_get((coef, diag))
                 self._sync_flat_state()
+            else:
+                self._coefs, self._diag = coef, diag
             for o in self.outputs:
                 o.run(self, self.istep)
             self.timers["Output"] += time.time() - t2
