@@ -133,3 +133,26 @@ def test_psp2hdf5_and_shrinkics(workdir, capsys):
     b = np.loadtxt(bods + ".shrink", skiprows=1)
     assert len(b) == 400
     np.testing.assert_allclose(a[:, 0].sum(), b[:, 0].sum(), rtol=1e-12)
+
+
+def test_crossval_cylinder(tmp_path, capsys):
+    """crossval --eof: cylinder-basis cross-validation end to end."""
+    import jax
+    from exp_tpu.basis.empcyl import build_empcyl_tables
+    from exp_tpu.ic.disk import sample_exponential_disk
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.cli.crossval import main as crossval
+
+    cache = str(tmp_path / "eof.h5")
+    build_empcyl_tables(mmax=1, nmax=4, lmaxfid=8, nmaxfid=8,
+                        acyl=1.0, hcyl=0.1, rcylmin=1e-3, rcylmax=20.0,
+                        numx=64, numy=32, rnum=60, tnum=20, cachename=cache)
+    x, m = sample_exponential_disk(1500, acyl=1.0, hcyl=0.1, mass=1.0,
+                                   seed=4)
+    bods = str(tmp_path / "d.bods")
+    write_ascii_bodies(bods, (x, np.zeros_like(x), m))
+    crossval([bods, "--eof", cache, "--ntest", "128"])
+    out = capsys.readouterr().out
+    assert "overall median force error" in out
+    err = float(out.strip().splitlines()[-1].split(":")[1])
+    assert np.isfinite(err) and err < 1.0
