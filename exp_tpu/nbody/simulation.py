@@ -206,6 +206,9 @@ class Component:
     # adaptive basis recomputation (Sphere 'dtime' option, Sphere.cc:50-52)
     basis_dtime: float = 0.0
     basis_tnext: float = 0.0
+    # particles beyond rtrunc (from the center) do not contribute to the
+    # expansion but still feel it (Component.H:136-139)
+    rtrunc: float = 1.0e20
     # coefficient playback / Hall smoothing
     playback: object = None
     npca: int = 0
@@ -286,6 +289,7 @@ class Simulation:
                 twid=float(cp.get("twid", 1.0)),
                 EJ=bool(cp.get("EJ", False)), orient=orient,
                 center_traj=center_traj,
+                rtrunc=float(cp.get("rtrunc", 1.0e20)),
                 basis_dtime=float(cc.force.parameters.get("dtime", 0.0)
                                   if cc.force.id == "sphereSL" else 0.0))
             c0 = self.components[cc.name]
@@ -416,10 +420,15 @@ class Simulation:
             elif getattr(forces[n], "needs_sources", False):
                 coefs[n] = jnp.zeros((1,), new_x[n].dtype)
             else:
-                adb = self.components[n].adb(t_new)
+                c = self.components[n]
+                adb = c.adb(t_new)
+                xc = new_x[n] - centers[n][None, :]
+                mw = state[n].mass * adb
+                if c.rtrunc < 1.0e19:   # Component.H:136: no contribution
+                    mw = mw * (jnp.sum(xc * xc, axis=-1)
+                               < c.rtrunc ** 2).astype(mw.dtype)
                 coefs[n] = forces[n].coefficients(
-                    new_x[n] - centers[n][None, :], state[n].mass * adb,
-                    axis_name="p", accum_dtype=self.accum_dtype)
+                    xc, mw, axis_name="p", accum_dtype=self.accum_dtype)
                 if n in extras.get("hall", {}):
                     coefs[n] = coefs[n] * extras["hall"][n]
         # acceleration: sum over coupled components' fields

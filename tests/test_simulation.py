@@ -307,3 +307,27 @@ def test_chkpt_bak_generations(rundir):
     sim2 = Simulation.from_file(str(rundir / "config_bak.yml"))
     restore_checkpoint(sim2, base)
     assert abs(sim2.time - sim.time) < 1e-12
+
+
+def test_rtrunc(rundir):
+    """rtrunc: particles beyond the truncation radius don't source the
+    expansion — total expanded mass (monopole) drops accordingly."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: rt0")
+    txt = txt.replace("bodyfile: halo.bods",
+                      "bodyfile: halo.bods\n    parameters:\n"
+                      "      rtrunc: 1.0")
+    (rundir / "config_rt.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim_t = Simulation.from_file(str(rundir / "config_rt.yml"))
+    sim_t.prime()
+    sim_t.run(2)
+    sim_f = Simulation.from_file(str(rundir / "config.yml"))
+    sim_f.prime()
+    sim_f.run(2)
+    # l=0,n-summed potential amplitude should shrink with rtrunc=1
+    a_t = np.abs(np.asarray(sim_t._coefs["halo"])[0]).sum()
+    a_f = np.abs(np.asarray(sim_f._coefs["halo"])[0]).sum()
+    assert a_t < 0.9 * a_f
+    assert np.isfinite(np.asarray(sim_t._state["halo"].x)).all()
