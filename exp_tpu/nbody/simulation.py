@@ -209,6 +209,9 @@ class Component:
     # particles beyond rtrunc (from the center) do not contribute to the
     # expansion but still feel it (Component.H:136-139)
     rtrunc: float = 1.0e20
+    # expand about the component's instantaneous center of mass
+    # (Component.H:155-163 'Local' frame, `com: true`)
+    com_system: bool = False
     # coefficient playback / Hall smoothing
     playback: object = None
     npca: int = 0
@@ -290,6 +293,7 @@ class Simulation:
                 EJ=bool(cp.get("EJ", False)), orient=orient,
                 center_traj=center_traj,
                 rtrunc=float(cp.get("rtrunc", 1.0e20)),
+                com_system=bool(cp.get("com", False)),
                 basis_dtime=float(cc.force.parameters.get("dtime", 0.0)
                                   if cc.force.id == "sphereSL" else 0.0))
             c0 = self.components[cc.name]
@@ -413,6 +417,14 @@ class Simulation:
             centers = {n: jnp.zeros(3, new_x[n].dtype) for n in state}
         if extras is None:
             extras = {}
+        # com_system components expand about their instantaneous COM
+        # (the reference's Local frame, Component.H:155-163)
+        for n in state:
+            if self.components[n].com_system:
+                mm = state[n].mass
+                Mtot = jax.lax.psum(jnp.sum(mm), "p")
+                centers[n] = jax.lax.psum(
+                    jnp.sum(mm[:, None] * new_x[n], axis=0), "p") / Mtot
         coefs = {}
         for n in state:
             if n in extras.get("playback", {}):

@@ -331,3 +331,27 @@ def test_rtrunc(rundir):
     a_f = np.abs(np.asarray(sim_f._coefs["halo"])[0]).sum()
     assert a_t < 0.9 * a_f
     assert np.isfinite(np.asarray(sim_t._state["halo"].x)).all()
+
+
+def test_com_system(rundir, tmp_path):
+    """com: true expands about the component COM — an equilibrium halo
+    displaced from the origin stays in virial balance."""
+    b = np.loadtxt(rundir / "halo.bods", skiprows=1)
+    b[:, 1] += 2.0                     # shift x by 2 (columns m,x,y,z,...)
+    hdr = open(rundir / "halo.bods").readline().strip()
+    np.savetxt(tmp_path / "off.bods", b, header=hdr, comments="")
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: com0").replace(
+        "bodyfile: halo.bods",
+        f"bodyfile: {tmp_path}/off.bods\n    parameters:\n      com: true")
+    (rundir / "config_com.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_com.yml"))
+    sim.prime()
+    sim.run(10)
+    d = sim._diag["halo"]
+    ratio = -2.0 * float(np.asarray(d["KE"])) / float(np.asarray(d["VC"]))
+    assert abs(ratio - 1.0) < 0.15
+    com = np.asarray(d["com"]) / float(np.asarray(d["mass"]))
+    np.testing.assert_allclose(com[0], 2.0, atol=0.05)
