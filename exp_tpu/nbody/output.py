@@ -208,12 +208,13 @@ class OutPSN(Output):
     """PSP binary snapshot per nint steps (OUT.runtag.NNNNN files —
     the reference's OutPSN writer)."""
 
-    def __init__(self, sim, nint=100, real4=True, **kw):
+    def __init__(self, sim, nint=100, real4=True, indexing=False, **kw):
         super().__init__(sim, nint)
         self.real4 = bool(real4)
+        self.indexing = bool(indexing)
 
-    def write(self, sim, istep):
-        from exp_tpu.io.psp import PSPDump, PSPComponent, write_psp
+    def _dump(self, sim):
+        from exp_tpu.io.psp import PSPDump, PSPComponent
 
         dump = PSPDump(time=sim.time)
         for n in sim.components:
@@ -224,8 +225,14 @@ class OutPSN(Output):
                 mass=np.asarray(ps.mass)[live],
                 x=np.asarray(ps.x)[live], v=np.asarray(ps.v)[live],
                 pot=np.asarray(ps.pot)[live]))
+        return dump
+
+    def write(self, sim, istep):
+        from exp_tpu.io.psp import write_psp
+
         path = os.path.join(sim.outdir, f"OUT.{sim.runtag}.{istep:05d}")
-        write_psp(path, dump, real4=self.real4)
+        write_psp(path, self._dump(sim), real4=self.real4,
+                  indexing=self.indexing)
 
 
 class OutPS(OutPSN):
@@ -233,24 +240,16 @@ class OutPS(OutPSN):
     reference's OutPS writer; read back with read_psp which returns the
     dump list)."""
 
-    def __init__(self, sim, nint=100, real4=True, **kw):
-        super().__init__(sim, nint, real4=real4)
+    def __init__(self, sim, nint=100, real4=True, indexing=False, **kw):
+        super().__init__(sim, nint, real4=real4, indexing=indexing)
         self.path = os.path.join(sim.outdir, f"OUT.{sim.runtag}")
         self._started = False
 
     def write(self, sim, istep):
-        from exp_tpu.io.psp import PSPDump, PSPComponent, write_psp
+        from exp_tpu.io.psp import write_psp
 
-        dump = PSPDump(time=sim.time)
-        for n in sim.components:
-            ps = sim._state[n]
-            live = np.asarray(ps.mass) > 0
-            dump.components.append(PSPComponent(
-                name=n, info=f"name: {n}\n",
-                mass=np.asarray(ps.mass)[live],
-                x=np.asarray(ps.x)[live], v=np.asarray(ps.v)[live],
-                pot=np.asarray(ps.pot)[live]))
-        write_psp(self.path, dump, real4=self.real4, append=self._started)
+        write_psp(self.path, self._dump(sim), real4=self.real4,
+                  indexing=self.indexing, append=self._started)
         self._started = True
 
 
