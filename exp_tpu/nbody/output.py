@@ -10,6 +10,15 @@ the reference's OutputContainer factory + writers (src/OutputContainer.cc:48-
   OutChkpt — full-precision HDF5 phase-space checkpoint with .bak rotation
              (OutCHKPT.H:6-20); restart via Simulation restore.
   OutAscii — ascii body-file dump.
+
+Coverage note vs the reference's 18-writer factory (OutputContainer.cc:48-
+123): OutPS/OutPSN/OutHDF5/OutCHKPT(+Q via nbak)/OutLog/OutCoef/OutDiag/
+OutFrac/OutMulti/OutCalbr/OutSample/OutVel/OutAscii/OrbTrace are here;
+OutRelaxation is the generateRelaxation operator.  OutPSP/OutPSQ/OutPSR are
+MPI-rank file-splitting variants (one piece per rank + assembly
+instructions) with no TPU analogue: a jax run is a single controller
+process and sharded arrays gather through the runtime, so the single-file
+writers cover their use cases.
 """
 
 from __future__ import annotations
