@@ -143,6 +143,56 @@ class EmpCylTables:
         return cls(**kw)
 
 
+def disk_density_from_particles(x, mass, nR: int = 48, nz: int = 24,
+                                Rmax: float = None, zmax: float = None,
+                                smooth: int = 0):
+    """Axisymmetric rho(R, z) estimated from a particle snapshot, for
+    conditioning the EOF basis on the particles themselves — the
+    reference's accumulate_eof path (Cylinder.cc:815; EmpCylSL
+    setup_eof/accumulate_eof) instead of an analytic target density.
+    Returns a callable rho(R, z) (bilinear in log-density, clipped to the
+    table edges).  Pass it as `disk_density=` to build_empcyl_tables."""
+    x = np.asarray(x, dtype=np.float64)
+    mass = np.asarray(mass, dtype=np.float64)
+    live = mass > 0
+    R = np.hypot(x[live, 0], x[live, 1])
+    z = x[live, 2]
+    m = mass[live]
+    if Rmax is None:
+        Rmax = np.percentile(R, 99.5)
+    if zmax is None:
+        zmax = np.percentile(np.abs(z), 99.5)
+    # sqrt-spaced R bins: resolves the inner disk where the density (and
+    # the EOF conditioning weight) is largest
+    Re = np.linspace(0.0, np.sqrt(Rmax), nR + 1) ** 2
+    ze = np.linspace(-zmax, zmax, nz + 1)
+    H, _, _ = np.histogram2d(R, z, bins=[Re, ze], weights=m)
+    Rc = 0.5 * (Re[:-1] + Re[1:])
+    zc = 0.5 * (ze[:-1] + ze[1:])
+    vol = (np.pi * np.diff(Re ** 2))[:, None] * np.diff(ze)[None, :]
+    rho_t = H / vol
+    floor = rho_t[rho_t > 0].min() * 1e-3 if (rho_t > 0).any() else 1e-300
+    lg = np.log(np.maximum(rho_t, floor))
+    if smooth > 1:
+        k = np.ones(smooth) / smooth
+        lg = np.apply_along_axis(
+            lambda a: np.convolve(a, k, mode="same"), 0, lg)
+        lg = np.apply_along_axis(
+            lambda a: np.convolve(a, k, mode="same"), 1, lg)
+
+    from scipy.interpolate import RegularGridInterpolator
+
+    itp = RegularGridInterpolator((Rc, zc), lg, bounds_error=False,
+                                  fill_value=np.log(floor))
+
+    def rho(Rq, zq):
+        Rq = np.clip(np.asarray(Rq, dtype=np.float64), Rc[0], Rc[-1])
+        zq = np.clip(np.asarray(zq, dtype=np.float64), zc[0], zc[-1])
+        return np.exp(itp(np.stack(np.broadcast_arrays(Rq, zq), axis=-1)))
+
+    return rho
+
+
 def build_empcyl_tables(
         mmax: int = 6, nmax: int = 18, ncylodd: int | None = None,
         lmaxfid: int = 48, nmaxfid: int = 32,
@@ -150,18 +200,26 @@ def build_empcyl_tables(
         rcylmin: float = 1e-3, rcylmax: float = 20.0,
         numx: int = 256, numy: int = 128,
         rnum: int = 200, tnum: int = 80,
-        disk_density=None, sech2: bool = True,
+        disk_density=None, sech2: bool = True, density_key: str = None,
         cachename: str | None = None, verbose: bool = False) -> EmpCylTables:
-    """Build (or load from cache) the EOF disk basis tables."""
+    """Build (or load from cache) the EOF disk basis tables.
+
+    `disk_density`: optional rho(R, z) callable conditioning the basis (e.g.
+    from disk_density_from_particles); pass `density_key` to distinguish it
+    in the cache key (custom densities never match the analytic cache)."""
     if ncylodd is None:
         ncylodd = nmax // 3
     if disk_density is None:
         disk_density = exp_disk_density(acyl, hcyl, sech2=sech2)
+        if density_key is None:
+            density_key = "analytic"
+    elif density_key is None:
+        density_key = "custom:" + hex(id(disk_density))
 
     params = dict(mmax=mmax, nmax=nmax, ncylodd=ncylodd, lmaxfid=lmaxfid,
                   nmaxfid=nmaxfid, acyl=acyl, hcyl=hcyl, rcylmin=rcylmin,
                   rcylmax=rcylmax, numx=numx, numy=numy, rnum=rnum, tnum=tnum,
-                  sech2=sech2, version=1)
+                  sech2=sech2, density_key=density_key, version=1)
     key = hashlib.sha256(json.dumps(params, sort_keys=True).encode()
                          ).hexdigest()[:16]
     if cachename is not None:
