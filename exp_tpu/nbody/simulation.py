@@ -40,8 +40,12 @@ def _slice_history(hist, j):
     """Materialize step j of a stacked per-step history in ONE dispatch."""
     return jax.tree_util.tree_map(lambda a: a[j], hist)
 
-def build_force(fc, dtype, workdir="."):
-    """Instantiate a force from its config stanza (host-side table builds)."""
+def build_force(fc, dtype, workdir=".", particles=None):
+    """Instantiate a force from its config stanza (host-side table builds).
+
+    `particles`: optional (x, mass) host arrays of the owning component,
+    used when a basis conditions on the snapshot itself (cylinder
+    `conditioning: particles`, the reference's accumulate_eof path)."""
     p = dict(fc.parameters)
     if fc.id == "sphereSL":
         from exp_tpu.basis.model import SphericalModelTable
@@ -98,7 +102,23 @@ def build_force(fc, dtype, workdir="."):
         cachename = p.pop("cachename", p.pop("eof_file", None))
         if cachename is not None:
             cachename = os.path.join(workdir, cachename)
+        disk_density = None
+        density_key = None
+        if str(p.pop("conditioning", "analytic")) == "particles":
+            if particles is None:
+                raise ConfigError("cylinder conditioning: particles needs "
+                                  "the component's bodyfile")
+            from exp_tpu.basis.empcyl import disk_density_from_particles
+
+            disk_density = disk_density_from_particles(*particles)
+            import hashlib
+
+            h = hashlib.sha256()
+            for a in particles:
+                h.update(np.ascontiguousarray(a).tobytes())
+            density_key = "particles:" + h.hexdigest()[:16]
         t = build_empcyl_tables(
+            disk_density=disk_density, density_key=density_key,
             mmax=int(p.pop("mmax", 6)), nmax=int(p.pop("nmax", 18)),
             ncylodd=p.pop("ncylodd", None),
             lmaxfid=int(p.pop("lmaxfid", 48)),
@@ -262,12 +282,14 @@ class Simulation:
         # components
         self.components: dict[str, Component] = {}
         for cc in config.components:
-            force = build_force(cc.force, self.compute_dtype, workdir)
             if cc.bodyfile is None:
                 raise ConfigError(f"component {cc.name}: no bodyfile")
             ps = read_ascii_bodies(os.path.join(workdir, cc.bodyfile),
                                    dtype=self.compute_dtype,
                                    pad_to=self.n_shards)
+            force = build_force(cc.force, self.compute_dtype, workdir,
+                                particles=(np.asarray(ps.x),
+                                           np.asarray(ps.mass)))
             ps = ps.shard(mesh)
             cp = cc.parameters or {}
             orient = None

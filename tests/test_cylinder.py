@@ -216,3 +216,38 @@ def test_eof_from_particles(tmp_path):
     # conditioning on the snapshot should be about as good as conditioning
     # on the true analytic density (same truncation error budget)
     assert err["particles"] < 1.5 * err["analytic"]
+
+
+def test_conditioning_particles_driver(tmp_path):
+    """Driver: cylinder with `conditioning: particles` builds and runs."""
+    from exp_tpu.ic.disk import sample_exponential_disk
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+
+    x, m = sample_exponential_disk(4000, acyl=1.0, hcyl=0.1, mass=0.05,
+                                   seed=8)
+    write_ascii_bodies(tmp_path / "d.bods", (x, np.zeros_like(x), m))
+    (tmp_path / "c.yml").write_text("""\
+Global:
+  dtime: 0.005
+  nsteps: 2
+  runtag: eofp0
+Components:
+  - name: disk
+    bodyfile: d.bods
+    force:
+      id: cylinder
+      parameters: {mmax: 1, nmax: 4, ncylodd: 1, lmaxfid: 10, nmaxfid: 10,
+                   acyl: 1.0, hcyl: 0.1, rcylmax: 20.0, ncylnx: 64,
+                   ncylny: 32, rnum: 60, tnum: 20,
+                   conditioning: particles, cachename: eofp.h5}
+Output:
+  - id: outlog
+    parameters: {nint: 1}
+""")
+    sim = Simulation.from_file(str(tmp_path / "c.yml"))
+    sim.prime()
+    sim.run()
+    d = sim._diag["disk"]
+    assert np.isfinite(float(np.asarray(d["KE"])))
+    assert (tmp_path / "eofp.h5").exists()
