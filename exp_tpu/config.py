@@ -67,6 +67,9 @@ class GlobalConfig:
     shiftlevl: int = 0
     compute_dtype: str = "float32"
     accum_dtype: str = "float64"
+    #: hard cap on bodies per component (reference global.H nbodmax);
+    #: 0 = unlimited
+    nbodmax: int = 0
     #: NaN guard: scan the phase-space state after each block and abort with
     #: a diagnostic checkpoint (the reference's fpe_trap + bad_values(),
     #: expand.cc:315-317, ComponentContainer.cc:1596)

@@ -287,6 +287,10 @@ class Simulation:
             ps = read_ascii_bodies(os.path.join(workdir, cc.bodyfile),
                                    dtype=self.compute_dtype,
                                    pad_to=self.n_shards)
+            if g.nbodmax and ps.n > g.nbodmax:
+                raise ConfigError(
+                    f"component {cc.name}: {ps.n} bodies exceeds "
+                    f"nbodmax={g.nbodmax}")
             force = build_force(cc.force, self.compute_dtype, workdir,
                                 particles=(np.asarray(ps.x),
                                            np.asarray(ps.mass)))

@@ -355,3 +355,14 @@ def test_com_system(rundir, tmp_path):
     assert abs(ratio - 1.0) < 0.15
     com = np.asarray(d["com"]) / float(np.asarray(d["mass"]))
     np.testing.assert_allclose(com[0], 2.0, atol=0.05)
+
+
+def test_nbodmax(rundir):
+    """nbodmax caps per-component particle counts (hard config error)."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: nb0\n  nbodmax: 100")
+    (rundir / "config_nb.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    with pytest.raises(ConfigError, match="nbodmax"):
+        Simulation.from_file(str(rundir / "config_nb.yml"))
