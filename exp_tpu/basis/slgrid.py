@@ -334,8 +334,6 @@ class SLGridSph:
         """Build directly from (numr, lmax+1, nmax) pot/dens tables — used by
         analytic bases (Bessel, Clutton-Brock/Hernquist, biorth.H sets) that
         don't go through the SL solve."""
-        import numpy as _np
-
         numr = pot_table.shape[0]
         lmax = pot_table.shape[1] - 1
         nmax = pot_table.shape[2]
