@@ -366,3 +366,23 @@ def test_nbodmax(rundir):
 
     with pytest.raises(ConfigError, match="nbodmax"):
         Simulation.from_file(str(rundir / "config_nb.yml"))
+
+
+def test_outvel_writer(rundir):
+    """OutVel writes velocity-field coefficient snapshots."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: vel0")
+    txt += "  - id : outvel\n    parameters : {nint: 2, name: halo}\n"
+    (rundir / "config_vel.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+    import h5py
+
+    sim = Simulation.from_file(str(rundir / "config_vel.yml"))
+    sim.prime()
+    sim.run(4)
+    with h5py.File(rundir / "outvel.halo.vel0.h5") as f:
+        snaps = [k for k in f.keys() if k.startswith("snap")]
+        assert len(snaps) >= 2
+        g = f[snaps[-1]]
+        for k in f.attrs["fields"]:
+            assert np.isfinite(g[k][()]).all()
