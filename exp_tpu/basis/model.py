@@ -224,6 +224,63 @@ def plummer_model(a: float = 1.0, M: float = 1.0, rmin: float = 1e-4,
                                comment=f"! Plummer a={a} M={M}")
 
 
+def king_model(W0: float = 5.0, M: float = 1.0, rt: float = 1.0,
+               numr: int = 2000) -> SphericalModelTable:
+    """King (1966) lowered-isothermal model (reference include/king.H).
+
+    Solves the dimensionless King equation for concentration parameter
+    W0 = psi(0)/sigma^2, then rescales to total mass M and tidal radius
+    rt (G = 1).  rho(W) = e^W erf(sqrt(W)) - sqrt(4W/pi)(1 + 2W/3).
+    """
+    from scipy.special import erf
+    from scipy.integrate import solve_ivp
+
+    def rho_w(W):
+        W = np.maximum(W, 0.0)
+        return (np.exp(W) * erf(np.sqrt(W))
+                - np.sqrt(4.0 * W / np.pi) * (1.0 + 2.0 * W / 3.0))
+
+    rho0 = rho_w(W0)
+
+    # y = [W, dW/dr]; d/dr(r^2 W') = -9 r^2 rho(W)/rho0 (king units:
+    # r in core radii r_c, sigma = 1)
+    def rhs(r, y):
+        W, dW = y
+        if r < 1e-12:
+            return [dW, -3.0 * rho_w(W) / rho0]
+        return [dW, -9.0 * rho_w(W) / rho0 - 2.0 * dW / r]
+
+    def hit_edge(r, y):
+        return y[0]
+    hit_edge.terminal = True
+    hit_edge.direction = -1
+
+    sol = solve_ivp(rhs, [1e-8, 1e4], [W0, 0.0], events=hit_edge,
+                    max_step=0.05, rtol=1e-10, atol=1e-12)
+    rt_king = sol.t_events[0][0]          # tidal radius in king units
+    r_k = np.geomspace(rt_king * 1e-4, rt_king * 0.999999, numr)
+    W = np.interp(r_k, sol.t, sol.y[0])
+    rho_k = rho_w(W) / rho0
+    integ = 4.0 * np.pi * rho_k * r_k ** 2
+    dm = 0.5 * (integ[1:] + integ[:-1]) * np.diff(r_k)
+    Mk = np.concatenate([[0.0], np.cumsum(dm)])
+    # rescale: r -> r * rt/rt_king, total mass -> M.  Mk was integrated
+    # from this same rho_k, so rho_phys = rho_k * s_m / s_r^3 keeps
+    # M(r) = 4 pi int rho r^2 dr exact under the rescaling.
+    s_r = rt / rt_king
+    s_m = M / Mk[-1]
+    r = r_k * s_r
+    mass = Mk * s_m
+    rho = rho_k * s_m / s_r ** 3
+    # potential: Phi = -M(r)/r - 4 pi int_r^rt rho s ds  (G = 1)
+    integ_p = 4.0 * np.pi * rho * r
+    dp = 0.5 * (integ_p[1:] + integ_p[:-1]) * np.diff(r)
+    Pout = np.concatenate([[0.0], np.cumsum(dp)])
+    pot = -mass / r - (Pout[-1] - Pout)
+    return SphericalModelTable(r, rho, mass, pot,
+                               comment=f"! King W0={W0} M={M} rt={rt}")
+
+
 def truncated_powerlaw_model(alpha: float = 1.0, beta: float = 3.0,
                              rcore: float = 0.015, rtrunc: float = 15.0,
                              wtrunc: float = 4.0, rmin: float = 3e-5,

@@ -14,7 +14,7 @@ def load_model(name_or_file, rmin=1e-4, rmax=20.0, numr=2000):
     from exp_tpu.basis import model as M
 
     if ":" in str(name_or_file) or str(name_or_file) in (
-            "hernquist", "plummer", "nfwtrunc"):
+            "hernquist", "plummer", "nfwtrunc", "king"):
         parts = str(name_or_file).split(":")
         kind = parts[0]
         kw = {}
@@ -29,6 +29,8 @@ def load_model(name_or_file, rmin=1e-4, rmax=20.0, numr=2000):
         elif kind == "nfwtrunc":
             return M.truncated_powerlaw_model(rmin=rmin, rmax=rmax,
                                               numr=numr, **kw)
+        elif kind == "king":
+            return M.king_model(numr=numr, **kw)
         raise SystemExit(f"unknown builtin model {kind!r}")
     from exp_tpu.basis.model import SphericalModelTable
 

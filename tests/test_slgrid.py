@@ -83,3 +83,27 @@ def test_plummer_model_consistency():
     assert M5 == pytest.approx(float(m.get_mass(5.0)), rel=1e-3)
     # dPhi/dr == M/r^2
     np.testing.assert_allclose(m.get_dpot(r), m.get_mass(r) / r**2, rtol=1e-12)
+
+
+def test_king_model_physics():
+    """King model: self-consistent table, samplable, virialized sample."""
+    from exp_tpu.basis.model import king_model
+    from exp_tpu.ic.eddington import sample_spherical_model
+
+    m = king_model(W0=5.0, M=1.0, rt=1.0)
+    assert abs(m.total_mass - 1.0) < 1e-10
+    assert abs(m.rmax - 1.0) < 1e-5
+    # mass/density consistency
+    integ = 4 * np.pi * m.rho * m.r ** 2
+    dm = 0.5 * (integ[1:] + integ[:-1]) * np.diff(m.r)
+    np.testing.assert_allclose(np.cumsum(dm)[-1], m.total_mass, atol=1e-10)
+    # dPhi/dr = M/r^2 mid-profile
+    i = len(m.r) // 2
+    dphi = (m.pot[i + 1] - m.pot[i - 1]) / (m.r[i + 1] - m.r[i - 1])
+    np.testing.assert_allclose(dphi, m.mass[i] / m.r[i] ** 2, rtol=1e-6)
+    # Eddington sampling gives a bound, roughly virialized realization
+    x, v, mass = sample_spherical_model(m, 20000, seed=13)
+    ke = 0.5 * np.sum(mass * np.sum(v * v, axis=1))
+    r = np.linalg.norm(x, axis=1)
+    W = -np.sum(mass * np.interp(r, m.r, m.mass) / r)
+    assert 0.9 < 2 * ke / abs(W) < 1.1        # virial 2T/|W| = 1
