@@ -37,7 +37,7 @@ class CylinderForce:
     rfrc_t: jax.Array     # dU/dR
     zfrc_t: jax.Array     # dU/dz
     dens_t: jax.Array
-    quad_t: jax.Array     # fused [pot|dUr|dUz] x [y, y+1] rows for the force
+    potq_t: jax.Array     # [pot | pot shifted -1 in y]: 2-gather bilinear
     mmax: int
     nmax: int
     numx: int
@@ -67,26 +67,19 @@ class CylinderForce:
                 a.reshape(t.numx * t.numy, (t.mmax + 1) * t.nmax),
                 dtype=dtype)
 
-        import numpy as _np
-
-        # fused force table: [pot | dU/dR | dU/dz] rows paired with their
-        # +1-in-y neighbor, so the force path needs TWO gathers total
-        cat = _np.concatenate([
-            t.pot.reshape(t.numx * t.numy, -1),
-            t.rforce.reshape(t.numx * t.numy, -1),
-            t.zforce.reshape(t.numx * t.numy, -1)], axis=1)
-        quad = _np.concatenate([cat, _np.roll(cat, -1, axis=0)], axis=1)
+        potf = flat(t.pot)
         return cls(
-            pot_t=flat(t.pot), rfrc_t=flat(t.rforce), zfrc_t=flat(t.zforce),
+            pot_t=potf, rfrc_t=flat(t.rforce), zfrc_t=flat(t.zforce),
             dens_t=flat(t.dens),
-            quad_t=jnp.asarray(quad, dtype=dtype),
+            potq_t=jnp.concatenate([potf, jnp.roll(potf, -1, axis=0)],
+                                   axis=1),
             mmax=t.mmax, nmax=t.nmax, numx=t.numx, numy=t.numy,
             acyl=t.acyl, hcyl=t.hcyl, xmin=t.xmin, dx=t.dx,
             ymin=t.ymin, dy=t.dy, rmax_grid=t.rcylmax * t.acyl)
 
     def tree_flatten(self):
         return ((self.pot_t, self.rfrc_t, self.zfrc_t, self.dens_t,
-                 self.quad_t),
+                 self.potq_t),
                 (self.mmax, self.nmax, self.numx, self.numy, self.acyl,
                  self.hcyl, self.xmin, self.dx, self.ymin, self.dy,
                  self.rmax_grid))
@@ -139,7 +132,22 @@ class CylinderForce:
         R, z, phi = self._geometry(x)
         r = jnp.sqrt(R * R + z * z)
         w = jnp.where(r <= self.rmax_grid, mass, 0.0)
-        U = self._bilinear_flat(self.pot_t, R, z)        # (N, (M+1)*nmax)
+        # 2-gather bilinear via the y-pair-fused table (per-index overhead
+        # dominates TPU gathers — halving the gather count halves the time)
+        xg = (R / self.acyl - 1.0) / (R / self.acyl + 1.0)
+        yg = jnp.arcsinh(z / self.hcyl)
+        tx = jnp.clip((xg - self.xmin) / self.dx, 0.0, self.numx - 1.001)
+        ty = jnp.clip((yg - self.ymin) / self.dy, 0.0, self.numy - 1.001)
+        ix = tx.astype(jnp.int32)
+        iy = ty.astype(jnp.int32)
+        fx = (tx - ix)[:, None]
+        fy = (ty - iy)[:, None]
+        i00 = ix * self.numy + iy
+        Fn = (self.mmax + 1) * self.nmax
+        g0 = self.potq_t[i00]
+        g1 = self.potq_t[i00 + self.numy]
+        U = ((g0[:, :Fn] * (1 - fy) + g0[:, Fn:] * fy) * (1 - fx)
+             + (g1[:, :Fn] * (1 - fy) + g1[:, Fn:] * fy) * fx)
         cosm, sinm = self._trig(phi, x.dtype)
         wc = w[:, None] * cosm                           # (N, M+1)
         ws = w[:, None] * sinm
@@ -157,6 +165,23 @@ class CylinderForce:
             c = jax.lax.psum(c, axis_name)
         return c
 
+    def _contracted_quad(self, coef):
+        """Contract the coefficients over n into the WHOLE table first
+        (a 32768x126 @ 126x14 matmul, ~25 MFLOP): the n-sum commutes with
+        the gather and the bilinear mix, so the per-particle lookup then
+        needs only 6(M+1)-wide rows instead of 3(M+1)n — the gather was
+        7x over the bandwidth bound at 1M particles before this."""
+        M1, nn = self.mmax + 1, self.nmax
+        eye = jnp.eye(M1, dtype=coef.dtype)
+        # block-diagonal selectors (M1*nn, M1) for cos and sin
+        Bc = (coef[0][:, :, None] * eye[:, None, :]).reshape(M1 * nn, M1)
+        Bs = (coef[1][:, :, None] * eye[:, None, :]).reshape(M1 * nn, M1)
+        B = jnp.concatenate([Bc, Bs], axis=1)            # (M1*nn, 2*M1)
+        C = jnp.concatenate([self.pot_t @ B, self.rfrc_t @ B,
+                             self.zfrc_t @ B], axis=1)   # (G, 6*M1)
+        # fuse each row with its +1-in-y neighbor: two gathers total
+        return jnp.concatenate([C, jnp.roll(C, -1, axis=0)], axis=1)
+
     def acceleration(self, coef, x):
         dtype = x.dtype
         coef = coef.astype(dtype)
@@ -168,7 +193,9 @@ class CylinderForce:
         Re = R * shrink
         ze = z * shrink
 
-        # fused lookup: two gathers of [pot|dUr|dUz] x [y, y+1] rows
+        Cq = self._contracted_quad(coef)
+        # fused lookup: two gathers of contracted [U|dUr|dUz]x[cos|sin]
+        # x [y, y+1] rows
         xg = (Re / self.acyl - 1.0) / (Re / self.acyl + 1.0)
         yg = jnp.arcsinh(ze / self.hcyl)
         tx = jnp.clip((xg - self.xmin) / self.dx, 0.0, self.numx - 1.001)
@@ -178,30 +205,21 @@ class CylinderForce:
         fx = (tx - ix)[:, None]
         fy = (ty - iy)[:, None]
         i00 = ix * self.numy + iy
-        Fn = 3 * (self.mmax + 1) * self.nmax
-        g0 = self.quad_t[i00]
-        g1 = self.quad_t[i00 + self.numy]
+        M1 = self.mmax + 1
+        Fn = 6 * M1
+        g0 = Cq[i00]
+        g1 = Cq[i00 + self.numy]
         v0 = g0[:, :Fn] * (1 - fy) + g0[:, Fn:] * fy
         v1 = g1[:, :Fn] * (1 - fy) + g1[:, Fn:] * fy
-        v = v0 * (1 - fx) + v1 * fx                      # (N, 3*M*n)
-        Mn = (self.mmax + 1) * self.nmax
-        U, dUr, dUz = v[:, :Mn], v[:, Mn:2 * Mn], v[:, 2 * Mn:]
+        v = v0 * (1 - fx) + v1 * fx                      # (N, 6*M1)
         cosm, sinm = self._trig(phi, dtype)
 
-        # contraction over n as elementwise multiply + reshape-sum (small-m
-        # batched einsums lower pathologically on TPU)
-        M1, nn = self.mmax + 1, self.nmax
-        bcf = coef[0].reshape(-1)[None, :]
-        bsf = coef[1].reshape(-1)[None, :]
-
-        def csum(tab, b):
-            return (tab * b).reshape(-1, M1, nn).sum(axis=2)   # (N, M+1)
-
-        cmn = csum(U, bcf)
-        smn = csum(U, bsf)
+        cmn, smn = v[:, :M1], v[:, M1:2 * M1]            # U.bc, U.bs per m
         pot = jnp.sum(cmn * cosm + smn * sinm, axis=1)
-        FR = -(csum(dUr, bcf) * cosm + csum(dUr, bsf) * sinm).sum(axis=1)
-        Fz = -(csum(dUz, bcf) * cosm + csum(dUz, bsf) * sinm).sum(axis=1)
+        FR = -(v[:, 2 * M1:3 * M1] * cosm
+               + v[:, 3 * M1:4 * M1] * sinm).sum(axis=1)
+        Fz = -(v[:, 4 * M1:5 * M1] * cosm
+               + v[:, 5 * M1:6 * M1] * sinm).sum(axis=1)
         mvals = jnp.arange(self.mmax + 1, dtype=dtype)
         Fp = jnp.sum((cmn * sinm - smn * cosm) * mvals[None, :], axis=1) / R
 
