@@ -287,13 +287,13 @@ class SphereSL:
             from exp_tpu.ops import pallas_sphere as pk
 
             _, ak = self._pallas_kernels()
-            wc = pk.expand_coef_matrix_jit(coef, self.lmax, self.nmax)
+            twT = pk.contract_coef_table_jit(coef, self.tabc, self.lmax,
+                                             self.nmax)
             npad = (-n) % 1024
             xp = x if not npad else jnp.concatenate(
                 [x, jnp.ones((npad, 3), x.dtype)])
             out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], x.dtype)),
-                     pk.pad_table(self.tabc, self.lmax, self.nmax,
-                                  self.numr_c), wc)
+                     twT)
             return (out[0:3, :n].T.astype(x.dtype),
                     out[3, :n].astype(x.dtype))
         if self.backend == "matmul" and n > ch and n % ch == 0:
