@@ -8,7 +8,7 @@ utils/ inventory (SURVEY section 2.5):
                shrinkics
   PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp,
                psp2hdf5
-  Analysis:    diskprof, haloprof, mssaprof, viewcoefs, h5compare
+  Analysis:    diskprof, haloprof, mssaprof, viewcoefs, h5compare, diskfreqs
   SL/basis:    slcheck, orthochk, cylcache, eofinfo
 """
 
@@ -18,4 +18,5 @@ TOOLS = [
     "psp2hdf5", "shrinkics",
     "diskprof", "haloprof", "mssaprof", "viewcoefs", "h5compare",
     "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
+    "diskfreqs",
 ]

@@ -156,3 +156,27 @@ def test_crossval_cylinder(tmp_path, capsys):
     assert "overall median force error" in out
     err = float(out.strip().splitlines()[-1].split(":")[1])
     assert np.isfinite(err) and err < 1.0
+
+
+def test_diskfreqs(tmp_path, capsys):
+    from exp_tpu.basis.empcyl import build_empcyl_tables
+    from exp_tpu.ic.disk import sample_exponential_disk
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.cli.diskfreqs import main as diskfreqs
+
+    cache = str(tmp_path / "eof.h5")
+    build_empcyl_tables(mmax=1, nmax=4, lmaxfid=8, nmaxfid=8,
+                        acyl=1.0, hcyl=0.1, rcylmin=1e-3, rcylmax=20.0,
+                        numx=64, numy=32, rnum=60, tnum=20, cachename=cache)
+    x, m = sample_exponential_disk(4000, acyl=1.0, hcyl=0.1, mass=1.0,
+                                   seed=3)
+    bods = str(tmp_path / "d.bods")
+    write_ascii_bodies(bods, (x, np.zeros_like(x), m))
+    diskfreqs([bods, "--eof", cache, "--nout", "16"])
+    tab = np.loadtxt(bods + ".diskfreqs")
+    assert tab.shape == (16, 5) and np.isfinite(tab).all()
+    assert np.all(tab[:, 1] > 0)                 # rotation curve positive
+    assert tab[-1, 1] < tab[-5, 1]               # Keplerian outer decline
+    # vertical frequency exceeds the rotation frequency for a thin disk
+    mid = slice(3, 12)
+    assert np.median(tab[mid, 4] / tab[mid, 2]) > 1.0
