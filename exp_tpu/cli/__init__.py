@@ -15,7 +15,7 @@ utils/ inventory (SURVEY section 2.5):
 TOOLS = [
     "gensph", "cubeics", "gendisk",
     "pspinfo", "pspstat", "psp2ascii", "ascii2psp", "snap2ascii", "diffpsp",
-    "psp2hdf5", "shrinkics",
+    "psp2hdf5", "shrinkics", "psphisto", "pspbox",
     "diskprof", "haloprof", "mssaprof", "viewcoefs", "h5compare",
     "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
     "diskfreqs",

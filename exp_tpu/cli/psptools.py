@@ -190,3 +190,83 @@ def shrinkics(argv=None):
     out = a.output or a.file + ".shrink"
     write_ascii_bodies(out, (x[keep], v[keep], m[keep] * scale))
     print(f"wrote {out} ({len(keep)} of {n} bodies, mass conserved)")
+
+
+def psphisto(argv=None):
+    """psphisto — 1D mass-weighted histogram of a phase-space quantity
+    (utils/Analysis/psphisto.cc): field in {r, R, x, y, z, vr, vt, v2}."""
+    ap = make_parser("psphisto", psphisto.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("--field", default="r",
+                    choices=["r", "R", "x", "y", "z", "vr", "vt", "v2"])
+    ap.add_argument("--comp", default=None)
+    ap.add_argument("--nbins", type=int, default=40)
+    ap.add_argument("--log", action="store_true")
+    ap.add_argument("-o", "--output", default=None)
+    a = ap.parse_args(argv)
+    from exp_tpu.io.psp import read_psp
+
+    d = read_psp(a.file)
+    if isinstance(d, list):
+        d = d[-1]
+    cs = [c for c in d.components if a.comp in (None, c.name)]
+    x = np.concatenate([c.x for c in cs])
+    v = np.concatenate([c.v for c in cs])
+    m = np.concatenate([c.mass for c in cs])
+    r = np.linalg.norm(x, axis=1)
+    rh = np.maximum(r, 1e-12)
+    vals = {"r": r, "R": np.hypot(x[:, 0], x[:, 1]), "x": x[:, 0],
+            "y": x[:, 1], "z": x[:, 2],
+            "vr": np.sum(x * v, axis=1) / rh,
+            "v2": np.sum(v * v, axis=1)}
+    vals["vt"] = np.sqrt(np.maximum(vals["v2"] - vals["vr"] ** 2, 0.0))
+    q = vals[a.field]
+    if a.log:
+        lo = max(q[q > 0].min(), 1e-12)
+        edges = np.geomspace(lo, q.max(), a.nbins + 1)
+    else:
+        edges = np.linspace(q.min(), q.max(), a.nbins + 1)
+    H, _ = np.histogram(q, bins=edges, weights=m)
+    out = a.output or f"{a.file}.histo.{a.field}"
+    with open(out, "w") as f:
+        f.write(f"# {a.field}_center  mass\n")
+        for i in range(a.nbins):
+            f.write(f"{0.5 * (edges[i] + edges[i + 1]):.8g} {H[i]:.8g}\n")
+    print(f"wrote {out}")
+
+
+def pspbox(argv=None):
+    """pspbox — cut a spatial box/sphere out of a PSP dump into a new PSP
+    file (utils/Analysis/pspbox.cc)."""
+    ap = make_parser("pspbox", pspbox.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("--center", default="0,0,0")
+    ap.add_argument("--radius", type=float, default=None,
+                    help="spherical cut radius")
+    ap.add_argument("--halfside", type=float, default=None,
+                    help="cubic box half side")
+    a = ap.parse_args(argv)
+    from exp_tpu.io.psp import read_psp, write_psp, PSPDump, PSPComponent
+
+    if a.radius is None and a.halfside is None:
+        ap.error("need --radius or --halfside")
+    ctr = np.array([float(s) for s in a.center.split(",")])
+    d = read_psp(a.file)
+    if isinstance(d, list):
+        d = d[-1]
+    out_dump = PSPDump(time=d.time)
+    ntot = 0
+    for c in d.components:
+        rel = c.x - ctr
+        if a.radius is not None:
+            keep = np.linalg.norm(rel, axis=1) <= a.radius
+        else:
+            keep = np.all(np.abs(rel) <= a.halfside, axis=1)
+        ntot += int(keep.sum())
+        out_dump.components.append(PSPComponent(
+            name=c.name, info=c.info, mass=c.mass[keep], x=c.x[keep],
+            v=c.v[keep], pot=c.pot[keep]))
+    out = a.output or a.file + ".box"
+    write_psp(out, out_dump)
+    print(f"wrote {out} ({ntot} bodies kept)")

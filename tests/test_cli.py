@@ -180,3 +180,20 @@ def test_diskfreqs(tmp_path, capsys):
     # vertical frequency exceeds the rotation frequency for a thin disk
     mid = slice(3, 12)
     assert np.median(tab[mid, 4] / tab[mid, 2]) > 1.0
+
+
+def test_psphisto_pspbox(workdir, capsys):
+    from exp_tpu.cli.psptools import psphisto, pspbox, pspinfo
+
+    psp = str(workdir / "h.psp")
+    psphisto([psp, "--field", "r", "--log", "--nbins", "12"])
+    tab = np.loadtxt(psp + ".histo.r")
+    assert tab.shape == (12, 2)
+    np.testing.assert_allclose(tab[:, 1].sum(), 1.0, rtol=0.05)
+
+    pspbox([psp, "--radius", "1.0"])
+    capsys.readouterr()
+    pspinfo([psp + ".box"])
+    out = capsys.readouterr().out
+    n = int(out.split("ntot=")[1].split()[0])
+    assert 0 < n < 2000
