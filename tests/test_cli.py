@@ -189,7 +189,9 @@ def test_psphisto_pspbox(workdir, capsys):
     psphisto([psp, "--field", "r", "--log", "--nbins", "12"])
     tab = np.loadtxt(psp + ".histo.r")
     assert tab.shape == (12, 2)
-    np.testing.assert_allclose(tab[:, 1].sum(), 1.0, rtol=0.05)
+    from exp_tpu.io.psp import read_psp
+    mtot = read_psp(psp).components[0].mass.sum()
+    np.testing.assert_allclose(tab[:, 1].sum(), mtot, rtol=1e-6)
 
     pspbox([psp, "--radius", "1.0"])
     capsys.readouterr()
