@@ -251,3 +251,32 @@ Output:
     d = sim._diag["disk"]
     assert np.isfinite(float(np.asarray(d["KE"])))
     assert (tmp_path / "eofp.h5").exists()
+
+
+def test_cylinder_sharded_psum_equivalence(tmp_path):
+    """Cylinder coefficients from an 8-device shard_map == single device."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    import jax.numpy as jnp
+    from exp_tpu.basis.empcyl import build_empcyl_tables
+    from exp_tpu.forces.cylinder import CylinderForce
+    from exp_tpu.ic.disk import sample_exponential_disk
+    from exp_tpu.nbody.step import shard_map
+
+    t = build_empcyl_tables(mmax=1, nmax=4, lmaxfid=8, nmaxfid=8,
+                            acyl=1.0, hcyl=0.1, rcylmin=1e-3, rcylmax=20.0,
+                            numx=64, numy=32, rnum=60, tnum=20,
+                            cachename=str(tmp_path / "eof.h5"))
+    f = CylinderForce.from_tables(t, dtype=jnp.float64)
+    x, m = sample_exponential_disk(4096, acyl=1.0, hcyl=0.1, mass=1.0,
+                                   seed=9)
+    x = jnp.asarray(x)
+    m = jnp.asarray(m)
+    ref = f.coefficients(x, m, accum_dtype=jnp.float64)
+    mesh = Mesh(np.array(jax.devices()), ("p",))
+    fn = jax.jit(shard_map(
+        lambda xs, ms: f.coefficients(xs, ms, axis_name="p",
+                                      accum_dtype=jnp.float64),
+        mesh, (P("p", None), P("p")), P()))
+    np.testing.assert_allclose(np.asarray(fn(x, m)), np.asarray(ref),
+                               rtol=1e-12, atol=1e-14)
