@@ -199,3 +199,17 @@ def test_psphisto_pspbox(workdir, capsys):
     out = capsys.readouterr().out
     n = int(out.split("ntot=")[1].split()[0])
     assert 0 < n < 2000
+
+
+def test_kldiv(workdir, capsys):
+    from exp_tpu.cli.kldiv import main as kldiv
+
+    bods = str(workdir / "h.bods")
+    kldiv([bods, bods])
+    out = capsys.readouterr().out
+    assert "KL(p1 || p2) = 0 " in out
+    db = str(workdir / "d.bods")        # disk from test_profiles
+    kldiv([bods, db, "--cyl"])
+    out = capsys.readouterr().out
+    kl = float(out.split("=")[1].split()[0])
+    assert kl > 0.1                     # halo vs disk profiles differ
