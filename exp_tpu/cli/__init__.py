@@ -18,5 +18,5 @@ TOOLS = [
     "psp2hdf5", "shrinkics", "psphisto", "pspbox",
     "diskprof", "haloprof", "mssaprof", "viewcoefs", "h5compare",
     "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
-    "diskfreqs", "kldiv",
+    "diskfreqs", "kldiv", "yamldiff",
 ]

@@ -213,3 +213,17 @@ def test_kldiv(workdir, capsys):
     out = capsys.readouterr().out
     kl = float(out.split("=")[1].split()[0])
     assert kl > 0.1                     # halo vs disk profiles differ
+
+
+def test_yamldiff(tmp_path, capsys):
+    from exp_tpu.cli.yamldiff import main as yamldiff
+
+    (tmp_path / "a.yml").write_text("Global: {dtime: 0.01, nsteps: 5}\n")
+    (tmp_path / "b.yml").write_text(
+        "Global: {dtime: 0.02, nsteps: 5, fpe: true}\n")
+    assert yamldiff([str(tmp_path / "a.yml"), str(tmp_path / "a.yml")]) == 0
+    capsys.readouterr()
+    assert yamldiff([str(tmp_path / "a.yml"), str(tmp_path / "b.yml")]) == 1
+    out = capsys.readouterr().out
+    assert "~ Global.dtime: 0.01 -> 0.02" in out
+    assert "+ Global.fpe: True" in out
