@@ -323,13 +323,33 @@ class GenerateRelaxation:
 
 @dataclass
 class PeriodicBC:
-    """Position wrapping into [0, L)^3 applied after drift
-    (src/user PeriodicBC.cc).  Not a force — a post-drift transform."""
+    """Boundary conditions applied after drift (src/PeriodicBC.H:10-19):
+    per-axis edge sizes sx/sy/sz and a btype string of 'p' (periodic wrap
+    into [0, s)), 'r' (reflect at 0 and s), or 'v' (vacuum — untouched).
+    `L` is a shorthand setting sx = sy = sz.  Not a force — a post-drift
+    position transform inside the jitted step."""
 
     L: float = 1.0
+    sx: float = None
+    sy: float = None
+    sz: float = None
+    btype: str = "ppp"
 
     def wrap(self, x):
-        return jnp.mod(x, self.L)
+        sizes = [self.sx or self.L, self.sy or self.L, self.sz or self.L]
+        cols = []
+        for a in range(3):
+            c = x[:, a]
+            s = sizes[a]
+            b = self.btype[a] if len(self.btype) > a else "p"
+            if b == "p":
+                c = jnp.mod(c, s)
+            elif b == "r":
+                # reflect into [0, s): triangle-wave fold of period 2s
+                t = jnp.mod(c, 2.0 * s)
+                c = jnp.where(t > s, 2.0 * s - t, t)
+            cols.append(c)
+        return jnp.stack(cols, axis=-1)
 
 
 _REGISTRY = {

@@ -115,3 +115,40 @@ Output:
     # KE+VC (the E column) is not conserved in periodic geometry (the
     # Clausius virial uses unwrapped positions); gate on KE+PE instead
     assert abs(Etot[-1] - Etot[0]) / max(abs(KE[0]), 1e-10) < 0.05
+
+
+def test_genslab_equilibrium(tmp_path):
+    """genslab Spitzer sheet stays near equilibrium under slabSL."""
+    from exp_tpu.cli.genslab import main as genslab
+    from exp_tpu.nbody.simulation import Simulation
+
+    bods = str(tmp_path / "s.bods")
+    genslab(["-N", "4000", "-o", bods, "--z0", "0.02", "-s", "2"])
+    (tmp_path / "c.yml").write_text("""\
+Global:
+  dtime: 0.005
+  nsteps: 40
+  runtag: slab0
+Components:
+  - name: slab
+    bodyfile: s.bods
+    force:
+      id: slabSL
+      parameters: {nmaxx: 2, nmaxy: 2, nmaxz: 6, zmax: 0.12, hslab: 0.02}
+Output:
+  - id: outlog
+    parameters: {nint: 20}
+External:
+  - id: periodicBC
+    parameters: {L: 1.0, btype: ppv}
+""")
+    sim = Simulation.from_file(str(tmp_path / "c.yml"))
+    sim.prime()
+    z0 = np.asarray(sim._state["slab"].x)[:, 2]
+    rms0 = float(np.sqrt((z0 ** 2).mean()))
+    sim.run()
+    z1 = np.asarray(sim._state["slab"].x)[:, 2]
+    rms1 = float(np.sqrt((z1 ** 2).mean()))
+    # sheet thickness stays within 40% of initial over ~2 crossing times
+    assert 0.6 * rms0 < rms1 < 1.6 * rms0
+    assert np.isfinite(np.asarray(sim._state["slab"].v)).all()
