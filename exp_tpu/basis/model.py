@@ -224,6 +224,30 @@ def plummer_model(a: float = 1.0, M: float = 1.0, rmin: float = 1e-4,
                                comment=f"! Plummer a={a} M={M}")
 
 
+def add_disk_to_model(halo: SphericalModelTable, Mdisk: float,
+                      acyl: float) -> SphericalModelTable:
+    """Composite halo+disk model for IC generation (utils/ICs/AddDisk.cc:
+    the DiskHalo path): add the exponential disk's spherically-averaged
+    enclosed mass M_d(r) = Mdisk (1 - (1 + r/a) e^{-r/a}) to the halo's
+    mass and potential, keeping the halo density as the tracer profile.
+    Eddington inversion of the result gives the halo DF in the TOTAL
+    potential, so the halo responds to the embedded disk."""
+    r = halo.r
+    Md = Mdisk * (1.0 - (1.0 + r / acyl) * np.exp(-r / acyl))
+    # spherical-shell potential of the disk mass profile:
+    # Phi_d = -Md(r)/r - int_r^inf (dMd/ds)/s ds
+    dMd = np.gradient(Md, r)
+    integ = dMd / r
+    tail = np.concatenate([
+        np.cumsum((0.5 * (integ[1:] + integ[:-1]) * np.diff(r))[::-1])[::-1],
+        [0.0]])
+    pot_d = -Md / r - tail
+    return SphericalModelTable(r, halo.rho, halo.mass + Md,
+                               halo.pot + pot_d,
+                               comment=(halo.comment
+                                        + f" + disk M={Mdisk} a={acyl}"))
+
+
 def king_model(W0: float = 5.0, M: float = 1.0, rt: float = 1.0,
                numr: int = 2000) -> SphericalModelTable:
     """King (1966) lowered-isothermal model (reference include/king.H).

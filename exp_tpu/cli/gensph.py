@@ -15,13 +15,26 @@ def main(argv=None):
     ap.add_argument("-s", "--seed", type=int, default=11)
     ap.add_argument("--rmin", type=float, default=1e-4)
     ap.add_argument("--rmax", type=float, default=20.0)
+    ap.add_argument("--ra", type=float, default=None,
+                    help="Osipkov-Merritt anisotropy radius")
+    ap.add_argument("--adddisk", default=None, metavar="MASS,ACYL",
+                    help="embed an exponential disk: the halo DF responds "
+                         "to the disk mass (AddDisk / DiskHalo path)")
     a = ap.parse_args(argv)
 
     from exp_tpu.ic.eddington import sample_spherical_model
     from exp_tpu.nbody.particles import write_ascii_bodies
 
     model = load_model(a.model, rmin=a.rmin, rmax=a.rmax)
-    x, v, m = sample_spherical_model(model, a.number, seed=a.seed)
+    tracer_only = False
+    if a.adddisk:
+        from exp_tpu.basis.model import add_disk_to_model
+
+        md, ad = (float(s) for s in a.adddisk.split(","))
+        model = add_disk_to_model(model, md, ad)
+        tracer_only = True
+    x, v, m = sample_spherical_model(model, a.number, seed=a.seed,
+                                     ra=a.ra, tracer_only=tracer_only)
     write_ascii_bodies(a.output, (x, v, m))
     print(f"gensph: wrote {a.number} bodies to {a.output} "
           f"(M={m.sum():.6g})")

@@ -89,18 +89,30 @@ class EddingtonDF:
 
 def sample_spherical_model(model: SphericalModelTable, n: int,
                            seed: int = 0, zero_com: bool = True,
-                           ra: float | None = None):
+                           ra: float | None = None,
+                           tracer_only: bool = False):
     """Draw an equilibrium realization: returns (x, v, mass) arrays.
 
     Equal-mass particles totaling model.total_mass (the gensph convention).
     ra: Osipkov–Merritt anisotropy radius (isotropic if None).
+    tracer_only: sample positions/masses from the model's DENSITY profile
+    instead of its mass column — for composite models (add_disk_to_model)
+    whose mass/potential include another component's contribution while
+    rho is the tracer being realized.
     """
     rng = np.random.default_rng(seed)
     df = EddingtonDF(model, ra=ra)
     m = model
 
-    # radius from inverse CDF of M(r)
-    Mr = m.mass / m.total_mass
+    if tracer_only:
+        integ = 4.0 * np.pi * m.rho * m.r ** 2
+        dm = 0.5 * (integ[1:] + integ[:-1]) * np.diff(m.r)
+        Mcum = np.concatenate([[0.0], np.cumsum(dm)])
+        mtot = Mcum[-1]
+        Mr = Mcum / mtot
+    else:
+        mtot = m.total_mass
+        Mr = m.mass / m.total_mass
     # make strictly increasing for interp
     keep = np.concatenate([[True], np.diff(Mr) > 0])
     inv_r = CubicSpline(Mr[keep], np.log(m.r[keep]))
@@ -169,7 +181,7 @@ def sample_spherical_model(model: SphericalModelTable, n: int,
         that /= np.maximum(np.linalg.norm(that, axis=1, keepdims=True),
                            1e-12)
         vv = vr[:, None] * rhat + vt_[:, None] * that
-    mass = np.full(n, m.total_mass / n)
+    mass = np.full(n, mtot / n)
 
     if zero_com:
         x -= np.average(x, axis=0, weights=mass)

@@ -386,3 +386,40 @@ def test_outvel_writer(rundir):
         g = f[snaps[-1]]
         for k in f.attrs["fields"]:
             assert np.isfinite(g[k][()]).all()
+
+
+def test_adddisk_halo_response(tmp_path):
+    """gensph --adddisk: halo sampled in the combined halo+disk potential
+    stays virialized when run with a fixed disk field; the uncorrected
+    halo is measurably colder."""
+    from exp_tpu.cli.gensph import main as gensph
+    from exp_tpu.nbody.simulation import Simulation
+
+    gensph(["-N", "4000", "-i", "hernquist:a=1,M=1", "--rmax", "30",
+            "--adddisk", "0.2,0.5", "-o", str(tmp_path / "h.bods"),
+            "-s", "5"])
+    (tmp_path / "c.yml").write_text("""\
+Global:
+  dtime: 0.02
+  nsteps: 20
+  runtag: resp0
+Components:
+  - name: halo
+    bodyfile: h.bods
+    force:
+      id: sphereSL
+      parameters: {numr: 800, Lmax: 2, nmax: 8,
+                   modelname: "hernquist:a=1,M=1"}
+Output:
+  - id: outlog
+    parameters: {nint: 10}
+External:
+  - id: userdisk
+    parameters: {a: 0.5, mass: 0.2}
+""")
+    sim = Simulation.from_file(str(tmp_path / "c.yml"))
+    sim.prime()
+    sim.run()
+    d = sim._diag["halo"]
+    ratio = -2.0 * float(np.asarray(d["KE"])) / float(np.asarray(d["VC"]))
+    assert abs(ratio - 1.0) < 0.12
