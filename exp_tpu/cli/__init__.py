@@ -13,7 +13,7 @@ utils/ inventory (SURVEY section 2.5):
 """
 
 TOOLS = [
-    "gensph", "cubeics", "gendisk", "genslab",
+    "gensph", "cubeics", "gendisk", "genslab", "gendisk2d",
     "pspinfo", "pspstat", "psp2ascii", "ascii2psp", "snap2ascii", "diffpsp",
     "psp2hdf5", "shrinkics", "psphisto", "pspbox",
     "diskprof", "haloprof", "mssaprof", "viewcoefs", "h5compare",

@@ -227,3 +227,21 @@ def test_yamldiff(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "~ Global.dtime: 0.01 -> 0.02" in out
     assert "+ Global.fpe: True" in out
+
+
+def test_gendisk2d(tmp_path, capsys):
+    from exp_tpu.cli.gendisk2d import main as gendisk2d
+
+    out = str(tmp_path / "z.bods")
+    gendisk2d(["-N", "3000", "-i", "zang", "-o", out, "-s", "2"])
+    a = np.loadtxt(out, skiprows=1)
+    assert len(a) == 3000
+    assert (a[:, 3] == 0).all() and (a[:, 6] == 0).all()   # razor-thin
+    R = np.hypot(a[:, 1], a[:, 2])
+    vphi = (-a[:, 4] * a[:, 2] + a[:, 5] * a[:, 1]) / R
+    assert vphi.mean() > 0.1                # net rotation
+    gendisk2d(["-N", "2000", "-i", "kuzmin", "-o", out, "-s", "2"])
+    b = np.loadtxt(out, skiprows=1)
+    # Kuzmin mass inside rmax = 10a: 1 - 1/sqrt(101)
+    np.testing.assert_allclose(b[:, 0].sum(), 1.0 - 1.0 / np.sqrt(101.0),
+                               rtol=0.02)
