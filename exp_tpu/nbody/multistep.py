@@ -288,6 +288,8 @@ class MultistepRunner:
         self.quantum = int(mesh.devices.size)
         self._fns = {}
         self._init_fns = {}
+        self._assess_fns = {}
+        self._rebucket_fns = {}
         self._dt_fn = jax.jit(lambda ps: dtreq_fn(ps, **self.dyn))
 
     def _caps_sig(self, state):
@@ -346,30 +348,99 @@ class MultistepRunner:
             st, regs, coef, diag = self._fns[key](st, regs, jnp.float32(t0))
         return st, regs, coef, diag
 
+    def _make_assess(self):
+        """One jitted pass: flatten buckets, timestep criteria, level
+        assignment, per-level live counts, number of LIVE rows that moved
+        (padding rows always report level 0 and must not count)."""
+        M, dtime, shiftlevl, dyn = self.M, self.dtime, self.shiftlevl, \
+            self.dyn
+
+        def assess(st):
+            flat, levs, counts = {}, {}, {}
+            nchanged = jnp.zeros((), jnp.int32)
+            for n, bs in st.items():
+                ps = flatten_buckets(LevelBuckets(list(bs), None))
+                dtr = dtreq_fn(ps, **dyn)
+                lev = assign_levels(dtr, ps.level, dtime, M, shiftlevl)
+                live = ps.mass > 0
+                lev = jnp.where(live, lev, 0)
+                flat[n] = ps
+                levs[n] = lev
+                counts[n] = jnp.stack(
+                    [jnp.sum((lev == l) & live) for l in range(M + 1)])
+                nchanged = nchanged + jnp.sum((lev != ps.level) & live)
+            return flat, levs, counts, nchanged
+
+        return jax.jit(assess)
+
+    def _make_rebucket(self, caps):
+        """Device-side rebucketing at FIXED capacities: a stable argsort by
+        level (dead rows last) + one dynamic slice per level.  Replaces the
+        host bucketize round-trips (full pull + per-bucket uploads cost
+        ~2 s/bigstep through a remote runtime at 400k particles)."""
+        M = self.M
+
+        def rebucket(flat, levs):
+            st = {}
+            for n, ps in flat.items():
+                key = jnp.where(ps.mass > 0, levs[n], M + 1)
+                order = jnp.argsort(key)        # stable
+                ntot = key.shape[0]
+                bs = []
+                for l in range(M + 1):
+                    cap = caps[n][l]
+                    start = jnp.sum(key < l)
+                    nl = jnp.sum(key == l)
+                    take = order[(start + jnp.arange(cap)) % ntot]
+                    valid = jnp.arange(cap) < nl
+                    v3 = valid[:, None]
+                    bs.append(ParticleSystem(
+                        x=jnp.where(v3, ps.x[take], 0.0),
+                        v=jnp.where(v3, ps.v[take], 0.0),
+                        mass=jnp.where(valid, ps.mass[take], 0.0),
+                        acc=jnp.where(v3, ps.acc[take], 0.0),
+                        pot=jnp.where(valid, ps.pot[take], 0.0),
+                        level=jnp.full(cap, l, jnp.int32)))
+                st[n] = tuple(bs)
+            return st
+
+        return jax.jit(rebucket)
+
     def relevel(self, st, regs):
         """Boundary re-leveling (NoSwitch discipline); returns new (st, regs).
 
         Registers are rebuilt by the init pass at the synchronized time —
         every level's L and N coincide there, so no tableau state is lost.
+        Fast path: when no level outgrew its padded capacity, the
+        rebucketing runs entirely on device (no host transfers beyond the
+        per-level counts).
         """
-        changed = False
-        flat = {}
-        for n, bs in st.items():
-            ps = flatten_buckets(LevelBuckets(list(bs), None))
-            dtr = self._dt_fn(ps)
-            lev = assign_levels(dtr, ps.level, self.dtime, self.M,
-                                self.shiftlevl)
-            lev = jnp.where(ps.mass > 0, lev, 0)
-            if bool(jnp.any(lev != ps.level)):
-                changed = True
-            flat[n] = replace(ps, level=lev)
-        if not changed:
+        sig = self._caps_sig(st)
+        assess = self._assess_fns.get(sig)
+        if assess is None:
+            assess = self._assess_fns[sig] = self._make_assess()
+        flat, levs, counts, nchanged = assess(st)
+        host = jax.device_get((counts, nchanged))
+        counts_h, nchanged_h = host
+        if int(nchanged_h) == 0:
             return st, regs
-        state = {n: bucketize(ps, self.M, self.quantum,
-                              caps=self.caps.get(n), mesh=self.mesh)
-                 for n, ps in flat.items()}
-        self.caps = {n: lb.caps for n, lb in state.items()}
-        st = {n: tuple(lb.buckets) for n, lb in state.items()}
+        fits = all(int(c) <= self.caps[n][l]
+                   for n, cs in counts_h.items() for l, c in enumerate(cs))
+        if fits:
+            rb = self._rebucket_fns.get(sig)
+            if rb is None:
+                rb = self._rebucket_fns[sig] = self._make_rebucket(self.caps)
+            st = rb(flat, levs)
+        else:
+            # a level outgrew its bucket: host rebucketing grows the sticky
+            # pow2 capacities (downstream functions recompile for the new
+            # signature)
+            state = {n: bucketize(replace(ps, level=levs[n]), self.M,
+                                  self.quantum, caps=self.caps.get(n),
+                                  mesh=self.mesh)
+                     for n, ps in flat.items()}
+            self.caps = {n: lb.caps for n, lb in state.items()}
+            st = {n: tuple(lb.buckets) for n, lb in state.items()}
         st, regs, _, _ = self._init(st)
         return st, regs
 
