@@ -445,8 +445,10 @@ class MultistepRunner:
         return st, regs
 
     def level_counts(self, st):
-        return {n: [int((np.asarray(b.mass) > 0).sum()) for b in bs]
-                for n, bs in st.items()}
+        # single transfer of small per-bucket counts
+        cts = jax.device_get({n: [jnp.sum(b.mass > 0) for b in bs]
+                              for n, bs in st.items()})
+        return {n: [int(c) for c in cs] for n, cs in cts.items()}
 
 
 def init_regs_fn(forces: dict, couples: dict, M: int, mesh,

@@ -818,6 +818,7 @@ class Simulation:
         from exp_tpu.nbody.multistep import flatten_buckets, LevelBuckets
 
         if self._ms_state is not None:
+            # lazy device concats: writers pull only the fields they touch
             self._state = {
                 n: flatten_buckets(LevelBuckets(list(bs), None))
                 for n, bs in self._ms_state.items()}
