@@ -40,6 +40,7 @@ _OUTPUT_KEYS = {"id", "parameters"}
 KNOWN_FORCES = {
     "sphereSL", "bessel", "cube", "slabSL", "cylinder", "flatdisk",
     "CBDisk", "direct", "noforce", "shells", "halobulge", "twocenter",
+    "CBsphere", "hernq",
 }
 
 KNOWN_OUTPUTS = {

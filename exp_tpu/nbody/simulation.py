@@ -173,6 +173,17 @@ def build_force(fc, dtype, workdir=".", particles=None):
             nmax=int(p.pop("nmax", 10)),
             rmax=float(p.pop("rmax", 1.0)),
             numr=int(p.pop("numr", 2000)), dtype=dtype)
+    elif fc.id in ("CBsphere", "hernq"):
+        from exp_tpu.basis.analytic import make_analytic_force
+
+        return make_analytic_force(
+            fc.id, lmax=int(p.pop("Lmax", p.pop("lmax", 4))),
+            nmax=int(p.pop("nmax", 10)),
+            rmin=float(p.pop("rmin", 1e-3)),
+            rmax=float(p.pop("rmax", 50.0)),
+            numr=int(p.pop("numr", 2000)),
+            scale=float(p.pop("scale", 1.0)), dtype=dtype,
+            backend=str(p.pop("backend", "matmul")))
     elif fc.id == "direct":
         from exp_tpu.forces.direct import DirectForce
 

@@ -305,3 +305,70 @@ External:
     np.testing.assert_allclose(speeds1, speeds0, rtol=1e-6)
     relx = (tmp_path / "scat0.relx").read_text().splitlines()
     assert len(relx) >= 2 and not relx[-1].startswith("#")
+
+
+def test_analytic_bases():
+    """CB and Hernquist-Ostriker analytic bases: exact discrete
+    biorthogonality; each basis reproduces its own lowest-member halo
+    (Plummer / Hernquist) to ~1%."""
+    from exp_tpu.basis.analytic import (build_cb_tables, build_hq_tables,
+                                        make_analytic_force)
+    from exp_tpu.basis.model import hernquist_model, plummer_model
+    from exp_tpu.ic.eddington import sample_spherical_model
+
+    for build in (build_cb_tables, build_hq_tables):
+        pot, dens, r = build(2, 6, rmin=1e-3, rmax=100.0, numr=1200)
+        w = np.gradient(r)
+        w[0] *= 0.5
+        w[-1] *= 0.5
+        for l in range(3):
+            B = np.einsum("rn,rm,r->nm", pot[:, l, :], dens[:, l, :],
+                          r ** 2 * w)
+            np.testing.assert_allclose(B, -np.eye(6), atol=1e-10)
+
+    for kind, model in (("hernq", hernquist_model(rmin=1e-3, rmax=50.0)),
+                        ("CBsphere", plummer_model(rmin=1e-3, rmax=50.0))):
+        x, v, mass = sample_spherical_model(model, 40000, seed=4)
+        f = make_analytic_force(kind, lmax=2, nmax=8, rmin=1e-3, rmax=60.0,
+                                dtype=jnp.float64)
+        coef = f.coefficients(jnp.asarray(x), jnp.asarray(mass),
+                              accum_dtype=jnp.float64)
+        pts = np.stack([np.geomspace(0.1, 10, 12),
+                        np.zeros(12), np.zeros(12)], -1)
+        acc, _ = f.acceleration(coef, jnp.asarray(pts))
+        aR = -np.asarray(acc)[:, 0]
+        exact = model.get_mass(pts[:, 0]) / pts[:, 0] ** 2
+        assert np.median(np.abs(aR / exact - 1.0)) < 0.03
+
+
+def test_analytic_force_driver(tmp_path):
+    """hernq force id runs through the YAML driver in virial balance."""
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.ic.eddington import sample_spherical_model
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+
+    m = hernquist_model(rmin=1e-3, rmax=50.0)
+    x, v, mass = sample_spherical_model(m, 3000, seed=6)
+    write_ascii_bodies(tmp_path / "h.bods", (x, v, mass))
+    (tmp_path / "c.yml").write_text("""\
+Global:
+  dtime: 0.02
+  nsteps: 10
+  runtag: hq0
+Components:
+  - name: halo
+    bodyfile: h.bods
+    force:
+      id: hernq
+      parameters: {Lmax: 2, nmax: 8, rmax: 60.0}
+Output:
+  - id: outlog
+    parameters: {nint: 5}
+""")
+    sim = Simulation.from_file(str(tmp_path / "c.yml"))
+    sim.prime()
+    sim.run()
+    d = sim._diag["halo"]
+    ratio = -2.0 * float(np.asarray(d["KE"])) / float(np.asarray(d["VC"]))
+    assert abs(ratio - 1.0) < 0.12
