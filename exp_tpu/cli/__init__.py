@@ -16,7 +16,7 @@ TOOLS = [
     "gensph", "cubeics", "gendisk", "genslab", "gendisk2d",
     "pspinfo", "pspstat", "psp2ascii", "ascii2psp", "snap2ascii", "diffpsp",
     "psp2hdf5", "shrinkics", "psphisto", "pspbox",
-    "diskprof", "haloprof", "mssaprof", "viewcoefs", "h5compare",
+    "diskprof", "haloprof", "slabprof", "mssaprof", "viewcoefs", "h5compare",
     "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
     "diskfreqs", "kldiv", "yamldiff",
 ]

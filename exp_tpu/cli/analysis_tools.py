@@ -235,3 +235,38 @@ def eofinfo(argv=None):
     print(f"EOF cache: mmax={t.mmax} nmax={t.nmax} grid={t.numx}x{t.numy} "
           f"acyl={t.acyl} hcyl={t.hcyl} rcylmax={t.rcylmax}")
     print(f"even counts per m: {t.even_count.tolist()}")
+
+
+def slabprof(argv=None):
+    """slabprof — vertical slab profiles: rho(z), sigma_z(z), vz_mean(z)
+    (utils/Analysis/slabprof.cc)."""
+    ap = make_parser("slabprof", slabprof.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("--type", default="ascii")
+    ap.add_argument("--comp", default=None)
+    ap.add_argument("--nbins", type=int, default=40)
+    ap.add_argument("--L", type=float, default=1.0,
+                    help="horizontal box side (for the density unit)")
+    ap.add_argument("-o", "--output", default=None)
+    a = ap.parse_args(argv)
+    s = load_snapshot(a.file, a.type)
+    x, v, m = s.GetParticles(a.comp)
+    z = x[:, 2]
+    edges = np.linspace(z.min(), z.max(), a.nbins + 1)
+    idx = np.clip(np.digitize(z, edges) - 1, 0, a.nbins - 1)
+    dz = edges[1] - edges[0]
+    out = a.output or a.file + ".slabprof"
+    with open(out, "w") as f:
+        f.write("# z rho sigma_z vz_mean N\n")
+        for b in range(a.nbins):
+            sel = idx == b
+            if not sel.any():
+                continue
+            zc = 0.5 * (edges[b] + edges[b + 1])
+            rho = m[sel].sum() / (a.L * a.L * dz)
+            vzm = np.average(v[sel, 2], weights=m[sel])
+            sz = np.sqrt(np.average((v[sel, 2] - vzm) ** 2,
+                                    weights=m[sel]))
+            f.write(f"{zc:.8g} {rho:.8g} {sz:.8g} {vzm:.8g} "
+                    f"{int(sel.sum())}\n")
+    print(f"wrote {out}")

@@ -245,3 +245,17 @@ def test_gendisk2d(tmp_path, capsys):
     # Kuzmin mass inside rmax = 10a: 1 - 1/sqrt(101)
     np.testing.assert_allclose(b[:, 0].sum(), 1.0 - 1.0 / np.sqrt(101.0),
                                rtol=0.02)
+
+
+def test_slabprof(tmp_path, capsys):
+    from exp_tpu.cli.genslab import main as genslab
+    from exp_tpu.cli.analysis_tools import slabprof
+
+    bods = str(tmp_path / "s.bods")
+    genslab(["-N", "8000", "-o", bods, "--z0", "0.02", "-s", "4"])
+    slabprof([bods, "--nbins", "20"])
+    tab = np.loadtxt(bods + ".slabprof")
+    # density peaks near z = 0 and is roughly symmetric
+    zpk = tab[np.argmax(tab[:, 1]), 0]
+    assert abs(zpk) < 0.02
+    assert tab[:, 1].max() > 5 * tab[0, 1]
