@@ -343,7 +343,12 @@ class SphereSL:
         att = jnp.where(outside[:, None], att, 1.0)      # (N, L+1)
         pc = pc * att[:, :, None]
         ps = ps * att[:, :, None]
-        dfac_out = -(lvals + 1.0)[None, :, None] / r[:, None, None]
+        # NB: the outside derivative must be taken wrt the SCALED radius
+        # (r/scale, unclamped) because potr is divided by scale^2 below just
+        # like the inside-table derivative d/d(rs); using physical r here
+        # double-counts one 1/scale (wrong force for scale != 1 at r > rmax).
+        dfac_out = (-(lvals + 1.0)[None, :, None]
+                    / (r / self.scale)[:, None, None])
         dpc = jnp.where(outside[:, None, None], pc * dfac_out, dpc * att[:, :, None])
         dps = jnp.where(outside[:, None, None], ps * dfac_out, dps * att[:, :, None])
 

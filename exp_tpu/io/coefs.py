@@ -155,7 +155,9 @@ class CylCoefsFile:
                 raise ValueError(f"not a cylinder coefficient file: {path}")
             self.mmax = int(f.attrs["mmax"])
             self.nmax = int(f.attrs["nmax"])
-            self.scale = float(f.attrs["scale"])
+            # genuine EXP/pyEXP cylinder files carry only mmax/nmax/forceID
+            # (expui/Coefficients.cc:1329-1331); scale is our extension
+            self.scale = float(f.attrs.get("scale", 1.0))
             self._f = f
 
     def append(self, time: float, coef, center=None):

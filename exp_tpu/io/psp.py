@@ -130,30 +130,56 @@ def read_psp(path, dump_index=None):
             info = data[off:off + ninfo].split(b"\x00")[0].decode(
                 errors="replace")
             off += ninfo
-            # detect indexing by record-size bookkeeping: remaining bytes
+            # Detect indexing DETERMINISTICALLY by boundary bookkeeping:
+            # each candidate record size implies where this component's
+            # stanza ends; the true layout is the one whose end lands on a
+            # valid continuation (next component's cmagic, the next dump's
+            # MasterHeader, or exact EOF).  Mass sanity is only a tiebreak
+            # for the (rare) case where both boundaries validate.
             base = rsize * (8 + ndatr) + 4 * niatr
             with_idx = base + 8
-            remaining = n - off
-            # choose indexing so that nbod records fit the next stanza
-            indexing = False
-            if remaining >= with_idx * nbod:
-                # prefer indexed layout if the non-indexed one leaves
-                # misaligned leftovers and indexed fits exactly to the next
-                # header boundary; heuristically test mass sanity
+            comps_left = ncomp - ci - 1
+
+            def _boundary_ok(off_next):
+                if off_next > n:
+                    return False
+                if comps_left > 0:
+                    # next component header: 8-byte cmagic
+                    if off_next + 8 > n:
+                        return False
+                    nm = np.frombuffer(data, np.uint64, 1, off_next)[0]
+                    return (int(nm) & ~MMASK) == PSP_MAGIC
+                if off_next == n:
+                    return True
+                # next MasterHeader of a multi-dump OUT file
+                if off_next + 16 > n:
+                    return False
+                t2 = np.frombuffer(data, np.float64, 1, off_next)[0]
+                nt2, nc2 = np.frombuffer(data, np.int32, 2, off_next + 8)
+                return bool(np.isfinite(t2) and 0 < nc2 < 65536
+                            and nt2 >= nc2 > 0)
+
+            ok_noidx = _boundary_ok(off + base * nbod)
+            ok_idx = _boundary_ok(off + with_idx * nbod)
+            if ok_idx and not ok_noidx:
+                indexing = True
+            elif ok_noidx and not ok_idx:
+                indexing = False
+            else:
+                # ambiguous (or corrupt): fall back to mass sanity
                 rec_i = np.frombuffer(
                     data, _component_record_dtype(rsize, niatr, ndatr, True),
                     min(nbod, 4), off)
                 rec_n = np.frombuffer(
                     data, _component_record_dtype(rsize, niatr, ndatr, False),
                     min(nbod, 4), off)
-                mi = rec_i["mass"]
-                mn = rec_n["mass"]
 
                 def sane(mm):
                     return bool(np.all(np.isfinite(mm)) and np.all(mm >= 0)
                                 and np.all(mm < 1e30))
-                indexing = sane(mi) and (not sane(mn)
-                                         or remaining == with_idx * nbod)
+                indexing = (n - off >= with_idx * nbod
+                            and sane(rec_i["mass"])
+                            and not sane(rec_n["mass"]))
             dt = _component_record_dtype(rsize, niatr, ndatr, indexing)
             rec = np.frombuffer(data, dt, nbod, off)
             off += dt.itemsize * nbod

@@ -275,7 +275,10 @@ def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
                         continue
                     a = att[l]
                     pcv = pc[row:row + 1, :] * a
-                    dpv = jnp.where(outside, -(l + 1.0) / r * pcv,
+                    # outside derivative wrt the SCALED radius rs (unclamped)
+                    # — potr is divided by scale^2 below, same as the
+                    # in-table d/d(rs); using physical r double-counts 1/scale
+                    dpv = jnp.where(outside, -(l + 1.0) / rs * pcv,
                                     dpc[row:row + 1, :] * a)
                     fl = fac_np[l, mm] * P[(l, mm)]
                     fd = fac_np[l, mm] * dP[(l, mm)]

@@ -49,6 +49,32 @@ def test_psp_multidump(tmp_path):
     assert dumps[0].time == 1.25 and dumps[1].time == 2.5
 
 
+def test_psp_multidump_indexed_one_octant(tmp_path):
+    """Indexed multi-dump OUT files parse deterministically even when all
+    positions/velocities are non-negative (regression: the old mass-sanity
+    heuristic could misread the indexed layout as non-indexed here)."""
+    rng = np.random.default_rng(7)
+    p = tmp_path / "OUT.oct"
+    for k, t in enumerate([0.5, 1.0, 1.5]):
+        d = PSPDump(time=t)
+        n = 64
+        d.components.append(PSPComponent(
+            name="oct", info="name: oct\n",
+            mass=rng.uniform(0.5, 1.0, n),
+            x=rng.uniform(0.0, 1.0, (n, 3)),       # one octant: all >= 0
+            v=rng.uniform(0.0, 1.0, (n, 3)),
+            pot=np.zeros(n)))
+        write_psp(str(p), d, indexing=True, append=(k > 0))
+    dumps = read_psp(str(p))
+    assert isinstance(dumps, list) and len(dumps) == 3
+    for k, t in enumerate([0.5, 1.0, 1.5]):
+        assert dumps[k].time == t
+        c = dumps[k].components[0]
+        assert c.indx is not None
+        np.testing.assert_array_equal(c.indx, np.arange(1, 65))
+        assert np.all(c.mass >= 0.5) and np.all(c.mass <= 1.0)
+
+
 def test_gadget_hdf5_roundtrip(tmp_path):
     s = Snapshot(0.5)
     rng = np.random.default_rng(3)

@@ -81,6 +81,39 @@ def test_outside_rmax_keplerian(setup):
     assert float(acc[0, 0]) == pytest.approx(-M / r_out**2, rel=0.02)
 
 
+def test_scaled_boundary_continuity(setup):
+    """With scale != 1 the radial force is continuous and conservative
+    across the table boundary r = rmax*scale (regression: the outside
+    vacuum-continuation derivative used physical r where a scaled radius
+    was required, halving the exterior force at scale=2)."""
+    m, t, _, x, mass = setup
+    scale = 2.0
+    for backend in ("matmul", "pallas"):
+        dtype = jnp.float64 if backend == "matmul" else jnp.float32
+        f = SphereSL.from_tables(t, scale=scale, dtype=dtype,
+                                 backend=backend, numr_c=512)
+        coef = f.coefficients(x.astype(dtype) * scale, mass.astype(dtype),
+                              accum_dtype=jnp.float64).astype(dtype)
+        rb = t.rmax * scale
+        pts = jnp.asarray([[rb * (1 - 1e-4), 0.0, 0.0],
+                           [rb * (1 + 1e-4), 0.0, 0.0],
+                           [rb * 1.5, 0.0, 0.0]], dtype=dtype)
+        acc, pot = f.acceleration(coef, pts)
+        ax = np.asarray(acc[:, 0])
+        # continuity across the boundary
+        assert abs(ax[1] - ax[0]) / abs(ax[0]) < 5e-3
+        # exterior force is Keplerian: M_total / r^2
+        M = float(jnp.sum(mass))
+        r_out = rb * 1.5
+        assert ax[2] == pytest.approx(-M / r_out**2, rel=0.02)
+        # conservative: -dPhi/dr == a_r numerically outside
+        r1, r2 = rb * 1.4, rb * 1.6
+        p2 = jnp.asarray([[r1, 0, 0], [r2, 0, 0]], dtype=dtype)
+        _, pots = f.acceleration(coef, p2)
+        dphidr = float(pots[1] - pots[0]) / (r2 - r1)
+        assert ax[2] == pytest.approx(-dphidr, rel=0.02)
+
+
 def test_density_recovery(setup):
     m, _, force, x, mass = setup
     coef = force.coefficients(x, mass, accum_dtype=jnp.float64)
