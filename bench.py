@@ -90,78 +90,79 @@ def _real_ylm_norm_np(lmax):
 
 def main():
     import jax
-    import jax.numpy as jnp
-    from exp_tpu.basis.model import hernquist_model
-    from exp_tpu.basis.slgrid import build_sph_sl_tables
-    from exp_tpu.forces.spherical import SphereSL
-    from exp_tpu.nbody.particles import ParticleSystem
-    from exp_tpu.nbody.step import make_kdk_step, init_force_state
+    import bench_suite
 
     n = int(os.environ.get("BENCH_N", 1_048_576))
-    lmax, nmax = 4, 10
-    dt = 0.001
-    backend = os.environ.get("BENCH_BACKEND", "pallas")
-
-    m = hernquist_model(rmin=1e-3, rmax=20.0)
-    t = build_sph_sl_tables(m, lmax=lmax, nmax=nmax, numr=2000, cmap=1,
-                            rmap=1.0)
-    force = SphereSL.from_tables(t, dtype=jnp.float32, backend=backend)
-
-    # synthetic positions/velocities drawn cheaply (no need for equilibrium)
-    rng = np.random.default_rng(0)
-    u = rng.uniform(0.02, 0.98, n)
-    r = u / (1 - u)                                  # Hernquist-ish spread
-    ct = rng.uniform(-1, 1, n); st = np.sqrt(1 - ct * ct)
-    ph = rng.uniform(0, 2 * np.pi, n)
-    x = np.stack([r * st * np.cos(ph), r * st * np.sin(ph), r * ct], -1)
-    v = rng.normal(0, 0.3, (n, 3))
-    mass = np.full(n, 1.0 / n)
-
-    # tiny warmup first: the first compile in a process pays a large fixed
-    # backend-init cost; do it on a small shape (results cached persistently)
-    tiny = ParticleSystem.from_arrays(x[:1024], v[:1024], mass[:1024],
-                                      dtype=jnp.float32)
-    tps, _, _ = init_force_state(force, tiny)
-    tstep = make_kdk_step(force, dt)
-    tout = tstep(tps)
-    jax.block_until_ready(tout[0].x)
-
-    ps = ParticleSystem.from_arrays(x, v, mass, dtype=jnp.float32)
-    ps, coef, diag = init_force_state(force, ps)
-    step = make_kdk_step(force, dt)
-
-    # warmup/compile
-    ps2, coef2, diag2 = step(ps)
-    jax.block_until_ready(ps2.x)
-
     reps = int(os.environ.get("BENCH_REPS", 20))
-    t0 = time.perf_counter()
-    cur = ps
-    for _ in range(reps):
-        cur, coef, diag = step(cur)
-    jax.block_until_ready(cur.x)
-    t1 = time.perf_counter()
-    tput = n * reps / (t1 - t0)
+    default_cfgs = "sphere,sphere10m,disk,composite,cube,pyexp"
+    cfgs = os.environ.get("BENCH_CONFIGS", default_cfgs).split(",")
 
-    # CPU baseline on a smaller N, scaled per-particle
-    nb = min(n, 100_000)
-    pot_t = np.asarray(t.pot_table)
-    cpu_tput = _numpy_step_throughput(
-        (pot_t, t.xmin, t.dxi, lmax, nmax),
-        x[:nb].astype(np.float64), v[:nb].astype(np.float64),
-        mass[:nb].astype(np.float64), dt)
+    suite = {}
+    primary = None
+    for c in cfgs:
+        c = c.strip()
+        try:
+            print(f"[bench] running {c} ...", file=sys.stderr, flush=True)
+            t0 = time.perf_counter()
+            if c == "sphere":
+                r = bench_suite.bench_sphere(n=n, reps=reps)
+                primary = r
+            elif c == "sphere10m":
+                r = bench_suite.bench_sphere(n=10_485_760, reps=5)
+            elif c == "disk":
+                r = bench_suite.bench_disk(n=min(n, 1_048_576),
+                                           reps=max(5, reps // 2))
+            elif c == "composite":
+                r = bench_suite.bench_composite()
+            elif c == "cube":
+                r = bench_suite.bench_cube(n=min(4 * n, 4_194_304),
+                                           reps=max(5, reps // 2))
+            elif c == "pyexp":
+                r = bench_suite.bench_pyexp()
+            else:
+                continue
+            r["wall_sec"] = round(time.perf_counter() - t0, 2)
+            suite[c] = r
+        except Exception as e:                      # keep the line printable
+            suite[c] = {"error": f"{type(e).__name__}: {e}"}
+
+    if primary is None:
+        primary = next((v for v in suite.values() if "value" in v),
+                       {"value": 0.0, "step_ms": 0.0, "n_particles": 0})
+
+    # CPU baseline: single-host NumPy implementation of the sphere step,
+    # measured at <=100k particles, per-particle rate
+    try:
+        from exp_tpu.basis.model import hernquist_model
+        from exp_tpu.basis.slgrid import build_sph_sl_tables
+
+        nb = 100_000
+        m = hernquist_model(rmin=1e-3, rmax=20.0)
+        t = build_sph_sl_tables(m, lmax=4, nmax=10, numr=2000, cmap=1,
+                                rmap=1.0)
+        rng = np.random.default_rng(0)
+        u = rng.uniform(0.02, 0.98, nb)
+        r = u / (1 - u)
+        ct = rng.uniform(-1, 1, nb)
+        st = np.sqrt(1 - ct * ct)
+        ph = rng.uniform(0, 2 * np.pi, nb)
+        xb = np.stack([r * st * np.cos(ph), r * st * np.sin(ph), r * ct], -1)
+        cpu_tput = _numpy_step_throughput(
+            (np.asarray(t.pot_table), t.xmin, t.dxi, 4, 10),
+            xb, rng.normal(0, 0.3, (nb, 3)), np.full(nb, 1.0 / nb), 0.001)
+    except Exception:
+        cpu_tput = float("nan")
 
     print(json.dumps({
         "metric": "particle_steps_per_sec",
-        "value": tput,
+        "value": primary["value"],
         "unit": "1/s",
-        "vs_baseline": tput / cpu_tput,
-        "n_particles": n,
-        "lmax": lmax, "nmax": nmax,
-        "step_ms": (t1 - t0) / reps * 1e3,
-        "backend": backend,
+        "vs_baseline": primary["value"] / cpu_tput,
+        "n_particles": primary.get("n_particles", n),
+        "step_ms": primary.get("step_ms"),
         "cpu_baseline_particle_steps_per_sec": cpu_tput,
         "device": str(jax.devices()[0]),
+        "suite": suite,
     }))
 
 

@@ -28,7 +28,7 @@ _GLOBAL_KEYS = {
     "dynfracV", "dynfracA", "dynfracP", "dynfracS", "dynfracD",
     "infile", "ldlibdir", "outdir", "nthrds", "cuda", "allcouples",
     "restart", "nbalance", "dbthresh", "dtime_rel", "shiftlevl",
-    "compute_dtype", "accum_dtype", "fpe",
+    "compute_dtype", "accum_dtype", "fpe", "maxMindt",
 }
 
 _COMPONENT_KEYS = {"name", "parameters", "bodyfile", "force"}
@@ -75,6 +75,11 @@ class GlobalConfig:
     #: a diagnostic checkpoint (the reference's fpe_trap + bad_values(),
     #: expand.cc:315-317, ComponentContainer.cc:1596)
     fpe: bool = False
+    #: multistep sanity stop: if more than this fraction of a component's
+    #: particles request a timestep below the finest level, checkpoint and
+    #: stop the run (reference max_mindt, global.cc:21, multistep.cc:296-341)
+    maxMindt: float = 0.05
+
 
 
 @dataclass
@@ -123,6 +128,18 @@ class RunConfig:
         _check_keys(graw, _GLOBAL_KEYS, "Global")
         gkw = {k: v for k, v in graw.items()
                if k in GlobalConfig.__dataclass_fields__}
+        # coerce scalars to the declared field types: YAML 1.1 parses
+        # exponents without a sign ("1.0e30") as strings, and int-typed
+        # fields may arrive as "100" from templated configs
+        for k, v in list(gkw.items()):
+            ftype = GlobalConfig.__dataclass_fields__[k].type
+            try:
+                if ftype == "float" and not isinstance(v, float):
+                    gkw[k] = float(v)
+                elif ftype == "int" and not isinstance(v, (int, bool)):
+                    gkw[k] = int(v)
+            except (TypeError, ValueError):
+                raise ConfigError(f"Global.{k}: cannot parse {v!r} as {ftype}")
         # tolerated-but-ignored legacy keys (nthrds, cuda, ...)
         glob = GlobalConfig(**gkw)
 

@@ -56,6 +56,69 @@ def mfirst_of(ms: int, M: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Per-component feature spec (static; shared with the single-rate path)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CompFeats:
+    """Static per-component options the substep path must honor — the same
+    set the single-rate `_system_step_body` applies (Component.H:136-163,
+    src/step.cc:128-213): adiabatic mass ramp, rtrunc expansion cutoff,
+    instantaneous-COM expansion frame, coefficient playback, and
+    source-based (direct) forces."""
+
+    adiabatic: bool = False
+    ton: float = 0.0
+    twid: float = 1.0
+    rtrunc: float = 1.0e20
+    com_system: bool = False
+    needs_sources: bool = False
+    playback: bool = False
+
+    def adb(self, t):
+        """Adiabatic mass factor in [0, 1] (Component::Adiabatic)."""
+        if not self.adiabatic:
+            return 1.0
+        return 0.5 * (1.0 + jnp.tanh((t - self.ton) / self.twid))
+
+
+def _project(force, feat: CompFeats, x, mass, t, center, axis_name,
+             accum_dtype):
+    """Coefficients of one component bucket with all features applied —
+    the shared projection used by registers and the init prime."""
+    xc = x - center[None, :]
+    mw = mass * feat.adb(t)
+    if feat.rtrunc < 1.0e19:    # Component.H:136: no contribution outside
+        mw = mw * (jnp.sum(xc * xc, axis=-1)
+                   < feat.rtrunc ** 2).astype(mw.dtype)
+    return force.coefficients(xc, mw, axis_name=axis_name,
+                              accum_dtype=accum_dtype)
+
+
+def _com_centers(state, feats, centers, axis_name):
+    """Effective expansion center per component: instantaneous COM over all
+    buckets for `com: true` components, else the prescribed center."""
+    ctr = {}
+    for n, bs in state.items():
+        if feats[n].com_system:
+            msum = sum(jnp.sum(b.mass) for b in bs)
+            xsum = sum(jnp.sum(b.mass[:, None] * b.x, axis=0) for b in bs)
+            tot = jax.lax.psum(jnp.concatenate([xsum, msum[None]]), axis_name)
+            ctr[n] = tot[:3] / tot[3]
+        else:
+            ctr[n] = centers[n]
+    return ctr
+
+
+def _sources_of(bs):
+    """Concatenate a component's buckets into (x, mass) source arrays for
+    `needs_sources` (direct) forces; inactive buckets contribute their
+    frozen positions, exactly as the reference's per-level force pass."""
+    return (jnp.concatenate([b.x for b in bs]),
+            jnp.concatenate([b.mass for b in bs]))
+
+
+# ---------------------------------------------------------------------------
 # Timestep criteria / level selection (host-callable, jitted)
 # ---------------------------------------------------------------------------
 
@@ -171,20 +234,32 @@ def flatten_buckets(lb: LevelBuckets) -> ParticleSystem:
 
 def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     ms: int, mesh, accum_dtype=jnp.float32,
-                    axis_name: str = "p", externals=()):
+                    axis_name: str = "p", externals=(), feats=None,
+                    wrappers=(), extras_sig=((), ())):
     """One compiled SUBSTEP (fine step `ms` of the hierarchy).
 
     Compiling substeps separately and dispatching from the host keeps each
     XLA graph small — the fully-unrolled 2^M-substep graph takes minutes to
     compile for composite multi-force runs, and re-leveling (new bucket
-    capacities) would recompile all of it."""
+    capacities) would recompile all of it.
+
+    `feats` maps component name -> CompFeats; `wrappers` are position
+    wrappers (PeriodicBC); `extras_sig` = (playback names, hall names)
+    fixes the traced extras pytree structure.  Traced inputs are
+    (state, regs, t0, centers, extras) where `centers` are the prescribed
+    (EJ / centerfile) expansion centers and `extras` carries playback
+    coefficients interpolated at this substep's time plus Hall factors —
+    the same per-component treatment as the single-rate step
+    (src/step.cc:128-213 over levlist[M])."""
     from jax.sharding import PartitionSpec as P
 
     Mstep = 2 ** M
     mint = mintvl_table(M)
     names = list(forces)
+    feats = feats or {n: CompFeats() for n in names}
+    pb_names, hall_names = extras_sig
 
-    def substep(state, regs, t0):
+    def substep(state, regs, t0, centers, extras):
         state = {n: list(bs) for n, bs in state.items()}
         regs = {n: [list(r[0]), list(r[1])] for n, r in regs.items()}
         dt = dtime / Mstep
@@ -192,6 +267,7 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
         for ms_ in (ms,):                             # single substep
             mfirst = mfirst_of(ms_, M)
             mdrft = ms_ + 1
+            t_sub = t0 + dt * mdrft
 
             # -- opening half-kick + full drift for active levels ---------
             for n in names:
@@ -200,26 +276,46 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     DT = dt * mint[l]
                     v_half = b.v + b.acc * (0.5 * DT)
                     x_new = b.x + v_half * DT
+                    for wrp in wrappers:
+                        x_new = wrp.wrap(x_new)
                     state[n][l] = replace(b, v=v_half, x=x_new)
+
+            # -- effective expansion centers (instantaneous COM or given) -
+            ctr = _com_centers(state, feats, centers, axis_name)
 
             # -- recompute coefficient registers for active levels --------
             for n in names:
+                if feats[n].needs_sources or n in pb_names:
+                    continue                          # registers unused
                 f = forces[n]
                 for l in range(mfirst, M + 1):
                     b = state[n][l]
-                    cnew = f.coefficients(b.x, b.mass, axis_name=axis_name,
-                                          accum_dtype=accum_dtype)
+                    # level l just drifted DT_l = dt*mint[l]: its positions
+                    # (and hence time-dependent features like the adiabatic
+                    # ramp) correspond to the END of ITS step, not of this
+                    # fine substep
+                    t_lvl = t0 + dt * (ms_ + mint[l])
+                    cnew = _project(f, feats[n], b.x, b.mass, t_lvl,
+                                    ctr[n], axis_name, accum_dtype)
                     regs[n][0][l] = regs[n][1][l]     # L <- N
                     regs[n][1][l] = cnew              # N <- new
 
             # -- assemble full coefficients at mdrft (static weights) -----
             coef_full = {}
             for n in names:
+                if n in pb_names:
+                    coef_full[n] = extras["playback"][n]
+                    continue
+                if feats[n].needs_sources:
+                    coef_full[n] = jnp.zeros((1,), state[n][0].x.dtype)
+                    continue
                 tot = None
                 for l in range(M + 1):
                     w = ((ms_ % mint[l]) + 1) / mint[l]
                     c = regs[n][0][l] * (1.0 - w) + regs[n][1][l] * w
                     tot = c if tot is None else tot + c
+                if n in hall_names:
+                    tot = tot * extras["hall"][n]
                 coef_full[n] = tot
 
             # -- closing half-kick for levels at their end boundary -------
@@ -232,12 +328,18 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     acc = jnp.zeros_like(b.x)
                     pot = jnp.zeros_like(b.mass)
                     for a in couples[n]:
-                        aa, pp = forces[a].acceleration(
-                            coef_full[a].astype(b.x.dtype), b.x)
+                        if feats[a].needs_sources:
+                            aa, pp = forces[a].acceleration(
+                                _sources_of(state[a]), b.x,
+                                axis_name=axis_name)
+                        else:
+                            aa, pp = forces[a].acceleration(
+                                coef_full[a].astype(b.x.dtype),
+                                b.x - ctr[a][None, :])
                         acc = acc + aa
                         pot = pot + pp
                     for ext in externals:
-                        aa, pp = ext.acceleration(b.x, t0 + dt * mdrft)
+                        aa, pp = ext.acceleration(b.x, t_sub)
                         acc = acc + aa
                         pot = pot + pp
                     v_new = b.v + acc * (0.5 * DT)
@@ -259,9 +361,13 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                      tuple(P() for _ in range(M + 1))) for n in names}
     coef_specs = {n: P() for n in names}
     diag_specs = {n: _diag_specs() for n in names}
+    center_specs = {n: P() for n in names}
+    extras_specs = {"playback": {n: P() for n in pb_names},
+                    "hall": {n: P() for n in hall_names}}
 
     return jax.jit(shard_map(
-        substep, mesh, (state_specs, reg_specs, P()),
+        substep, mesh,
+        (state_specs, reg_specs, P(), center_specs, extras_specs),
         (state_specs, reg_specs, coef_specs, diag_specs)))
 
 
@@ -275,7 +381,7 @@ class MultistepRunner:
 
     def __init__(self, forces: dict, couples: dict, dtime: float, M: int,
                  mesh, accum_dtype=jnp.float32, dynparams=None,
-                 shiftlevl: int = 0, externals=()):
+                 shiftlevl: int = 0, externals=(), feats=None, wrappers=()):
         self.externals = tuple(externals)
         self.forces = forces
         self.couples = couples
@@ -285,29 +391,50 @@ class MultistepRunner:
         self.accum_dtype = accum_dtype
         self.dyn = dynparams or {}
         self.shiftlevl = shiftlevl
+        self.feats = feats or {n: CompFeats() for n in forces}
+        self.wrappers = tuple(wrappers)
         self.quantum = int(mesh.devices.size)
         self._fns = {}
         self._init_fns = {}
         self._assess_fns = {}
         self._rebucket_fns = {}
         self._dt_fn = jax.jit(lambda ps: dtreq_fn(ps, **self.dyn))
+        # per-component (offlo, offhi) counts from the last relevel: live
+        # particles requesting finer-than-finest / coarser-than-dtime steps
+        # (reference multistep.cc:160-195, sanity stop :296-341)
+        self.overrun: dict = {}
 
     def _caps_sig(self, state):
         return tuple((n, tuple(b.x.shape[0] for b in bs))
                      for n, bs in state.items())
 
-    def init_state(self, flat: dict[str, ParticleSystem]):
+    def _zero_centers(self):
+        return {n: jnp.zeros(3) for n in self.forces}
+
+    @staticmethod
+    def _default_extras(t):
+        return {"playback": {}, "hall": {}}
+
+    @staticmethod
+    def _extras_sig(extras):
+        return (tuple(sorted(extras["playback"])),
+                tuple(sorted(extras["hall"])))
+
+    def init_state(self, flat: dict[str, ParticleSystem], t0=0.0,
+                   centers=None, extras_fn=None):
         """Initial leveling + bucketing from flat per-component systems.
 
         Mirrors begin_run's multistep prime (begin.cc:86-127): evaluate
         forces at level 0, assign levels from the dt criteria, repeat.
         """
+        centers = centers or self._zero_centers()
+        extras = (extras_fn or self._default_extras)(t0)
         # first pass: everything at level 0 to get accelerations
         state = {n: bucketize(ps, self.M, self.quantum, mesh=self.mesh)
                  for n, ps in flat.items()}
         caps = {n: lb.caps for n, lb in state.items()}
         st = {n: tuple(lb.buckets) for n, lb in state.items()}
-        st, regs, coef, diag = self._init(st)
+        st, regs, coef, diag = self._init(st, t0, centers, extras)
         # assign levels from the primed accelerations, rebucket, re-prime
         flat2 = {n: flatten_buckets(LevelBuckets(list(bs), caps[n]))
                  for n, bs in st.items()}
@@ -320,32 +447,47 @@ class MultistepRunner:
                  for n, ps in flat2.items()}
         self.caps = {n: lb.caps for n, lb in state.items()}
         st = {n: tuple(lb.buckets) for n, lb in state.items()}
-        st, regs, coef, diag = self._init(st)
+        st, regs, coef, diag = self._init(st, t0, centers, extras)
         return st, regs, coef, diag
 
-    def _init(self, st):
-        sig = self._caps_sig(st)
+    def _init(self, st, t0=0.0, centers=None, extras=None):
+        centers = centers or self._zero_centers()
+        extras = extras or self._default_extras(t0)
+        sig = (self._caps_sig(st), self._extras_sig(extras))
         if sig not in self._init_fns:
             self._init_fns[sig] = init_regs_fn(
                 self.forces, self.couples, self.M, self.mesh,
-                accum_dtype=self.accum_dtype)
-        return self._init_fns[sig](st)
+                accum_dtype=self.accum_dtype, feats=self.feats,
+                externals=self.externals,
+                extras_sig=self._extras_sig(extras))
+        return self._init_fns[sig](st, jnp.float32(t0), centers, extras)
 
-    def bigstep(self, st, regs, t0=0.0):
+    def bigstep(self, st, regs, t0=0.0, centers=None, extras_fn=None):
         """One big step = host loop over 2^M separately-compiled substeps
-        (small graphs; re-leveling recompiles only what changed)."""
+        (small graphs; re-leveling recompiles only what changed).
+
+        `extras_fn(t)` supplies playback coefficients interpolated at each
+        substep's drift time (the reference interpolates playback per
+        substep) and the current Hall factors."""
         import jax.numpy as jnp
 
+        centers = centers or self._zero_centers()
+        extras_fn = extras_fn or self._default_extras
         sig = self._caps_sig(st)
         Mstep = 2 ** self.M
+        dt = self.dtime / Mstep
         for ms in range(Mstep):
-            key = (sig, ms)
+            extras = extras_fn(t0 + dt * (ms + 1))
+            esig = self._extras_sig(extras)
+            key = (sig, ms, esig)
             if key not in self._fns:
                 self._fns[key] = make_substep_fn(
                     self.forces, self.couples, self.dtime, self.M, ms,
                     self.mesh, accum_dtype=self.accum_dtype,
-                    externals=self.externals)
-            st, regs, coef, diag = self._fns[key](st, regs, jnp.float32(t0))
+                    externals=self.externals, feats=self.feats,
+                    wrappers=self.wrappers, extras_sig=esig)
+            st, regs, coef, diag = self._fns[key](st, regs, jnp.float32(t0),
+                                                  centers, extras)
         return st, regs, coef, diag
 
     def _make_assess(self):
@@ -356,7 +498,7 @@ class MultistepRunner:
             self.dyn
 
         def assess(st):
-            flat, levs, counts = {}, {}, {}
+            flat, levs, counts, over = {}, {}, {}, {}
             nchanged = jnp.zeros((), jnp.int32)
             for n, bs in st.items():
                 ps = flatten_buckets(LevelBuckets(list(bs), None))
@@ -369,7 +511,18 @@ class MultistepRunner:
                 counts[n] = jnp.stack(
                     [jnp.sum((lev == l) & live) for l in range(M + 1)])
                 nchanged = nchanged + jnp.sum((lev != ps.level) & live)
-            return flat, levs, counts, nchanged
+                # overrun diagnostics (multistep.cc:160-195): offlo = wants
+                # finer than the finest level, offhi = wants coarser than
+                # dtime.  Computed from the UNCLAMPED level request.
+                nraw = jnp.where(
+                    dtr > dtime, 0,
+                    jnp.floor(jnp.log2(jnp.maximum(dtime / dtr, 1.0))
+                              ).astype(jnp.int32))
+                offlo = jnp.sum(live & (nraw > M))
+                offhi = jnp.sum(live & (dtr > dtime))
+                nlive = jnp.sum(live)
+                over[n] = jnp.stack([offlo, offhi, nlive])
+            return flat, levs, counts, nchanged, over
 
         return jax.jit(assess)
 
@@ -406,22 +559,27 @@ class MultistepRunner:
 
         return jax.jit(rebucket)
 
-    def relevel(self, st, regs):
+    def relevel(self, st, regs, t0=0.0, centers=None, extras_fn=None):
         """Boundary re-leveling (NoSwitch discipline); returns new (st, regs).
 
         Registers are rebuilt by the init pass at the synchronized time —
         every level's L and N coincide there, so no tableau state is lost.
         Fast path: when no level outgrew its padded capacity, the
         rebucketing runs entirely on device (no host transfers beyond the
-        per-level counts).
+        per-level counts).  Updates `self.overrun` with per-component
+        (offlo, offhi, nlive) counts for the sanity stop.
         """
+        centers = centers or self._zero_centers()
+        extras = (extras_fn or self._default_extras)(t0)
         sig = self._caps_sig(st)
         assess = self._assess_fns.get(sig)
         if assess is None:
             assess = self._assess_fns[sig] = self._make_assess()
-        flat, levs, counts, nchanged = assess(st)
-        host = jax.device_get((counts, nchanged))
-        counts_h, nchanged_h = host
+        flat, levs, counts, nchanged, over = assess(st)
+        host = jax.device_get((counts, nchanged, over))
+        counts_h, nchanged_h, over_h = host
+        self.overrun = {n: tuple(int(v) for v in o)
+                        for n, o in over_h.items()}
         if int(nchanged_h) == 0:
             return st, regs
         fits = all(int(c) <= self.caps[n][l]
@@ -441,7 +599,7 @@ class MultistepRunner:
                      for n, ps in flat.items()}
             self.caps = {n: lb.caps for n, lb in state.items()}
             st = {n: tuple(lb.buckets) for n, lb in state.items()}
-        st, regs, _, _ = self._init(st)
+        st, regs, _, _ = self._init(st, t0, centers, extras)
         return st, regs
 
     def level_counts(self, st):
@@ -452,24 +610,38 @@ class MultistepRunner:
 
 
 def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
-                 accum_dtype=jnp.float32, axis_name: str = "p"):
-    """Initial per-level registers + acceleration at t0 (begin_run prime)."""
+                 accum_dtype=jnp.float32, axis_name: str = "p",
+                 feats=None, externals=(), extras_sig=((), ())):
+    """Initial per-level registers + acceleration at t0 (begin_run prime),
+    honoring the same per-component features as the substeps."""
     from jax.sharding import PartitionSpec as P
 
     names = list(forces)
+    feats = feats or {n: CompFeats() for n in names}
+    pb_names, hall_names = extras_sig
 
-    def init(state):
+    def init(state, t0, centers, extras):
+        ctr = _com_centers(state, feats, centers, axis_name)
         regs = {}
         coef_full = {}
         for n in names:
             f = forces[n]
-            cs = [f.coefficients(b.x, b.mass, axis_name=axis_name,
-                                 accum_dtype=accum_dtype)
+            if n in pb_names or feats[n].needs_sources:
+                z = jnp.zeros((1,), state[n][0].x.dtype)
+                regs[n] = (tuple(z for _ in range(M + 1)),
+                           tuple(z for _ in range(M + 1)))
+                coef_full[n] = (extras["playback"][n] if n in pb_names
+                                else z)
+                continue
+            cs = [_project(f, feats[n], b.x, b.mass, t0, ctr[n],
+                           axis_name, accum_dtype)
                   for b in state[n]]
             regs[n] = (tuple(cs), tuple(cs))
             tot = cs[0]
             for c in cs[1:]:
                 tot = tot + c
+            if n in hall_names:
+                tot = tot * extras["hall"][n]
             coef_full[n] = tot
         out = {}
         diag = {}
@@ -479,8 +651,17 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
                 acc = jnp.zeros_like(b.x)
                 pot = jnp.zeros_like(b.mass)
                 for a in couples[n]:
-                    aa, pp = forces[a].acceleration(
-                        coef_full[a].astype(b.x.dtype), b.x)
+                    if feats[a].needs_sources:
+                        aa, pp = forces[a].acceleration(
+                            _sources_of(state[a]), b.x, axis_name=axis_name)
+                    else:
+                        aa, pp = forces[a].acceleration(
+                            coef_full[a].astype(b.x.dtype),
+                            b.x - ctr[a][None, :])
+                    acc = acc + aa
+                    pot = pot + pp
+                for ext in externals:
+                    aa, pp = ext.acceleration(b.x, t0)
                     acc = acc + aa
                     pot = pot + pp
                 bs.append(replace(b, acc=acc, pot=pot))
@@ -493,7 +674,10 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
                    for n in names}
     reg_specs = {n: (tuple(P() for _ in range(M + 1)),
                      tuple(P() for _ in range(M + 1))) for n in names}
+    center_specs = {n: P() for n in names}
+    extras_specs = {"playback": {n: P() for n in pb_names},
+                    "hall": {n: P() for n in hall_names}}
     return jax.jit(shard_map(
-        init, mesh, (state_specs,),
+        init, mesh, (state_specs, P(), center_specs, extras_specs),
         (state_specs, reg_specs, {n: P() for n in names},
          {n: _diag_specs() for n in names})))

@@ -100,6 +100,55 @@ def read_ascii_bodies(path, dtype=jnp.float32, pad_to=None) -> ParticleSystem:
                                       dtype=dtype, pad_to=pad_to)
 
 
+def is_psp_file(path) -> bool:
+    """Sniff the PSP binary magic: MasterHeader is 16 bytes (f64 time,
+    i32 ntot, i32 ncomp) followed by the first component's cmagic
+    0xadbfabc0|rsize (include/header.H; ParticleReader.H:338-340)."""
+    from exp_tpu.io.psp import PSP_MAGIC, MMASK
+
+    try:
+        with open(path, "rb") as f:
+            head = f.read(24)
+        if len(head) < 24:
+            return False
+        cmagic = int(np.frombuffer(head, np.uint64, 1, 16)[0])
+        return (cmagic & ~MMASK) == PSP_MAGIC
+    except OSError:
+        return False
+
+
+def read_bodies(path, dtype=jnp.float32, pad_to=None,
+                component: str | None = None) -> ParticleSystem:
+    """Read a body file, sniffing the format: reference ascii bodyfiles and
+    PSP binary phase-space files both work (Component.H:202-204 reads
+    ascii, PSP and split binary — this is the PSP ingestion path, enabling
+    init/restart from reference-produced snapshots).
+
+    `component`: for multi-component PSP files, select the named component
+    (default: single component required)."""
+    if not is_psp_file(path):
+        return read_ascii_bodies(path, dtype=dtype, pad_to=pad_to)
+
+    from exp_tpu.io.psp import read_psp
+
+    dump = read_psp(path)
+    if isinstance(dump, list):              # OUT. multi-dump: use the last
+        dump = dump[-1]
+    comps = dump.components
+    match = [c for c in comps if component is not None
+             and c.name == component]
+    if match:
+        c = match[0]
+    elif len(comps) == 1:
+        c = comps[0]
+    else:
+        raise ValueError(
+            f"{path}: {len(comps)} components "
+            f"({[c.name for c in comps]}) and none named {component!r}")
+    return ParticleSystem.from_arrays(c.x, c.v, c.mass, dtype=dtype,
+                                      pad_to=pad_to)
+
+
 def write_ascii_bodies(path, ps_or_arrays, niattrib=0, ndattrib=0):
     if isinstance(ps_or_arrays, ParticleSystem):
         mass = np.asarray(ps_or_arrays.mass)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from exp_tpu.config import RunConfig, ComponentConfig, ConfigError
-from exp_tpu.nbody.particles import ParticleSystem, read_ascii_bodies
+from exp_tpu.nbody.particles import ParticleSystem, read_bodies
 from exp_tpu.nbody.step import shard_map, _diagnostics, _ps_specs, _diag_specs
 
 
@@ -295,9 +295,14 @@ class Simulation:
         for cc in config.components:
             if cc.bodyfile is None:
                 raise ConfigError(f"component {cc.name}: no bodyfile")
-            ps = read_ascii_bodies(os.path.join(workdir, cc.bodyfile),
-                                   dtype=self.compute_dtype,
-                                   pad_to=self.n_shards)
+            # bodyfile may be reference ascii OR a PSP binary snapshot
+            # (sniffed by magic) — the name inside a multi-component PSP
+            # defaults to this component's name
+            ps = read_bodies(os.path.join(workdir, cc.bodyfile),
+                             dtype=self.compute_dtype,
+                             pad_to=self.n_shards,
+                             component=(cc.parameters or {}).get(
+                                 "psp_component", cc.name))
             if g.nbodmax and ps.n > g.nbodmax:
                 raise ConfigError(
                     f"component {cc.name}: {ps.n} bodies exceeds "
@@ -393,6 +398,14 @@ class Simulation:
             self._nint_gcd = int(np.gcd.reduce(nints))
         self.steps_per_block = (steps_per_block if steps_per_block
                                 else self._nint_gcd)
+        # playback coefficients / prescribed centers are interpolated on the
+        # host per block; a block must then be ONE step or the run would
+        # integrate against stale fields mid-block (the reference
+        # interpolates them every step)
+        if steps_per_block is None and any(
+                c.playback is not None or c.center_traj is not None
+                for c in self.components.values()):
+            self.steps_per_block = 1
 
         self._step_fn = None
         # graceful-stop machinery (the reference's chkTimer + signal paths,
@@ -418,40 +431,39 @@ class Simulation:
         self._ms_state = None
         self._ms_regs = None
         if self.M > 0:
-            from exp_tpu.nbody.multistep import MultistepRunner
+            from exp_tpu.nbody.multistep import MultistepRunner, CompFeats
 
             forces = {n: c.force for n, c in self.components.items()}
+            feats = {
+                n: CompFeats(
+                    adiabatic=c.adiabatic, ton=c.ton, twid=c.twid,
+                    rtrunc=c.rtrunc, com_system=c.com_system,
+                    needs_sources=bool(getattr(c.force, "needs_sources",
+                                               False)),
+                    playback=c.playback is not None)
+                for n, c in self.components.items()}
             self._ms_runner = MultistepRunner(
                 forces, self.couples, self.dt, self.M, self.mesh,
                 accum_dtype=self.accum_dtype,
                 externals=getattr(self, "externals", ()),
                 dynparams={"dynfracV": g.dynfracV, "dynfracA": g.dynfracA,
                            "dynfracP": g.dynfracP, "dynfracD": g.dynfracD},
-                shiftlevl=g.shiftlevl)
+                shiftlevl=g.shiftlevl, feats=feats, wrappers=self.wrappers)
 
     # ------------------------------------------------------------------
     # jitted stepping
     # ------------------------------------------------------------------
 
-    def _system_step_body(self, state, t_new, centers=None, extras=None):
-        """One KDK step for all components (shard-local view); t_new is the
-        (traced) time at the end of the step, used by external fields."""
-        dt = self.dt
+    def _project_and_accel(self, state, xs, t, centers, extras):
+        """Shared per-component projection + acceleration (shard-local):
+        coefficients with adiabatic/rtrunc/centers/playback/Hall applied,
+        then the coupled-field acceleration at positions `xs` — used by both
+        the step body and the initial prime so features are honored
+        identically in both (reference: same determine_coefficients path for
+        begin_run and do_step)."""
         forces = {n: c.force for n, c in self.components.items()}
-        # half kick + drift
-        new_x = {}
-        v_half = {}
-        for n, ps in state.items():
-            v_half[n] = ps.v + ps.acc * (dt * 0.5)
-            xd = ps.x + v_half[n] * dt
-            for wrp in self.wrappers:
-                xd = wrp.wrap(xd)
-            new_x[n] = xd
-        # coefficients for every component from its own particles
-        # (source-based forces like `direct` skip projection: their sources
-        # are the particles themselves)
         if centers is None:
-            centers = {n: jnp.zeros(3, new_x[n].dtype) for n in state}
+            centers = {n: jnp.zeros(3, xs[n].dtype) for n in state}
         if extras is None:
             extras = {}
         # com_system components expand about their instantaneous COM
@@ -461,17 +473,17 @@ class Simulation:
                 mm = state[n].mass
                 Mtot = jax.lax.psum(jnp.sum(mm), "p")
                 centers[n] = jax.lax.psum(
-                    jnp.sum(mm[:, None] * new_x[n], axis=0), "p") / Mtot
+                    jnp.sum(mm[:, None] * xs[n], axis=0), "p") / Mtot
         coefs = {}
         for n in state:
             if n in extras.get("playback", {}):
                 coefs[n] = extras["playback"][n]
             elif getattr(forces[n], "needs_sources", False):
-                coefs[n] = jnp.zeros((1,), new_x[n].dtype)
+                coefs[n] = jnp.zeros((1,), xs[n].dtype)
             else:
                 c = self.components[n]
-                adb = c.adb(t_new)
-                xc = new_x[n] - centers[n][None, :]
+                adb = c.adb(t)
+                xc = xs[n] - centers[n][None, :]
                 mw = state[n].mass * adb
                 if c.rtrunc < 1.0e19:   # Component.H:136: no contribution
                     mw = mw * (jnp.sum(xc * xc, axis=-1)
@@ -480,26 +492,48 @@ class Simulation:
                     xc, mw, axis_name="p", accum_dtype=self.accum_dtype)
                 if n in extras.get("hall", {}):
                     coefs[n] = coefs[n] * extras["hall"][n]
-        # acceleration: sum over coupled components' fields
-        out = {}
+        accs = {}
+        pots = {}
         for n, ps in state.items():
             acc = jnp.zeros_like(ps.x)
             pot = jnp.zeros_like(ps.mass)
             for a in self.couples[n]:
                 if getattr(forces[a], "needs_sources", False):
                     aa, pp = forces[a].acceleration(
-                        (new_x[a], state[a].mass), new_x[n], axis_name="p")
+                        (xs[a], state[a].mass), xs[n], axis_name="p")
                 else:
                     aa, pp = forces[a].acceleration(
-                        coefs[a], new_x[n] - centers[a][None, :])
+                        coefs[a], xs[n] - centers[a][None, :])
                 acc = acc + aa
                 pot = pot + pp
             for ext in self.externals:
-                aa, pp = ext.acceleration(new_x[n], t_new)
+                aa, pp = ext.acceleration(xs[n], t)
                 acc = acc + aa
                 pot = pot + pp
-            v_new = v_half[n] + acc * (dt * 0.5)
-            out[n] = replace(ps, x=new_x[n], v=v_new, acc=acc, pot=pot)
+            accs[n] = acc
+            pots[n] = pot
+        return coefs, accs, pots
+
+    def _system_step_body(self, state, t_new, centers=None, extras=None):
+        """One KDK step for all components (shard-local view); t_new is the
+        (traced) time at the end of the step, used by external fields."""
+        dt = self.dt
+        # half kick + drift
+        new_x = {}
+        v_half = {}
+        for n, ps in state.items():
+            v_half[n] = ps.v + ps.acc * (dt * 0.5)
+            xd = ps.x + v_half[n] * dt
+            for wrp in self.wrappers:
+                xd = wrp.wrap(xd)
+            new_x[n] = xd
+        coefs, accs, pots = self._project_and_accel(state, new_x, t_new,
+                                                    centers, extras)
+        out = {}
+        for n, ps in state.items():
+            v_new = v_half[n] + accs[n] * (dt * 0.5)
+            out[n] = replace(ps, x=new_x[n], v=v_new, acc=accs[n],
+                             pot=pots[n])
         diag = {n: _diagnostics(out[n], axis_name="p") for n in out}
         return out, coefs, diag
 
@@ -531,47 +565,37 @@ class Simulation:
             (state_specs, coef_specs, diag_specs)))
 
     def prime(self):
-        """Initial coefficient/force evaluation (begin_run, begin.cc:86-127)."""
+        """Initial coefficient/force evaluation (begin_run, begin.cc:86-127),
+        honoring the same component features as the stepping path."""
         if self.M > 0:
             return      # multistep primes lazily in _run_multistep
         from jax.sharding import PartitionSpec as P
 
         names = list(self.components)
-        forces = {n: c.force for n, c in self.components.items()}
+        extras = self._make_extras(t=self.time)
+        for n, c in self.components.items():
+            if c.center_traj is not None:
+                self._centers[n] = c.center_traj(self.time)
+        cts = {n: jnp.asarray(self._centers[n], self.compute_dtype)
+               for n in self.components}
 
-        def init(state):
-            coefs = {
-                n: (jnp.zeros((1,), state[n].x.dtype)
-                    if getattr(forces[n], "needs_sources", False)
-                    else forces[n].coefficients(state[n].x, state[n].mass,
-                                                axis_name="p",
-                                                accum_dtype=self.accum_dtype))
-                for n in state}
-            out = {}
-            for n, ps in state.items():
-                acc = jnp.zeros_like(ps.x)
-                pot = jnp.zeros_like(ps.mass)
-                for a in self.couples[n]:
-                    if getattr(forces[a], "needs_sources", False):
-                        aa, pp = forces[a].acceleration(
-                            (state[a].x, state[a].mass), ps.x, axis_name="p")
-                    else:
-                        aa, pp = forces[a].acceleration(coefs[a], ps.x)
-                    acc = acc + aa
-                    pot = pot + pp
-                for ext in self.externals:
-                    aa, pp = ext.acceleration(ps.x, self.time)
-                    acc = acc + aa
-                    pot = pot + pp
-                out[n] = replace(ps, acc=acc, pot=pot)
+        def init(state, centers, extras):
+            coefs, accs, pots = self._project_and_accel(
+                state, {n: ps.x for n, ps in state.items()}, self.time,
+                centers, extras)
+            out = {n: replace(ps, acc=accs[n], pot=pots[n])
+                   for n, ps in state.items()}
             diag = {n: _diagnostics(out[n], axis_name="p") for n in out}
             return out, coefs, diag
 
         state_specs = {n: _ps_specs("p") for n in names}
-        fn = jax.jit(shard_map(init, self.mesh, (state_specs,),
+        center_specs = {n: P() for n in names}
+        extras_specs = jax.tree_util.tree_map(lambda _: P(), extras)
+        fn = jax.jit(shard_map(init, self.mesh,
+                               (state_specs, center_specs, extras_specs),
                                (state_specs, {n: P() for n in names},
                                 {n: _diag_specs() for n in names})))
-        self._state, self._coefs, self._diag = fn(self._state)
+        self._state, self._coefs, self._diag = fn(self._state, cts, extras)
         for o in self.outputs:
             o.run(self, self.istep, force=True)
 
@@ -697,6 +721,48 @@ class Simulation:
                 f"non-finite diagnostics in component {n!r} at step "
                 f"{self.istep} (KE={ke}, PE={pe}); state dumped to {path}")
 
+    def _ms_centers(self):
+        """Prescribed expansion centers for the multistep path (EJ orient /
+        centerfile); com_system centers are computed in-graph."""
+        for n, c in self.components.items():
+            if c.center_traj is not None:
+                self._centers[n] = c.center_traj(self.time)
+        return {n: jnp.asarray(self._centers[n], self.compute_dtype)
+                for n in self.components}
+
+    def _ms_extras_fn(self, t):
+        """Substep extras: playback coefficients interpolated at the
+        substep's drift time t + current Hall factors."""
+        pb = {}
+        hall = {}
+        for n, c in self.components.items():
+            if c.playback is not None:
+                pb[n] = jnp.asarray(c.playback.interpolate(t),
+                                    self.compute_dtype)
+            if n in self._hall:
+                hall[n] = jnp.asarray(self._hall[n], self.compute_dtype)
+        return {"playback": pb, "hall": hall}
+
+    def _ms_sanity_check(self):
+        """Diverging-run force stop (multistep.cc:296-341): if a component
+        has more than maxMindt of its particles requesting a timestep below
+        the finest level, checkpoint and stop."""
+        max_mindt = float(getattr(self.config.glob, "maxMindt", 0.05))
+        bad = []
+        for n, (offlo, offhi, nlive) in self._ms_runner.overrun.items():
+            if nlive > 0 and offlo / nlive > max_mindt:
+                bad.append((n, offlo, nlive))
+        if not bad:
+            return
+        for n, offlo, nlive in bad:
+            print(f"[exp_tpu] multistep overrun: component {n!r} has "
+                  f"{offlo}/{nlive} ({100.0 * offlo / nlive:.1f}%) particles "
+                  f"below the minimum timestep (> maxMindt="
+                  f"{100 * max_mindt:.0f}%)")
+        print("[exp_tpu] stopping this run: decrease dtime, increase "
+              "multistep, or both, and restart.  Writing a checkpoint.")
+        self.stop_requested = True
+
     def _run_multistep(self, nsteps=None):
         """Multistep main loop: one jitted big step per dtime, boundary
         re-leveling (see nbody/multistep.py)."""
@@ -704,8 +770,12 @@ class Simulation:
 
         nsteps = self.nsteps if nsteps is None else nsteps
         r = self._ms_runner
+        has_ej = any(c.EJ and c.orient is not None
+                     for c in self.components.values())
         if self._ms_state is None:
-            st, regs, coef, diag = r.init_state(self._state)
+            st, regs, coef, diag = r.init_state(
+                self._state, t0=self.time, centers=self._ms_centers(),
+                extras_fn=self._ms_extras_fn)
             self._ms_state, self._ms_regs = st, regs
             self._coefs, self._diag = coef, diag
             self._sync_flat_state()
@@ -714,17 +784,29 @@ class Simulation:
         for _ in range(nsteps):
             if self._check_stop():
                 break
+            centers = self._ms_centers()
             t0 = time.time()
             st, regs, coef, diag = r.bigstep(self._ms_state, self._ms_regs,
-                                             self.time)
+                                             self.time, centers=centers,
+                                             extras_fn=self._ms_extras_fn)
             t1 = time.time()
             self.timers["Compute"] += t1 - t0
-            st, regs = r.relevel(st, regs)
+            st, regs = r.relevel(st, regs, t0=self.time + self.dt,
+                                 centers=centers,
+                                 extras_fn=self._ms_extras_fn)
             t2 = time.time()
             self.timers["Relevel"] += t2 - t1
             self._ms_state, self._ms_regs = st, regs
             self.istep += 1
             self.time += self.dt
+            if has_ej:
+                self._sync_flat_state()
+                for n, c in self.components.items():
+                    if c.EJ and c.orient is not None:
+                        self._centers[n] = c.orient.update(self._state[n])
+            self._update_hall(multistep=True)
+            self.timers["Orient"] += time.time() - t2
+            t2b = time.time()
             if any((self.nint_due(o) for o in self.outputs)):
                 # single batched transfer (see _slice_history note)
                 self._coefs, self._diag = jax.device_get((coef, diag))
@@ -733,7 +815,9 @@ class Simulation:
                 self._coefs, self._diag = coef, diag
             for o in self.outputs:
                 o.run(self, self.istep)
-            self.timers["Output"] += time.time() - t2
+            self.timers["Output"] += time.time() - t2b
+            self._ms_sanity_check()
+            self._check_bad_values()
             if self.verbose > 3:
                 self._print_timings()
         self._sync_flat_state()
@@ -746,27 +830,33 @@ class Simulation:
                          for k, v in self.timers.items() if v > 0)
         print(f"[exp_tpu] step {self.istep} timing: {parts}")
 
-    def _make_extras(self):
+    def _make_extras(self, t=None):
         """Traced per-block extras: playback coefficients (interpolated at
-        the current time) and Hall smoothing factors."""
+        the end-of-step time by default) and Hall smoothing factors."""
         import jax.numpy as jnp
 
         pb = {}
         hall = {}
         for n, c in self.components.items():
             if c.playback is not None:
-                pb[n] = jnp.asarray(c.playback.interpolate(self.time),
-                                    self.compute_dtype)
+                # coefficients apply to the DRIFTED positions: interpolate at
+                # the end-of-step time (blocks are capped to one step when
+                # playback is configured, so this is exact per step)
+                pb[n] = jnp.asarray(c.playback.interpolate(
+                    self.time + self.dt if t is None else t),
+                    self.compute_dtype)
             if n in self._hall:
                 hall[n] = jnp.asarray(self._hall[n], self.compute_dtype)
         return {"playback": pb, "hall": hall}
 
-    def _update_hall(self):
+    def _update_hall(self, multistep=False):
         """Recompute Hall factors every npca steps (pca_hall analogue)."""
         from exp_tpu.nbody.pca import subsample_coefficients, hall_factors
 
         for n, c in self.components.items():
             if c.npca > 0 and self.istep % c.npca == 0:
+                if multistep:
+                    self._sync_flat_state()
                 ps = self._state[n]
                 cs = subsample_coefficients(c.force, ps.x, ps.mass,
                                             nsamples=c.nsamples)

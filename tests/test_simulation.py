@@ -423,3 +423,221 @@ External:
     d = sim._diag["halo"]
     ratio = -2.0 * float(np.asarray(d["KE"])) / float(np.asarray(d["VC"]))
     assert abs(ratio - 1.0) < 0.12
+
+
+# ---------------------------------------------------------------------------
+# Multistep x component-feature composition (src/step.cc:128-213 parity):
+# with every particle pinned at level 0 (huge dynfrac thresholds), a
+# multistep=2 run must reproduce the flat run EXACTLY, feature by feature.
+# ---------------------------------------------------------------------------
+
+_FEATURE_PARAMS = {
+    "plain": "",
+    "adiabatic": "      adiabatic: true\n      ton: 0.04\n      twid: 0.02\n",
+    "rtrunc": "      rtrunc: 1.5\n",
+    "com": "      com: true\n",
+}
+
+
+def _feature_cfg(rundir, tag, feature, multistep):
+    extra = _FEATURE_PARAMS[feature]
+    params = f"    parameters:\n{extra}" if extra else ""
+    glob = f"  multistep: {multistep}\n"
+    if multistep:
+        # pin every particle to level 0: all dt criteria >> dtime
+        glob += ("  dynfracV: 1.0e30\n  dynfracA: 1.0e30\n"
+                 "  dynfracP: 1.0e30\n")
+    cfg = f"""\
+Global:
+  dtime: 0.02
+  nsteps: 6
+  runtag: {tag}
+  compute_dtype: float64
+{glob}Components:
+  - name: halo
+    bodyfile: halo.bods
+{params}    force:
+      id: sphereSL
+      parameters:
+        numr: 800
+        Lmax: 2
+        nmax: 8
+        rmapping: 1.0
+        modelname: halo.model
+        cachename: halo.cache.h5
+Output:
+  - id: outlog
+    parameters: {{nint: 6}}
+"""
+    p = rundir / f"config_{tag}.yml"
+    p.write_text(cfg)
+    return p
+
+
+def _final_state(sim, name="halo"):
+    ps = sim._state[name]
+    live = np.asarray(ps.mass) > 0
+    x = np.asarray(ps.x)[live]
+    v = np.asarray(ps.v)[live]
+    order = np.lexsort(x.T)
+    return x[order], v[order]
+
+
+@pytest.mark.parametrize("feature", list(_FEATURE_PARAMS))
+def test_multistep_feature_equivalence(rundir, feature):
+    """multistep(M=2, all level 0) + feature == flat stepping + feature."""
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim_f = Simulation.from_file(
+        str(_feature_cfg(rundir, f"fx_{feature}_flat", feature, 0)),
+        steps_per_block=1)
+    sim_f.prime()
+    sim_f.run()
+
+    sim_m = Simulation.from_file(
+        str(_feature_cfg(rundir, f"fx_{feature}_ms", feature, 2)))
+    sim_m.run()
+    counts = sim_m._ms_runner.level_counts(sim_m._ms_state)["halo"]
+    assert counts[0] == 3000, f"particles not pinned at level 0: {counts}"
+
+    xf, vf = _final_state(sim_f)
+    xm, vm = _final_state(sim_m)
+    np.testing.assert_allclose(xm, xf, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(vm, vf, rtol=1e-6, atol=1e-10)
+
+
+def test_multistep_playback_equivalence(rundir):
+    """Playback-driven multistep == playback-driven flat stepping."""
+    from exp_tpu.nbody.simulation import Simulation
+
+    # generate a coefficient series with a flat run writing every step
+    src = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: pbsrc\n  compute_dtype: float64").replace(
+        "parameters: {nint: 2, name: halo}",
+        "parameters: {nint: 1, name: halo}")
+    (rundir / "config_pbsrc.yml").write_text(src)
+    sim0 = Simulation.from_file(str(rundir / "config_pbsrc.yml"))
+    sim0.prime()
+    sim0.run(10)
+    coeffile = "outcoef.halo.pbsrc.h5"
+    assert (rundir / coeffile).exists()
+
+    def pb_cfg(tag, multistep):
+        p = _feature_cfg(rundir, tag, "plain", multistep)
+        txt = p.read_text().replace(
+            "bodyfile: halo.bods",
+            f"bodyfile: halo.bods\n    parameters:\n"
+            f"      playback: {coeffile}")
+        p.write_text(txt)
+        return p
+
+    sim_f = Simulation.from_file(str(pb_cfg("pb_flat", 0)))
+    sim_f.prime()
+    sim_f.run(5)
+    sim_m = Simulation.from_file(str(pb_cfg("pb_ms", 2)))
+    sim_m.run(5)
+    xf, vf = _final_state(sim_f)
+    xm, vm = _final_state(sim_m)
+    np.testing.assert_allclose(xm, xf, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(vm, vf, rtol=1e-6, atol=1e-10)
+
+
+def test_multistep_direct_force(rundir):
+    """A direct-force component under multistep: runs with adaptive levels
+    and conserves energy (needs_sources path through the substep loop)."""
+    from exp_tpu.nbody.simulation import Simulation
+
+    cfg = f"""\
+Global:
+  dtime: 0.02
+  nsteps: 6
+  runtag: dms
+  compute_dtype: float64
+  multistep: 2
+Components:
+  - name: halo
+    bodyfile: halo.bods
+    force:
+      id: direct
+      parameters: {{eps: 0.05}}
+Output:
+  - id: outlog
+    parameters: {{nint: 1}}
+"""
+    (rundir / "config_dms.yml").write_text(cfg)
+    sim = Simulation.from_file(str(rundir / "config_dms.yml"))
+    sim.run()
+    log = (rundir / "OUTLOG.dms").read_text().splitlines()
+    rows = [r for r in log if not r.startswith("#") and "Time" not in r]
+    E = [float(r.split("|")[15]) for r in rows]
+    assert abs(E[-1] - E[0]) / abs(E[0]) < 2e-2
+
+
+def test_multistep_sanity_stop(rundir):
+    """Runaway level demand (dtime far too large for the finest level)
+    force-stops the run with a checkpoint (multistep.cc:296-341)."""
+    from exp_tpu.nbody.simulation import Simulation
+
+    cfg = """\
+Global:
+  dtime: 5.0
+  nsteps: 10
+  runtag: runaway
+  multistep: 1
+  maxMindt: 0.05
+Components:
+  - name: halo
+    bodyfile: halo.bods
+    force:
+      id: sphereSL
+      parameters:
+        numr: 800
+        Lmax: 2
+        nmax: 8
+        rmapping: 1.0
+        modelname: halo.model
+        cachename: halo.cache.h5
+Output:
+  - id: outlog
+    parameters: {nint: 1}
+"""
+    (rundir / "config_runaway.yml").write_text(cfg)
+    sim = Simulation.from_file(str(rundir / "config_runaway.yml"))
+    sim.run()
+    assert sim.stop_requested, "sanity stop did not trigger"
+    assert sim.istep < 10, f"ran to completion ({sim.istep} steps)"
+    import glob as _g
+    assert _g.glob(str(rundir / "*runaway*chkpt*")) or \
+        _g.glob(str(rundir / "SPSCHK.runaway*")), "no checkpoint written"
+
+
+def test_psp_bodyfile_ingestion(rundir, tmp_path):
+    """bodyfile: may be a PSP binary snapshot (sniffed by magic) — the run
+    matches the ascii-loaded run exactly (Component.H:202-204 parity)."""
+    from exp_tpu.io.psp import PSPDump, PSPComponent, write_psp
+    from exp_tpu.nbody.simulation import Simulation
+
+    b = np.loadtxt(rundir / "halo.bods", skiprows=1)
+    d = PSPDump(time=0.0)
+    d.components.append(PSPComponent(
+        name="halo", info="name: halo\n", mass=b[:, 0],
+        x=b[:, 1:4], v=b[:, 4:7], pot=np.zeros(len(b))))
+    write_psp(str(rundir / "halo.psp"), d)
+
+    base = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: pspa\n  compute_dtype: float64")
+    (rundir / "config_pspa.yml").write_text(base)
+    psp = base.replace("runtag: pspa", "runtag: pspb").replace(
+        "bodyfile: halo.bods", "bodyfile: halo.psp")
+    (rundir / "config_pspb.yml").write_text(psp)
+
+    sa = Simulation.from_file(str(rundir / "config_pspa.yml"))
+    sa.prime()
+    sa.run(3)
+    sb = Simulation.from_file(str(rundir / "config_pspb.yml"))
+    sb.prime()
+    sb.run(3)
+    for k in ("KE", "PE"):
+        va = float(np.asarray(sa._diag["halo"][k]))
+        vb = float(np.asarray(sb._diag["halo"][k]))
+        assert va == pytest.approx(vb, rel=1e-12), k
