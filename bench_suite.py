@@ -210,6 +210,7 @@ def bench_pyexp(n=262_144, ntimes=32):
     Reports snapshots/sec through createFromReader-style projection."""
     import jax
     import jax.numpy as jnp
+    from exp_tpu.analysis.basis import Basis
     from exp_tpu.analysis.mssa import expMSSA
     from exp_tpu.analysis.field import FieldGenerator
 
@@ -220,25 +221,24 @@ def bench_pyexp(n=262_144, ntimes=32):
     proj = jax.jit(lambda xx: force.coefficients(xx, mj))
     jax.block_until_ready(proj(xj))                    # compile
     t0 = time.perf_counter()
-    coefs = {}
+    series = []
     for k in range(ntimes):
         # rigid rotation emulates an evolving snapshot stream
         ang = 0.05 * k
         R = jnp.asarray([[np.cos(ang), -np.sin(ang), 0],
                          [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
                         jnp.float32)
-        coefs[float(k)] = np.asarray(proj(xj @ R.T))
-    jax.block_until_ready(xj)
+        series.append(np.asarray(proj(xj @ R.T)))
     t_coef = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    mssa = expMSSA({"halo": coefs}, window=ntimes // 2, numpc=8)
+    mssa = expMSSA({"halo": np.stack(series)}, window=ntimes // 2, numpc=8)
     ev = mssa.eigenvalues()
-    rec = mssa.reconstructed(groups=[[0, 1]])
+    mssa.reconstructed(groups=[0, 1])
     fg = FieldGenerator(times=[0.0], pmin=[-1, -1, 0], pmax=[1, 1, 0],
                         grid=[64, 64, 0])
-    last = jnp.asarray(coefs[0.0])
-    sl = fg.slices(force, {0.0: last})
+    sl = fg.slices(Basis(force, name="halo"), jnp.asarray(series[0]))
+    assert np.isfinite(sl[0.0]["dens"]).all()
     t_analysis = time.perf_counter() - t0
 
     return {"metric": "pyexp_snapshots_per_sec", "value": ntimes / t_coef,

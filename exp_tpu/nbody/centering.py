@@ -48,30 +48,147 @@ def _most_bound_centroid(x, v, mass, pot, k: int = 256):
     return c, L
 
 
+def euler_slater(phi, theta, psi=0.0, body=False):
+    """The reference's Euler matrix (exputil/euler_slater.cc:46): maps
+    inertial coordinates into the frame whose z-axis is the tracked axis
+    (body=False); body=True returns the inverse (transpose)."""
+    sph, cph = np.sin(phi), np.cos(phi)
+    sth, cth = np.sin(theta), np.cos(theta)
+    sps, cps = np.sin(psi), np.cos(psi)
+    e = np.array([
+        [-sps * sph + cth * cph * cps, sps * cph + cth * sph * cps,
+         cps * sth],
+        [-cps * sph - cth * cph * sps, cps * cph - cth * sph * sps,
+         -sps * sth],
+        [-sth * cph, -sth * sph, cth]])
+    return e.T if body else e
+
+
+def _axis_to_body(axis):
+    """body/orig rotation pair from an axis vector (Orient.cc:327-335:
+    phi = atan2(ay, ax), theta = -acos(az/|a|), psi = 0)."""
+    a = np.asarray(axis, np.float64)
+    nrm = np.linalg.norm(a)
+    if nrm <= 0:
+        return np.eye(3), np.eye(3)
+    phi = np.arctan2(a[1], a[0])
+    theta = -np.arccos(np.clip(a[2] / nrm, -1.0, 1.0))
+    body = euler_slater(phi, theta, 0.0, body=False)
+    return body, body.T
+
+
+def _regress(hist, time, damp):
+    """Least-squares linear regression of a (t, vec) series, evaluated at
+    damp*time + (1-damp)*t_front (Orient.cc:577-602)."""
+    ts = np.array([t for t, _ in hist])
+    ys = np.array([y for _, y in hist])
+    N = len(ts)
+    sumX = ts.sum()
+    sumX2 = (ts * ts).sum()
+    sumY = ys.sum(axis=0)
+    sumXY = (ys * ts[:, None]).sum(axis=0)
+    den = sumX2 * N - sumX * sumX
+    if abs(den) < 1e-30:
+        return ys.mean(axis=0), 0.0
+    slope = (sumXY * N - sumX * sumY) / den
+    intercept = (sumX2 * sumY - sumX * sumXY) / den
+    est = intercept + slope * (damp * time + (1.0 - damp) * ts[0])
+    resid = ys - intercept[None] - slope[None] * ts[:, None]
+    sig = float((resid * resid).sum() / N)
+    return est, sig
+
+
 @dataclass
 class EJOrient:
-    """Sliding-window center estimator."""
+    """EJ center/axis tracker with the reference's sliding-window
+    least-squares regression (src/Orient.cc:560-680): per update, the
+    most-bound-set centroid (center1) and angular-momentum direction
+    (axis1) enter (t, value) deques; the reported center/axis are the
+    regression evaluated at damp*t + (1-damp)*t_front.  `body`/`orig`
+    are the Euler rotations into/out of the axis frame, applied to
+    cylinder components when the AXIS flag is set (Cylinder.cc:800,1419).
+    """
 
     nkeep: int = 256
     window: int = 16
-    damp: float = 1.0          # fraction of the new estimate applied
-    _hist: deque = field(default_factory=deque)
+    damp: float = 1.0
+    logfile: str | None = None
+    _histC: deque = field(default_factory=deque)
+    _histA: deque = field(default_factory=deque)
     center: np.ndarray = field(default_factory=lambda: np.zeros(3))
     axis: np.ndarray = field(default_factory=lambda: np.array([0.0, 0, 1]))
+    body: np.ndarray = field(default_factory=lambda: np.eye(3))
+    orig: np.ndarray = field(default_factory=lambda: np.eye(3))
+    sigC: float = 0.0
+    sigA: float = 0.0
+    _log_started: bool = False
 
-    def update(self, ps) -> np.ndarray:
+    def update(self, ps, time=0.0) -> np.ndarray:
         c, L = _most_bound_centroid(ps.x, ps.v, ps.mass, ps.pot,
                                     k=self.nkeep)
-        self._hist.append(np.asarray(c))
-        while len(self._hist) > self.window:
-            self._hist.popleft()
-        est = np.mean(np.asarray(self._hist), axis=0)
-        self.center = (1 - self.damp) * self.center + self.damp * est
-        Ln = np.asarray(L)
-        nrm = np.linalg.norm(Ln)
-        if nrm > 0:
-            self.axis = Ln / nrm
+        c1 = np.asarray(c, np.float64)
+        L1 = np.asarray(L, np.float64)
+        nrm = np.linalg.norm(L1)
+        a1 = L1 / nrm if nrm > 0 else np.array(self.axis)
+        self._push(time, c1, a1)
+        self._refresh(time)
+        self._log(time, c1, a1)
         return self.center
+
+    def _push(self, time, c1, a1):
+        self._histC.append((float(time), c1))
+        self._histA.append((float(time), a1))
+        while len(self._histC) > self.window:
+            self._histC.popleft()
+        while len(self._histA) > self.window:
+            self._histA.popleft()
+
+    def _refresh(self, time):
+        if len(self._histC) >= 2:
+            self.center, self.sigC = _regress(self._histC, time, self.damp)
+        else:
+            self.center = self._histC[-1][1]
+        if len(self._histA) >= 2:
+            axis, self.sigA = _regress(self._histA, time, self.damp)
+        else:
+            axis = self._histA[-1][1]
+        nrm = np.linalg.norm(axis)
+        if nrm > 0:
+            self.axis = axis / nrm
+            self.body, self.orig = _axis_to_body(self.axis)
+
+    # -- orient log (Orient.H:60-87 column layout, restart Orient.cc:86) --
+
+    def _log(self, time, c1, a1):
+        if not self.logfile:
+            return
+        import os
+
+        if not self._log_started:
+            self._log_started = True
+            if os.path.exists(self.logfile):
+                os.replace(self.logfile, self.logfile + ".bak")
+            with open(self.logfile, "w") as f:
+                f.write("# time | axis(reg) x y z | axis(cur) x y z | "
+                        "center(reg) x y z | center(cur) x y z | "
+                        "sigA sigC\n")
+        with open(self.logfile, "a") as f:
+            row = ([time] + list(self.axis) + list(a1)
+                   + list(self.center) + list(c1) + [self.sigA, self.sigC])
+            f.write(" ".join(f"{v:.12e}" for v in row) + "\n")
+
+    def load_log(self, path=None):
+        """Restart: refill the regression deques from an orient log
+        (the reference reads its logfile back, Orient.cc:86-188)."""
+        path = path or self.logfile
+        a = np.loadtxt(path, ndmin=2)
+        if a.size == 0:
+            return
+        for row in a[-self.window:]:
+            self._push(row[0], row[10:13].copy(), row[4:7].copy())
+        self._refresh(float(a[-1, 0]))
+        self._log_started = False   # fresh section on next write
+        return self
 
 
 class CenterFile:

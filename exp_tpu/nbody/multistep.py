@@ -83,10 +83,12 @@ class CompFeats:
 
 
 def _project(force, feat: CompFeats, x, mass, t, center, axis_name,
-             accum_dtype):
+             accum_dtype, rot=None):
     """Coefficients of one component bucket with all features applied —
     the shared projection used by registers and the init prime."""
     xc = x - center[None, :]
+    if rot is not None:
+        xc = xc @ rot.T
     mw = mass * feat.adb(t)
     if feat.rtrunc < 1.0e19:    # Component.H:136: no contribution outside
         mw = mw * (jnp.sum(xc * xc, axis=-1)
@@ -259,7 +261,7 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
     feats = feats or {n: CompFeats() for n in names}
     pb_names, hall_names = extras_sig
 
-    def substep(state, regs, t0, centers, extras):
+    def substep(state, regs, t0, centers, rots, extras):
         state = {n: list(bs) for n, bs in state.items()}
         regs = {n: [list(r[0]), list(r[1])] for n, r in regs.items()}
         dt = dtime / Mstep
@@ -296,7 +298,8 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     # fine substep
                     t_lvl = t0 + dt * (ms_ + mint[l])
                     cnew = _project(f, feats[n], b.x, b.mass, t_lvl,
-                                    ctr[n], axis_name, accum_dtype)
+                                    ctr[n], axis_name, accum_dtype,
+                                    rot=rots[n])
                     regs[n][0][l] = regs[n][1][l]     # L <- N
                     regs[n][1][l] = cnew              # N <- new
 
@@ -335,7 +338,8 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                         else:
                             aa, pp = forces[a].acceleration(
                                 coef_full[a].astype(b.x.dtype),
-                                b.x - ctr[a][None, :])
+                                (b.x - ctr[a][None, :]) @ rots[a].T)
+                            aa = aa @ rots[a]
                         acc = acc + aa
                         pot = pot + pp
                     for ext in externals:
@@ -362,12 +366,14 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
     coef_specs = {n: P() for n in names}
     diag_specs = {n: _diag_specs() for n in names}
     center_specs = {n: P() for n in names}
+    rot_specs = {n: P() for n in names}
     extras_specs = {"playback": {n: P() for n in pb_names},
                     "hall": {n: P() for n in hall_names}}
 
     return jax.jit(shard_map(
         substep, mesh,
-        (state_specs, reg_specs, P(), center_specs, extras_specs),
+        (state_specs, reg_specs, P(), center_specs, rot_specs,
+         extras_specs),
         (state_specs, reg_specs, coef_specs, diag_specs)))
 
 
@@ -411,6 +417,9 @@ class MultistepRunner:
     def _zero_centers(self):
         return {n: jnp.zeros(3) for n in self.forces}
 
+    def _eye_rots(self):
+        return {n: jnp.eye(3) for n in self.forces}
+
     @staticmethod
     def _default_extras(t):
         return {"playback": {}, "hall": {}}
@@ -421,20 +430,21 @@ class MultistepRunner:
                 tuple(sorted(extras["hall"])))
 
     def init_state(self, flat: dict[str, ParticleSystem], t0=0.0,
-                   centers=None, extras_fn=None):
+                   centers=None, extras_fn=None, rots=None):
         """Initial leveling + bucketing from flat per-component systems.
 
         Mirrors begin_run's multistep prime (begin.cc:86-127): evaluate
         forces at level 0, assign levels from the dt criteria, repeat.
         """
         centers = centers or self._zero_centers()
+        rots = rots or self._eye_rots()
         extras = (extras_fn or self._default_extras)(t0)
         # first pass: everything at level 0 to get accelerations
         state = {n: bucketize(ps, self.M, self.quantum, mesh=self.mesh)
                  for n, ps in flat.items()}
         caps = {n: lb.caps for n, lb in state.items()}
         st = {n: tuple(lb.buckets) for n, lb in state.items()}
-        st, regs, coef, diag = self._init(st, t0, centers, extras)
+        st, regs, coef, diag = self._init(st, t0, centers, extras, rots)
         # assign levels from the primed accelerations, rebucket, re-prime
         flat2 = {n: flatten_buckets(LevelBuckets(list(bs), caps[n]))
                  for n, bs in st.items()}
@@ -447,11 +457,12 @@ class MultistepRunner:
                  for n, ps in flat2.items()}
         self.caps = {n: lb.caps for n, lb in state.items()}
         st = {n: tuple(lb.buckets) for n, lb in state.items()}
-        st, regs, coef, diag = self._init(st, t0, centers, extras)
+        st, regs, coef, diag = self._init(st, t0, centers, extras, rots)
         return st, regs, coef, diag
 
-    def _init(self, st, t0=0.0, centers=None, extras=None):
+    def _init(self, st, t0=0.0, centers=None, extras=None, rots=None):
         centers = centers or self._zero_centers()
+        rots = rots or self._eye_rots()
         extras = extras or self._default_extras(t0)
         sig = (self._caps_sig(st), self._extras_sig(extras))
         if sig not in self._init_fns:
@@ -460,9 +471,11 @@ class MultistepRunner:
                 accum_dtype=self.accum_dtype, feats=self.feats,
                 externals=self.externals,
                 extras_sig=self._extras_sig(extras))
-        return self._init_fns[sig](st, jnp.float32(t0), centers, extras)
+        return self._init_fns[sig](st, jnp.float32(t0), centers, rots,
+                                   extras)
 
-    def bigstep(self, st, regs, t0=0.0, centers=None, extras_fn=None):
+    def bigstep(self, st, regs, t0=0.0, centers=None, extras_fn=None,
+                rots=None):
         """One big step = host loop over 2^M separately-compiled substeps
         (small graphs; re-leveling recompiles only what changed).
 
@@ -472,6 +485,7 @@ class MultistepRunner:
         import jax.numpy as jnp
 
         centers = centers or self._zero_centers()
+        rots = rots or self._eye_rots()
         extras_fn = extras_fn or self._default_extras
         sig = self._caps_sig(st)
         Mstep = 2 ** self.M
@@ -487,7 +501,7 @@ class MultistepRunner:
                     externals=self.externals, feats=self.feats,
                     wrappers=self.wrappers, extras_sig=esig)
             st, regs, coef, diag = self._fns[key](st, regs, jnp.float32(t0),
-                                                  centers, extras)
+                                                  centers, rots, extras)
         return st, regs, coef, diag
 
     def _make_assess(self):
@@ -559,7 +573,8 @@ class MultistepRunner:
 
         return jax.jit(rebucket)
 
-    def relevel(self, st, regs, t0=0.0, centers=None, extras_fn=None):
+    def relevel(self, st, regs, t0=0.0, centers=None, extras_fn=None,
+                rots=None):
         """Boundary re-leveling (NoSwitch discipline); returns new (st, regs).
 
         Registers are rebuilt by the init pass at the synchronized time —
@@ -570,6 +585,7 @@ class MultistepRunner:
         (offlo, offhi, nlive) counts for the sanity stop.
         """
         centers = centers or self._zero_centers()
+        rots = rots or self._eye_rots()
         extras = (extras_fn or self._default_extras)(t0)
         sig = self._caps_sig(st)
         assess = self._assess_fns.get(sig)
@@ -599,7 +615,7 @@ class MultistepRunner:
                      for n, ps in flat.items()}
             self.caps = {n: lb.caps for n, lb in state.items()}
             st = {n: tuple(lb.buckets) for n, lb in state.items()}
-        st, regs, _, _ = self._init(st, t0, centers, extras)
+        st, regs, _, _ = self._init(st, t0, centers, extras, rots)
         return st, regs
 
     def level_counts(self, st):
@@ -620,7 +636,7 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
     feats = feats or {n: CompFeats() for n in names}
     pb_names, hall_names = extras_sig
 
-    def init(state, t0, centers, extras):
+    def init(state, t0, centers, rots, extras):
         ctr = _com_centers(state, feats, centers, axis_name)
         regs = {}
         coef_full = {}
@@ -634,7 +650,7 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
                                 else z)
                 continue
             cs = [_project(f, feats[n], b.x, b.mass, t0, ctr[n],
-                           axis_name, accum_dtype)
+                           axis_name, accum_dtype, rot=rots[n])
                   for b in state[n]]
             regs[n] = (tuple(cs), tuple(cs))
             tot = cs[0]
@@ -657,7 +673,8 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
                     else:
                         aa, pp = forces[a].acceleration(
                             coef_full[a].astype(b.x.dtype),
-                            b.x - ctr[a][None, :])
+                            (b.x - ctr[a][None, :]) @ rots[a].T)
+                        aa = aa @ rots[a]
                     acc = acc + aa
                     pot = pot + pp
                 for ext in externals:
@@ -675,9 +692,11 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
     reg_specs = {n: (tuple(P() for _ in range(M + 1)),
                      tuple(P() for _ in range(M + 1))) for n in names}
     center_specs = {n: P() for n in names}
+    rot_specs = {n: P() for n in names}
     extras_specs = {"playback": {n: P() for n in pb_names},
                     "hall": {n: P() for n in hall_names}}
     return jax.jit(shard_map(
-        init, mesh, (state_specs, P(), center_specs, extras_specs),
+        init, mesh,
+        (state_specs, P(), center_specs, rot_specs, extras_specs),
         (state_specs, reg_specs, {n: P() for n in names},
          {n: _diag_specs() for n in names})))

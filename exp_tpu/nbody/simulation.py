@@ -229,8 +229,10 @@ class Component:
     adiabatic: bool = False
     ton: float = 0.0
     twid: float = 1.0
-    # EJ center tracking (Orient)
+    # EJ center/axis tracking (Orient); ej_flags is the reference bitmask
+    # (AXIS=1, CENTER=2, Orient.H:129)
     EJ: bool = False
+    ej_flags: int = 0
     orient: object = None
     # prescribed center trajectory (CenterFile)
     center_traj: object = None
@@ -313,12 +315,22 @@ class Simulation:
             ps = ps.shard(mesh)
             cp = cc.parameters or {}
             orient = None
-            if cp.get("EJ"):
+            # EJ is the reference's orient bitmask (Orient.H:129:
+            # AXIS=1, CENTER=2); a bare `EJ: true` means center tracking
+            ejraw = cp.get("EJ", 0)
+            ej_flags = 2 if ejraw is True else int(ejraw or 0)
+            if ej_flags:
                 from exp_tpu.nbody.centering import EJOrient
 
+                logf = os.path.join(self.outdir,
+                                    f"{g.runtag}.orient.{cc.name}")
                 orient = EJOrient(nkeep=int(cp.get("nEJkeep", 256)),
                                   window=int(cp.get("EJwindow", 16)),
-                                  damp=float(cp.get("EJdamp", 1.0)))
+                                  damp=float(cp.get("EJdamp", 1.0)),
+                                  logfile=logf)
+                if g.infile and os.path.exists(logf):
+                    # restart: reload the regression history
+                    orient.load_log(logf)
             center_traj = None
             if cp.get("centerfile"):
                 from exp_tpu.nbody.centering import CenterFile
@@ -332,7 +344,7 @@ class Simulation:
                 adiabatic=bool(cp.get("adiabatic", False)),
                 ton=float(cp.get("ton", 0.0)),
                 twid=float(cp.get("twid", 1.0)),
-                EJ=bool(cp.get("EJ", False)), orient=orient,
+                EJ=bool(ej_flags), ej_flags=ej_flags, orient=orient,
                 center_traj=center_traj,
                 rtrunc=float(cp.get("rtrunc", 1.0e20)),
                 com_system=bool(cp.get("com", False)),
@@ -353,6 +365,14 @@ class Simulation:
             self.components[cc.name].npca = int(cp.get("npca", 0))
             self.components[cc.name].nsamples = int(cp.get("nsamples", 8))
         self._centers = {n: np.zeros(3) for n in self.components}
+        self._rots = {n: np.eye(3) for n in self.components}
+        # restart: resume orient-tracked centers/rotations immediately
+        for n, c in self.components.items():
+            if c.orient is not None and len(c.orient._histC):
+                if c.ej_flags & 2:
+                    self._centers[n] = c.orient.center
+                if c.ej_flags & 1:
+                    self._rots[n] = c.orient.body
         self._hall = {}          # name -> smoothing factor array
 
         # interaction couples: B feels A  (ComponentContainer.cc:309-424)
@@ -454,16 +474,23 @@ class Simulation:
     # jitted stepping
     # ------------------------------------------------------------------
 
-    def _project_and_accel(self, state, xs, t, centers, extras):
+    def _project_and_accel(self, state, xs, t, centers, extras, rots=None):
         """Shared per-component projection + acceleration (shard-local):
         coefficients with adiabatic/rtrunc/centers/playback/Hall applied,
         then the coupled-field acceleration at positions `xs` — used by both
         the step body and the initial prime so features are honored
         identically in both (reference: same determine_coefficients path for
-        begin_run and do_step)."""
+        begin_run and do_step).
+
+        `rots`: per-component body-frame rotations (EJ AXIS tracking,
+        Orient): positions are rotated into the basis frame before
+        projection/evaluation and forces rotated back
+        (Cylinder.cc:800,1419)."""
         forces = {n: c.force for n, c in self.components.items()}
         if centers is None:
             centers = {n: jnp.zeros(3, xs[n].dtype) for n in state}
+        if rots is None:
+            rots = {n: jnp.eye(3, dtype=xs[n].dtype) for n in state}
         if extras is None:
             extras = {}
         # com_system components expand about their instantaneous COM
@@ -483,7 +510,7 @@ class Simulation:
             else:
                 c = self.components[n]
                 adb = c.adb(t)
-                xc = xs[n] - centers[n][None, :]
+                xc = (xs[n] - centers[n][None, :]) @ rots[n].T
                 mw = state[n].mass * adb
                 if c.rtrunc < 1.0e19:   # Component.H:136: no contribution
                     mw = mw * (jnp.sum(xc * xc, axis=-1)
@@ -503,7 +530,9 @@ class Simulation:
                         (xs[a], state[a].mass), xs[n], axis_name="p")
                 else:
                     aa, pp = forces[a].acceleration(
-                        coefs[a], xs[n] - centers[a][None, :])
+                        coefs[a],
+                        (xs[n] - centers[a][None, :]) @ rots[a].T)
+                    aa = aa @ rots[a]       # back to the inertial frame
                 acc = acc + aa
                 pot = pot + pp
             for ext in self.externals:
@@ -514,7 +543,8 @@ class Simulation:
             pots[n] = pot
         return coefs, accs, pots
 
-    def _system_step_body(self, state, t_new, centers=None, extras=None):
+    def _system_step_body(self, state, t_new, centers=None, extras=None,
+                          rots=None):
         """One KDK step for all components (shard-local view); t_new is the
         (traced) time at the end of the step, used by external fields."""
         dt = self.dt
@@ -528,7 +558,7 @@ class Simulation:
                 xd = wrp.wrap(xd)
             new_x[n] = xd
         coefs, accs, pots = self._project_and_accel(state, new_x, t_new,
-                                                    centers, extras)
+                                                    centers, extras, rots)
         out = {}
         for n, ps in state.items():
             v_new = v_half[n] + accs[n] * (dt * 0.5)
@@ -542,12 +572,12 @@ class Simulation:
 
         names = list(self.components)
 
-        def block(state, t0, centers, extras):
+        def block(state, t0, centers, rots, extras):
             def body(carry, _):
                 st, tcur = carry
                 tnew = tcur + self.dt
                 st, coefs, diag = self._system_step_body(st, tnew, centers,
-                                                         extras)
+                                                         extras, rots)
                 return (st, tnew), (coefs, diag)
 
             (st, _), (coefs_hist, diag_hist) = jax.lax.scan(
@@ -558,10 +588,12 @@ class Simulation:
         coef_specs = {n: P() for n in names}
         diag_specs = {n: _diag_specs() for n in names}
         center_specs = {n: P() for n in self.components}
+        rot_specs = {n: P() for n in self.components}
         extras_specs = jax.tree_util.tree_map(
             lambda _: P(), self._make_extras(), is_leaf=lambda x: x is None)
         return jax.jit(shard_map(
-            block, self.mesh, (state_specs, P(), center_specs, extras_specs),
+            block, self.mesh,
+            (state_specs, P(), center_specs, rot_specs, extras_specs),
             (state_specs, coef_specs, diag_specs)))
 
     def prime(self):
@@ -578,11 +610,12 @@ class Simulation:
                 self._centers[n] = c.center_traj(self.time)
         cts = {n: jnp.asarray(self._centers[n], self.compute_dtype)
                for n in self.components}
+        rts = self._rot_arrays()
 
-        def init(state, centers, extras):
+        def init(state, centers, rots, extras):
             coefs, accs, pots = self._project_and_accel(
                 state, {n: ps.x for n, ps in state.items()}, self.time,
-                centers, extras)
+                centers, extras, rots)
             out = {n: replace(ps, acc=accs[n], pot=pots[n])
                    for n, ps in state.items()}
             diag = {n: _diagnostics(out[n], axis_name="p") for n in out}
@@ -590,12 +623,15 @@ class Simulation:
 
         state_specs = {n: _ps_specs("p") for n in names}
         center_specs = {n: P() for n in names}
+        rot_specs = {n: P() for n in names}
         extras_specs = jax.tree_util.tree_map(lambda _: P(), extras)
         fn = jax.jit(shard_map(init, self.mesh,
-                               (state_specs, center_specs, extras_specs),
+                               (state_specs, center_specs, rot_specs,
+                                extras_specs),
                                (state_specs, {n: P() for n in names},
                                 {n: _diag_specs() for n in names})))
-        self._state, self._coefs, self._diag = fn(self._state, cts, extras)
+        self._state, self._coefs, self._diag = fn(self._state, cts, rts,
+                                                  extras)
         for o in self.outputs:
             o.run(self, self.istep, force=True)
 
@@ -626,16 +662,15 @@ class Simulation:
                     self._centers[n] = c.center_traj(self.time)
             cts = {n: jnp.asarray(self._centers[n], self.compute_dtype)
                    for n in self.components}
+            rts = self._rot_arrays()
             t0 = time.time()
             self._state, coefs_hist, diag_hist = fn(self._state, self.time,
-                                                    cts, extras)
+                                                    cts, rts, extras)
             jax.block_until_ready(jax.tree_util.tree_leaves(self._state)[0])
             t1 = time.time()
             self.timers["Compute"] += t1 - t0
-            # EJ center tracking (Orient): host-side update per block
-            for n, c in self.components.items():
-                if c.EJ and c.orient is not None:
-                    self._centers[n] = c.orient.update(self._state[n])
+            # EJ center/axis tracking (Orient): host-side update per block
+            self._update_orient()
             t2 = time.time()
             self.timers["Orient"] += t2 - t1
             self._update_hall()
@@ -775,7 +810,7 @@ class Simulation:
         if self._ms_state is None:
             st, regs, coef, diag = r.init_state(
                 self._state, t0=self.time, centers=self._ms_centers(),
-                extras_fn=self._ms_extras_fn)
+                extras_fn=self._ms_extras_fn, rots=self._rot_arrays())
             self._ms_state, self._ms_regs = st, regs
             self._coefs, self._diag = coef, diag
             self._sync_flat_state()
@@ -785,25 +820,24 @@ class Simulation:
             if self._check_stop():
                 break
             centers = self._ms_centers()
+            rots = self._rot_arrays()
             t0 = time.time()
             st, regs, coef, diag = r.bigstep(self._ms_state, self._ms_regs,
                                              self.time, centers=centers,
-                                             extras_fn=self._ms_extras_fn)
+                                             extras_fn=self._ms_extras_fn,
+                                             rots=rots)
             t1 = time.time()
             self.timers["Compute"] += t1 - t0
             st, regs = r.relevel(st, regs, t0=self.time + self.dt,
                                  centers=centers,
-                                 extras_fn=self._ms_extras_fn)
+                                 extras_fn=self._ms_extras_fn, rots=rots)
             t2 = time.time()
             self.timers["Relevel"] += t2 - t1
             self._ms_state, self._ms_regs = st, regs
             self.istep += 1
             self.time += self.dt
             if has_ej:
-                self._sync_flat_state()
-                for n, c in self.components.items():
-                    if c.EJ and c.orient is not None:
-                        self._centers[n] = c.orient.update(self._state[n])
+                self._update_orient(multistep=True)
             self._update_hall(multistep=True)
             self.timers["Orient"] += time.time() - t2
             t2b = time.time()
@@ -848,6 +882,25 @@ class Simulation:
             if n in self._hall:
                 hall[n] = jnp.asarray(self._hall[n], self.compute_dtype)
         return {"playback": pb, "hall": hall}
+
+    def _rot_arrays(self):
+        """Per-component body-frame rotations as traced arrays."""
+        return {n: jnp.asarray(self._rots[n], self.compute_dtype)
+                for n in self.components}
+
+    def _update_orient(self, multistep=False):
+        """EJ Orient update: center (flag CENTER=2) and axis frame
+        (flag AXIS=1) per block/bigstep (src/Orient.cc; Component.H:775)."""
+        for n, c in self.components.items():
+            if not (c.EJ and c.orient is not None):
+                continue
+            if multistep:
+                self._sync_flat_state()
+            c.orient.update(self._state[n], time=self.time)
+            if c.ej_flags & 2:
+                self._centers[n] = c.orient.center
+            if c.ej_flags & 1:
+                self._rots[n] = c.orient.body
 
     def _update_hall(self, multistep=False):
         """Recompute Hall factors every npca steps (pca_hall analogue)."""
