@@ -99,8 +99,16 @@ def main():
 
     suite = {}
     primary = None
+    # soft wall-clock budget: stop launching new configs once exceeded so
+    # one slow config can't blow the driver's window (first-compile through
+    # the remote runtime is expensive; results are cached across runs)
+    budget = float(os.environ.get("BENCH_BUDGET", 1200))
+    t_start = time.perf_counter()
     for c in cfgs:
         c = c.strip()
+        if time.perf_counter() - t_start > budget and primary is not None:
+            suite[c] = {"skipped": f"budget {budget:.0f}s exceeded"}
+            continue
         try:
             print(f"[bench] running {c} ...", file=sys.stderr, flush=True)
             t0 = time.perf_counter()

@@ -112,6 +112,29 @@ def _com_centers(state, feats, centers, axis_name):
     return ctr
 
 
+def _eff_forces(forces, state, centers, axis_name):
+    """Rebuild two-center (needs_centers) forces with traced centers:
+    inner = the prescribed/tracked center, outer = the component's
+    instantaneous COM over all buckets (TwoCenter.cc:106-155)."""
+    eff = dict(forces)
+    tc = set()
+    for n, f in forces.items():
+        if getattr(f, "needs_centers", False):
+            tc.add(n)
+            bs = state[n]
+            msum = sum(jnp.sum(b.mass) for b in bs)
+            xsum = sum(jnp.sum(b.mass[:, None] * b.x, axis=0) for b in bs)
+            tot = jax.lax.psum(jnp.concatenate([xsum, msum[None]]),
+                               axis_name)
+            eff[n] = f.with_centers(centers[n].astype(bs[0].x.dtype),
+                                    tot[:3] / tot[3])
+    return eff, tc
+
+
+def _tmap(fn, *trees):
+    return jax.tree_util.tree_map(fn, *trees)
+
+
 def _sources_of(bs):
     """Concatenate a component's buckets into (x, mass) source arrays for
     `needs_sources` (direct) forces; inactive buckets contribute their
@@ -284,12 +307,13 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
 
             # -- effective expansion centers (instantaneous COM or given) -
             ctr = _com_centers(state, feats, centers, axis_name)
+            eff, tc = _eff_forces(forces, state, centers, axis_name)
 
             # -- recompute coefficient registers for active levels --------
             for n in names:
                 if feats[n].needs_sources or n in pb_names:
                     continue                          # registers unused
-                f = forces[n]
+                f = eff[n]
                 for l in range(mfirst, M + 1):
                     b = state[n][l]
                     # level l just drifted DT_l = dt*mint[l]: its positions
@@ -297,9 +321,14 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     # ramp) correspond to the END of ITS step, not of this
                     # fine substep
                     t_lvl = t0 + dt * (ms_ + mint[l])
-                    cnew = _project(f, feats[n], b.x, b.mass, t_lvl,
-                                    ctr[n], axis_name, accum_dtype,
-                                    rot=rots[n])
+                    if n in tc:     # two-center: centers applied internally
+                        cnew = f.coefficients(b.x, b.mass * feats[n].adb(
+                            t_lvl), axis_name=axis_name,
+                            accum_dtype=accum_dtype)
+                    else:
+                        cnew = _project(f, feats[n], b.x, b.mass, t_lvl,
+                                        ctr[n], axis_name, accum_dtype,
+                                        rot=rots[n])
                     regs[n][0][l] = regs[n][1][l]     # L <- N
                     regs[n][1][l] = cnew              # N <- new
 
@@ -315,10 +344,11 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                 tot = None
                 for l in range(M + 1):
                     w = ((ms_ % mint[l]) + 1) / mint[l]
-                    c = regs[n][0][l] * (1.0 - w) + regs[n][1][l] * w
-                    tot = c if tot is None else tot + c
+                    c = _tmap(lambda L, N: L * (1.0 - w) + N * w,
+                              regs[n][0][l], regs[n][1][l])
+                    tot = c if tot is None else _tmap(jnp.add, tot, c)
                 if n in hall_names:
-                    tot = tot * extras["hall"][n]
+                    tot = _tmap(lambda v: v * extras["hall"][n], tot)
                 coef_full[n] = tot
 
             # -- closing half-kick for levels at their end boundary -------
@@ -332,12 +362,17 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     pot = jnp.zeros_like(b.mass)
                     for a in couples[n]:
                         if feats[a].needs_sources:
-                            aa, pp = forces[a].acceleration(
+                            aa, pp = eff[a].acceleration(
                                 _sources_of(state[a]), b.x,
                                 axis_name=axis_name)
+                        elif a in tc:
+                            aa, pp = eff[a].acceleration(
+                                _tmap(lambda v: v.astype(b.x.dtype),
+                                      coef_full[a]), b.x)
                         else:
-                            aa, pp = forces[a].acceleration(
-                                coef_full[a].astype(b.x.dtype),
+                            aa, pp = eff[a].acceleration(
+                                _tmap(lambda v: v.astype(b.x.dtype),
+                                      coef_full[a]),
                                 (b.x - ctr[a][None, :]) @ rots[a].T)
                             aa = aa @ rots[a]
                         acc = acc + aa
@@ -638,10 +673,11 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
 
     def init(state, t0, centers, rots, extras):
         ctr = _com_centers(state, feats, centers, axis_name)
+        eff, tc = _eff_forces(forces, state, centers, axis_name)
         regs = {}
         coef_full = {}
         for n in names:
-            f = forces[n]
+            f = eff[n]
             if n in pb_names or feats[n].needs_sources:
                 z = jnp.zeros((1,), state[n][0].x.dtype)
                 regs[n] = (tuple(z for _ in range(M + 1)),
@@ -649,15 +685,21 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
                 coef_full[n] = (extras["playback"][n] if n in pb_names
                                 else z)
                 continue
-            cs = [_project(f, feats[n], b.x, b.mass, t0, ctr[n],
-                           axis_name, accum_dtype, rot=rots[n])
-                  for b in state[n]]
+            if n in tc:
+                cs = [f.coefficients(b.x, b.mass * feats[n].adb(t0),
+                                     axis_name=axis_name,
+                                     accum_dtype=accum_dtype)
+                      for b in state[n]]
+            else:
+                cs = [_project(f, feats[n], b.x, b.mass, t0, ctr[n],
+                               axis_name, accum_dtype, rot=rots[n])
+                      for b in state[n]]
             regs[n] = (tuple(cs), tuple(cs))
             tot = cs[0]
             for c in cs[1:]:
-                tot = tot + c
+                tot = _tmap(jnp.add, tot, c)
             if n in hall_names:
-                tot = tot * extras["hall"][n]
+                tot = _tmap(lambda v: v * extras["hall"][n], tot)
             coef_full[n] = tot
         out = {}
         diag = {}
@@ -668,11 +710,16 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
                 pot = jnp.zeros_like(b.mass)
                 for a in couples[n]:
                     if feats[a].needs_sources:
-                        aa, pp = forces[a].acceleration(
+                        aa, pp = eff[a].acceleration(
                             _sources_of(state[a]), b.x, axis_name=axis_name)
+                    elif a in tc:
+                        aa, pp = eff[a].acceleration(
+                            _tmap(lambda v: v.astype(b.x.dtype),
+                                  coef_full[a]), b.x)
                     else:
-                        aa, pp = forces[a].acceleration(
-                            coef_full[a].astype(b.x.dtype),
+                        aa, pp = eff[a].acceleration(
+                            _tmap(lambda v: v.astype(b.x.dtype),
+                                  coef_full[a]),
                             (b.x - ctr[a][None, :]) @ rots[a].T)
                         aa = aa @ rots[a]
                     acc = acc + aa

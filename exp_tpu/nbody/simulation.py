@@ -205,12 +205,25 @@ def build_force(fc, dtype, workdir=".", particles=None):
         from exp_tpu.config import ForceConfig
         from exp_tpu.forces.twocenter import TwoCenterForce
 
-        sub = ForceConfig(id=p.pop("basis", "sphereSL"),
-                          parameters=p.pop("parameters", dict(p)))
-        inner = build_force(sub, dtype, workdir)
-        outer = build_force(sub, dtype, workdir)
-        return TwoCenterForce(inner=inner, outer=outer,
-                              c1=jnp.zeros(3, dtype), c2=jnp.zeros(3, dtype))
+        cfac = float(p.pop("cfac", 1.0))
+        alpha = float(p.pop("alpha", 1.0))
+        inner_cfg = p.pop("inner", None)
+        outer_cfg = p.pop("outer", None)
+        base_id = p.pop("basis", "sphereSL")
+        base_params = p.pop("parameters", dict(p))
+
+        def mk(cfg):
+            if cfg is None:
+                cfg = {"id": base_id, "parameters": base_params}
+            return build_force(
+                ForceConfig(id=cfg.get("id", base_id),
+                            parameters=dict(cfg.get("parameters",
+                                                    base_params))),
+                dtype, workdir, particles=particles)
+
+        return TwoCenterForce(inner=mk(inner_cfg), outer=mk(outer_cfg),
+                              c1=jnp.zeros(3, dtype), c2=jnp.zeros(3, dtype),
+                              cfac=cfac, alpha=alpha)
     raise ConfigError(f"force id {fc.id!r} not implemented yet")
 
 
@@ -501,6 +514,19 @@ class Simulation:
                 Mtot = jax.lax.psum(jnp.sum(mm), "p")
                 centers[n] = jax.lax.psum(
                     jnp.sum(mm[:, None] * xs[n], axis=0), "p") / Mtot
+        # two-center forces: inner center = the tracked (EJ/centerfile)
+        # center, outer = the instantaneous COM (TwoCenter.cc:106-155);
+        # rebuild the force pytree with the traced centers
+        twocenter = set()
+        for n in state:
+            if getattr(forces[n], "needs_centers", False):
+                twocenter.add(n)
+                mm = state[n].mass
+                Mtot = jax.lax.psum(jnp.sum(mm), "p")
+                com = jax.lax.psum(
+                    jnp.sum(mm[:, None] * xs[n], axis=0), "p") / Mtot
+                forces[n] = forces[n].with_centers(
+                    centers[n].astype(xs[n].dtype), com)
         coefs = {}
         for n in state:
             if n in extras.get("playback", {}):
@@ -510,15 +536,19 @@ class Simulation:
             else:
                 c = self.components[n]
                 adb = c.adb(t)
-                xc = (xs[n] - centers[n][None, :]) @ rots[n].T
+                # two-center forces subtract their own centers internally
+                xc = (xs[n] if n in twocenter
+                      else (xs[n] - centers[n][None, :]) @ rots[n].T)
                 mw = state[n].mass * adb
                 if c.rtrunc < 1.0e19:   # Component.H:136: no contribution
-                    mw = mw * (jnp.sum(xc * xc, axis=-1)
+                    xr = xc - centers[n][None, :] if n in twocenter else xc
+                    mw = mw * (jnp.sum(xr * xr, axis=-1)
                                < c.rtrunc ** 2).astype(mw.dtype)
                 coefs[n] = forces[n].coefficients(
                     xc, mw, axis_name="p", accum_dtype=self.accum_dtype)
                 if n in extras.get("hall", {}):
-                    coefs[n] = coefs[n] * extras["hall"][n]
+                    coefs[n] = jax.tree_util.tree_map(
+                        lambda t_: t_ * extras["hall"][n], coefs[n])
         accs = {}
         pots = {}
         for n, ps in state.items():
@@ -528,6 +558,8 @@ class Simulation:
                 if getattr(forces[a], "needs_sources", False):
                     aa, pp = forces[a].acceleration(
                         (xs[a], state[a].mass), xs[n], axis_name="p")
+                elif a in twocenter:
+                    aa, pp = forces[a].acceleration(coefs[a], xs[n])
                 else:
                     aa, pp = forces[a].acceleration(
                         coefs[a],
