@@ -1,8 +1,11 @@
 """Field expansions over particle attributes (the reference's FieldBasis /
-VelocityBasis, expui/FieldBasis.H:23-186 — powers OutVel).
+VelocityBasis, expui/FieldBasis.H:23-186, FieldBasis.cc:330-400 — powers
+OutVel).
 
-Any per-particle quantity f (velocity components by default) is projected
-with the same biorthogonal machinery as the mass density:
+Any per-particle quantity f is projected with the same spherical-harmonic x
+radial biorthogonal machinery as the mass density (the reference projects
+onto Ylm x OrthoFunction; here the force basis supplies the same
+Ylm x radial-table span, shared with the N-body kernels):
 
     d^f_k = -4 pi sum_i m_i f_i Phi_k(x_i)
 
@@ -11,7 +14,12 @@ The pointwise field estimate is the density-weighted ratio
     f(x) ~ sum_k d^f_k D_k(x) / sum_k d^1_k D_k(x)
 
 (i.e. the BFE representation of rho*f divided by the BFE representation of
-rho) — the mass-weighted mean of f in the smooth-field sense.
+rho) — the mass-weighted mean field.  VelocityBasis field sets
+(FieldBasis.cc fieldFunc):
+  cartesian:   vx, vy, vz
+  spherical:   vr, vt (v_theta), vp (v_phi)
+  cylindrical: vR, vp, vz
+plus v2 (speed squared).
 """
 
 from __future__ import annotations
@@ -19,11 +27,46 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+#: field name -> callable (x, v) -> per-particle value
+_SPHERICAL = ("vr", "vt", "vp")
+_CYLINDRICAL = ("vR", "vp", "vz")
+
+
+def _field_value(name, x, v):
+    if name == "vx":
+        return v[:, 0]
+    if name == "vy":
+        return v[:, 1]
+    if name == "vz":
+        return v[:, 2]
+    if name == "v2":
+        return jnp.sum(v * v, axis=1)
+    R = jnp.sqrt(x[:, 0] ** 2 + x[:, 1] ** 2) + 1e-18
+    if name == "vR":
+        return (x[:, 0] * v[:, 0] + x[:, 1] * v[:, 1]) / R
+    if name == "vp":
+        return (x[:, 0] * v[:, 1] - x[:, 1] * v[:, 0]) / R
+    r = jnp.sqrt(jnp.sum(x * x, axis=1)) + 1e-18
+    if name == "vr":
+        return jnp.sum(x * v, axis=1) / r
+    if name == "vt":
+        # v_theta = (cos(th) v_R - sin(th) v_z); cos(th)=z/r, sin(th)=R/r
+        vR = (x[:, 0] * v[:, 0] + x[:, 1] * v[:, 1]) / R
+        return (x[:, 2] * vR - R * v[:, 2]) / r
+    raise ValueError(f"unknown field {name!r}")
+
 
 class FieldBasis:
-    """Expand per-particle fields over a force basis."""
+    """Expand per-particle fields over a force basis.
+
+    `fields`: any of vx/vy/vz/v2 (cartesian), vr/vt/vp (spherical),
+    vR/vp/vz (cylindrical), or "spherical"/"cylindrical"/"cartesian" as a
+    shorthand for the corresponding velocity set (VelocityBasis)."""
 
     def __init__(self, force, fields=("vx", "vy", "vz")):
+        if isinstance(fields, str):
+            fields = {"spherical": _SPHERICAL, "cylindrical": _CYLINDRICAL,
+                      "cartesian": ("vx", "vy", "vz")}[fields]
         self.force = force
         self.fields = tuple(fields)
 
@@ -34,16 +77,22 @@ class FieldBasis:
         m = jnp.asarray(np.asarray(mass))
         out = {"dens": self.force.coefficients(x, m,
                                                accum_dtype=accum_dtype)}
-        comp = {"vx": 0, "vy": 1, "vz": 2}
         for f in self.fields:
-            if f in comp:
-                w = m * v[:, comp[f]]
-            elif f == "v2":
-                w = m * jnp.sum(v * v, axis=1)
-            else:
-                raise ValueError(f"unknown field {f!r}")
+            w = m * _field_value(f, x, v)
             out[f] = self.force.coefficients(x, w, accum_dtype=accum_dtype)
         return out
+
+    def create_from_snapshots(self, snaps, accum_dtype=jnp.float64):
+        """Project (x, v, mass) snapshots -> dict field -> (T, ...) array
+        (the reference's createFromReader over a VelocityBasis)."""
+        series = None
+        for x, v, mass in snaps:
+            c = self.coefficients(x, v, mass, accum_dtype=accum_dtype)
+            if series is None:
+                series = {k: [] for k in c}
+            for k, val in c.items():
+                series[k].append(np.asarray(val))
+        return {k: np.stack(vs) for k, vs in series.items()}
 
     def evaluate(self, coefs: dict, points):
         """Field estimates at points: dict field -> (N,) array."""

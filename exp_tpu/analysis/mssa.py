@@ -114,10 +114,17 @@ class expMSSA:
     def reconstructed(self, groups=None):
         """Sum the selected eigentriples back to per-channel series.
 
-        groups: list of component indices (default: all kept).
+        groups: list of component indices, or a list of index groups
+        (e.g. straight from auto_group/kmeans) — nested lists are
+        flattened (default: all kept).
         Returns dict (name, flat_index) -> (T,) series including the mean.
         """
-        comps = list(range(self.S.size)) if groups is None else list(groups)
+        if groups is None:
+            comps = list(range(self.S.size))
+        else:
+            comps = []
+            for g in groups:
+                comps.extend(g if hasattr(g, "__len__") else [g])
         out = {}
         for ci, key in enumerate(self.keys):
             s = np.zeros(self._T)
@@ -163,3 +170,139 @@ class expMSSA:
         d = np.sqrt(np.diag(W))
         d[d == 0] = 1.0
         return W / np.outer(d, d)
+
+    # ------------------------------------------------------------------
+    # DFT diagnostics (expMSSA::pcDFT/channelDFT/singleDFT,
+    # expui/expMSSA.cc:805-1030)
+    # ------------------------------------------------------------------
+
+    def _dt(self):
+        return 1.0
+
+    def pcDFT(self, dt=1.0):
+        """Frequency grid + power spectrum of each PC column.
+
+        Returns (freq (nfreq,), power (nfreq, npc))."""
+        K = self.PC.shape[0]
+        freq = 2.0 * np.pi * np.fft.rfftfreq(K, d=dt)
+        P = np.abs(np.fft.rfft(self.PC, axis=0)) ** 2 / K
+        return freq, P
+
+    def channelDFT(self, dt=1.0, groups=None):
+        """Power spectrum of the (group-)reconstructed channel series.
+
+        Returns (freq, dict (name, flat_index) -> (nfreq,) power)."""
+        rec = self.reconstructed(groups)
+        T = self._T
+        freq = 2.0 * np.pi * np.fft.rfftfreq(T, d=dt)
+        out = {}
+        for key, series in rec.items():
+            s = series - series.mean()
+            out[key] = np.abs(np.fft.rfft(s)) ** 2 / T
+        return freq, out
+
+    def singleDFT(self, key, dt=1.0):
+        """Per-PC power spectra for one channel: (freq, (nfreq, ncomp))."""
+        ki = self.keys.index(key)
+        T = self._T
+        freq = 2.0 * np.pi * np.fft.rfftfreq(T, d=dt)
+        P = np.zeros((freq.size, self.S.size))
+        for c in range(self.S.size):
+            e = self._elementary(c, ki)
+            P[:, c] = np.abs(np.fft.rfft(e - e.mean())) ** 2 / T
+        return freq, P
+
+    # ------------------------------------------------------------------
+    # Eigentriple grouping: KMeans with the w-correlation distance
+    # (expMSSA::kmeans/kmeansChannel, expui/KMeans.cc WcorrDistance:
+    # d(x, y) = 1 - sqrt(wcorr(x, y))) and w-correlation auto-grouping
+    # ------------------------------------------------------------------
+
+    def _wcorr_weights(self):
+        w, T = self.window, self._T
+        return np.minimum(np.minimum(np.arange(1, T + 1), w),
+                          np.minimum(T - np.arange(T), T - w + 1)
+                          ).astype(float)
+
+    def _wcorr_dist(self, x, y, wt):
+        corr = np.sum(wt * x * y)
+        nx = np.sum(wt * x * x)
+        ny = np.sum(wt * y * y)
+        if nx * ny <= 0:
+            return 1.0
+        return 1.0 - np.sqrt(max(corr / np.sqrt(nx * ny), 0.0))
+
+    def _kmeans_points(self, key=None):
+        """Per-eigentriple series: one channel's elementaries, or summed
+        over channels when key is None (expMSSA::kmeans pack)."""
+        k = self.S.size
+        pts = np.zeros((k, self._T))
+        if key is not None:
+            ki = self.keys.index(key)
+            for c in range(k):
+                pts[c] = self._elementary(c, ki)
+        else:
+            for c in range(k):
+                for ci in range(self.nkeys):
+                    pts[c] += self._elementary(c, ci)
+        return pts
+
+    def kmeans(self, clusters, stride=1, key=None, iters=100, seed=0):
+        """Cluster eigentriples by w-correlation distance.
+
+        Returns (ids (k,), dists (k,), tol) — cluster id and distance to
+        the assigned center per eigentriple (kmeansChannel when `key` is
+        given, else all channels summed)."""
+        pts = self._kmeans_points(key)
+        k = pts.shape[0]
+        clusters = min(int(clusters), k)
+        wt = self._wcorr_weights()
+        if stride and stride > 0:
+            seeds = list(range(0, k, max(1, stride)))[:clusters]
+        else:
+            rng = np.random.default_rng(seed)
+            seeds = list(rng.choice(k, size=clusters, replace=False))
+        centers = pts[seeds].copy()
+        ids = np.zeros(k, dtype=int)
+        tol = np.inf
+        for _ in range(iters):
+            d = np.array([[self._wcorr_dist(p, c, wt) for c in centers]
+                          for p in pts])
+            new_ids = d.argmin(axis=1)
+            new_centers = np.array([
+                pts[new_ids == j].mean(axis=0) if (new_ids == j).any()
+                else centers[j] for j in range(clusters)])
+            tol = float(np.abs(new_centers - centers).max())
+            centers = new_centers
+            if (new_ids == ids).all() and tol < 1e-10:
+                ids = new_ids
+                break
+            ids = new_ids
+        dists = np.array([np.sqrt(((pts[j] - centers[ids[j]]) ** 2).sum())
+                          for j in range(k)])
+        return ids, dists, tol
+
+    def auto_group(self, threshold=0.5, ncomp=None):
+        """w-correlation auto-grouping: connected components of the
+        eigentriple graph with edges wcorr(a, b) > threshold.  Returns a
+        list of index groups, ordered by total variance."""
+        W = np.abs(self.wcorr(ncomp))
+        k = W.shape[0]
+        seen = np.zeros(k, bool)
+        groups = []
+        for s in range(k):
+            if seen[s]:
+                continue
+            stack = [s]
+            grp = []
+            seen[s] = True
+            while stack:
+                a = stack.pop()
+                grp.append(a)
+                for b in range(k):
+                    if not seen[b] and W[a, b] > threshold:
+                        seen[b] = True
+                        stack.append(b)
+            groups.append(sorted(grp))
+        groups.sort(key=lambda g: -sum(self.S[i] for i in g))
+        return groups

@@ -176,3 +176,103 @@ def test_vtk_and_pvd(tmp_path):
     write_pvd(tmp_path / "t.pvd", [(0.0, str(p)), (0.5, str(p))])
     pvd = (tmp_path / "t.pvd").read_text()
     assert pvd.count("<DataSet") == 2 and 'timestep="0.5"' in pvd
+
+
+def test_mssa_dft_kmeans_autogroup():
+    """Round-2 expMSSA extras: pcDFT/channelDFT frequency identification,
+    kmeans eigentriple grouping (w-correlation distance), and
+    w-correlation auto-grouping (expMSSA.H:170-286, KMeans.cc)."""
+    rng = np.random.default_rng(1)
+    T = 240
+    t = np.arange(T)
+    p1, p2 = 24.0, 9.0
+    s1 = np.sin(2 * np.pi * t / p1)
+    s2 = 0.6 * np.sin(2 * np.pi * t / p2)
+    A = np.stack([s1 + 0.01 * rng.standard_normal(T),
+                  s2 + s1 * 0.2 + 0.01 * rng.standard_normal(T)], axis=1)
+    coefs = Coefs(geometry="table")
+    for i in range(T):
+        coefs.add(float(i), A[i])
+    m = expMSSA({"c": coefs}, window=60, numpc=8)
+
+    # pcDFT: the leading PC pair peaks at 2 pi / p1
+    freq, P = m.pcDFT()
+    om1 = 2 * np.pi / p1
+    f_peak = freq[np.argmax(P[1:, 0]) + 1]
+    assert abs(f_peak - om1) < 0.35 * om1
+
+    # channelDFT of the [0,1]-group reconstruction is dominated by om1
+    freq, chan = m.channelDFT(groups=[0, 1])
+    pw = chan[("c", 0)]
+    assert abs(freq[np.argmax(pw[1:]) + 1] - om1) < 0.35 * om1
+
+    # singleDFT returns per-PC spectra for a channel
+    freq, ps = m.singleDFT(("c", 0))
+    assert ps.shape == (freq.size, m.S.size)
+
+    # kmeans with 2 clusters separates the p1 pair from the p2 pair
+    ids, dists, tol = m.kmeans(2, stride=1)
+    assert ids[0] == ids[1], f"leading pair split: {ids}"
+    assert len(set(ids)) == 2
+    assert np.isfinite(dists).all()
+
+    # auto-group: the leading group contains the first eigentriple pair
+    groups = m.auto_group(threshold=0.25, ncomp=6)
+    lead = groups[0]
+    assert 0 in lead and 1 in lead, f"groups: {groups}"
+
+
+def test_slab_table_coef_files(tmp_path):
+    """Slab / table / trajectory coefficient-file geometries round-trip
+    through the pyEXP-compatible schema (CoefStruct.H:214-420)."""
+    from exp_tpu.io.coefs import (SlabCoefsFile, TableCoefsFile, open_coefs)
+
+    rng = np.random.default_rng(5)
+    # slab: complex (2 nx+1, 2 ny+1, nz)
+    p = tmp_path / "slab.h5"
+    w = SlabCoefsFile(str(p), "w", name="s", nmaxx=2, nmaxy=2, nmaxz=4)
+    cs = rng.normal(size=(3, 5, 5, 4)) + 1j * rng.normal(size=(3, 5, 5, 4))
+    for i in range(3):
+        w.append(float(i), cs[i])
+    w.close()
+    r = open_coefs(str(p))
+    assert isinstance(r, SlabCoefsFile)
+    times, back = r.read_all()
+    np.testing.assert_array_equal(times, [0, 1, 2])
+    np.testing.assert_allclose(back, cs)
+    r.close()
+
+    # table + trajectory
+    for geom in ("table", "trajectory"):
+        p = tmp_path / f"{geom}.h5"
+        w = TableCoefsFile(str(p), "w", name="t", cols=6, geometry=geom)
+        data = rng.normal(size=(4, 6))
+        for i in range(4):
+            w.append(float(i), data[i])
+        w.close()
+        r = open_coefs(str(p))
+        assert r.geometry == geom
+        times, back = r.read_all()
+        np.testing.assert_allclose(back.real, data)
+        r.close()
+
+
+def test_velocity_field_basis(halo_setup):
+    """VelocityBasis-style spherical velocity-field expansion: a rotating
+    halo's v_phi field is recovered; v_r stays ~0 (FieldBasis.H:23-186)."""
+    from exp_tpu.analysis.field_basis import FieldBasis
+
+    d, m, basis, x, mass = halo_setup
+    # impose solid-body-ish rotation about z
+    R = np.hypot(x[:, 0], x[:, 1])
+    om = 0.3
+    vrot = np.stack([-om * x[:, 1], om * x[:, 0], np.zeros(len(x))], -1)
+    fb = FieldBasis(basis.force, fields="spherical")
+    coefs = fb.coefficients(x, vrot, mass)
+
+    pts = np.array([[1.0, 0, 0], [0, 1.5, 0], [0.5, 0.5, 0.0]])
+    out = fb.evaluate(coefs, pts)
+    Rp = np.hypot(pts[:, 0], pts[:, 1])
+    np.testing.assert_allclose(out["vp"], om * Rp, rtol=0.35)
+    assert np.abs(out["vr"]).max() < 0.1 * om
+    assert np.isfinite(out["vt"]).all()
