@@ -209,6 +209,10 @@ def open_coefs(path):
         return CylCoefsFile(path, "r")
     elif geom == "cube":
         return CubeCoefsFile(path, "r")
+    elif geom == "slab":
+        return SlabCoefsFile(path, "r")
+    elif geom in ("table", "trajectory"):
+        return TableCoefsFile(path, "r", geometry=str(geom))
     raise ValueError(f"unknown coefficient geometry {geom!r}")
 
 
@@ -267,6 +271,136 @@ class CubeCoefsFile:
         coefs = np.stack([np.asarray(snaps[k]["coefficients"]).view(
             np.complex128).reshape(2 * self.nmaxx + 1, 2 * self.nmaxy + 1,
                                    2 * self.nmaxz + 1) for k in keys])
+        order = np.argsort(times)
+        return times[order], coefs[order]
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class SlabCoefsFile:
+    """Slab coefficient files (SlabStruct, expui/CoefStruct.H:214-251:
+    complex (2 nmaxx+1, 2 nmaxy+1, nmaxz) tensor per snapshot)."""
+
+    geometry = "slab"
+
+    def __init__(self, path, mode="r", name="", nmaxx=0, nmaxy=0, nmaxz=0,
+                 config=""):
+        import h5py
+
+        self.path = path
+        if mode == "w":
+            self.nmaxx, self.nmaxy, self.nmaxz = nmaxx, nmaxy, nmaxz
+            f = h5py.File(path, "w")
+            f.attrs["CoefficientOutputVersion"] = COEFFICIENT_OUTPUT_VERSION
+            f.attrs["geometry"] = self.geometry
+            f.attrs["name"] = name
+            f.attrs["config"] = config
+            f.attrs["nmaxx"] = np.int32(nmaxx)
+            f.attrs["nmaxy"] = np.int32(nmaxy)
+            f.attrs["nmaxz"] = np.int32(nmaxz)
+            f.attrs["forceID"] = "slabSL"
+            f.create_dataset("count", data=np.uint32(0))
+            f.create_group("snapshots")
+            self._f = f
+        else:
+            f = h5py.File(path, "r")
+            if f.attrs["geometry"] != self.geometry:
+                raise ValueError(f"not a slab coefficient file: {path}")
+            self.nmaxx = int(f.attrs["nmaxx"])
+            self.nmaxy = int(f.attrs["nmaxy"])
+            self.nmaxz = int(f.attrs["nmaxz"])
+            self._f = f
+
+    def append(self, time: float, coef, center=None):
+        c = np.asarray(coef).astype(np.complex128)
+        f = self._f
+        count = int(f["count"][()])
+        g = f["snapshots"].create_group(f"{count:08d}")
+        g.attrs["Time"] = float(time)
+        g.create_dataset("coefficients", data=c)
+        f["count"][...] = np.uint32(count + 1)
+
+    def times(self):
+        snaps = self._f["snapshots"]
+        return np.array(sorted(float(snaps[k].attrs["Time"]) for k in snaps))
+
+    def read_all(self):
+        snaps = self._f["snapshots"]
+        keys = sorted(snaps.keys())
+        times = np.array([float(snaps[k].attrs["Time"]) for k in keys])
+        coefs = np.stack([np.asarray(snaps[k]["coefficients"]).view(
+            np.complex128).reshape(2 * self.nmaxx + 1, 2 * self.nmaxy + 1,
+                                   self.nmaxz) for k in keys])
+        order = np.argsort(times)
+        return times[order], coefs[order]
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class TableCoefsFile:
+    """Table/trajectory coefficient files (TblStruct/TrajStruct,
+    expui/CoefStruct.H:341-420: a complex data vector per snapshot —
+    arbitrary user time series channeled through the MSSA machinery)."""
+
+    def __init__(self, path, mode="r", name="", cols=0, config="",
+                 geometry="table"):
+        import h5py
+
+        self.geometry = geometry
+        self.path = path
+        if mode == "w":
+            self.cols = int(cols)
+            f = h5py.File(path, "w")
+            f.attrs["CoefficientOutputVersion"] = COEFFICIENT_OUTPUT_VERSION
+            f.attrs["geometry"] = self.geometry
+            f.attrs["name"] = name
+            f.attrs["config"] = config
+            f.attrs["cols"] = np.int32(cols)
+            f.attrs["forceID"] = "table"
+            f.create_dataset("count", data=np.uint32(0))
+            f.create_group("snapshots")
+            self._f = f
+        else:
+            f = h5py.File(path, "r")
+            if str(f.attrs["geometry"]) != self.geometry:
+                raise ValueError(
+                    f"not a {self.geometry} coefficient file: {path}")
+            self.cols = int(f.attrs["cols"])
+            self._f = f
+
+    def append(self, time: float, coef, center=None):
+        c = np.asarray(coef).reshape(-1).astype(np.complex128)
+        f = self._f
+        count = int(f["count"][()])
+        g = f["snapshots"].create_group(f"{count:08d}")
+        g.attrs["Time"] = float(time)
+        g.create_dataset("coefficients", data=c)
+        f["count"][...] = np.uint32(count + 1)
+
+    def times(self):
+        snaps = self._f["snapshots"]
+        return np.array(sorted(float(snaps[k].attrs["Time"]) for k in snaps))
+
+    def read_all(self):
+        snaps = self._f["snapshots"]
+        keys = sorted(snaps.keys())
+        times = np.array([float(snaps[k].attrs["Time"]) for k in keys])
+        coefs = np.stack([np.asarray(snaps[k]["coefficients"]).view(
+            np.complex128).reshape(self.cols) for k in keys])
         order = np.argsort(times)
         return times[order], coefs[order]
 

@@ -143,11 +143,119 @@ def read_tipsy(path):
     return s
 
 
+_GADGET_PTYPES = ("Gas", "Halo", "Disk", "Bulge", "Stars", "Bndry")
+
+
+def _gadget_header_dtype():
+    # include/gadget.H:4-44 layout, padded to 256 bytes
+    return np.dtype([
+        ("npart", np.int32, 6), ("mass", np.float64, 6),
+        ("time", np.float64), ("redshift", np.float64),
+        ("flag_sfr", np.int32), ("flag_feedback", np.int32),
+        ("npartTotal", np.uint32, 6), ("flag_cooling", np.int32),
+        ("num_files", np.int32), ("BoxSize", np.float64),
+        ("Omega0", np.float64), ("OmegaLambda", np.float64),
+        ("HubbleParam", np.float64),
+        ("fill", np.uint8, 256 - 6 * 4 - 6 * 8 - 8 * 8 - 4 * 4 - 6 * 4)])
+
+
+def read_gadget_native(path):
+    """Gadget-1 native binary snapshot (SnapFormat=1): Fortran-style
+    size-guarded blocks — header, pos (f32x3), vel (f32x3), id (i32),
+    mass (f32, only for types with header.mass==0)
+    (exputil/ParticleReader.cc:103-330 GadgetNative)."""
+    hdt = _gadget_header_dtype()
+    with open(path, "rb") as fh:
+        raw = fh.read()
+
+    def block(off):
+        n1 = int(np.frombuffer(raw, np.int32, 1, off)[0])
+        data = raw[off + 4:off + 4 + n1]
+        n2 = int(np.frombuffer(raw, np.int32, 1, off + 4 + n1)[0])
+        if n1 != n2:
+            raise ValueError(f"{path}: corrupt gadget block at {off} "
+                             f"({n1} != {n2})")
+        return data, off + 8 + n1
+
+    data, off = block(0)
+    hdr = np.frombuffer(data, hdt, 1)[0]
+    npart = hdr["npart"]
+    ntot = int(npart.sum())
+
+    data, off = block(off)
+    pos = np.frombuffer(data, np.float32, 3 * ntot).reshape(ntot, 3)
+    data, off = block(off)
+    vel = np.frombuffer(data, np.float32, 3 * ntot).reshape(ntot, 3)
+    data, off = block(off)   # ids (unused)
+
+    # mass block holds entries only for types with header mass == 0
+    nm = int(sum(npart[k] for k in range(6) if hdr["mass"][k] == 0
+                 and npart[k] > 0))
+    masses = None
+    if nm:
+        data, off = block(off)
+        masses = np.frombuffer(data, np.float32, nm)
+
+    s = Snapshot(float(hdr["time"]))
+    i = 0
+    j = 0
+    for k in range(6):
+        n = int(npart[k])
+        if n == 0:
+            continue
+        if hdr["mass"][k] == 0:
+            mk = masses[j:j + n]
+            j += n
+        else:
+            mk = np.full(n, hdr["mass"][k])
+        s.add(_GADGET_PTYPES[k], pos[i:i + n], vel[i:i + n], mk)
+        i += n
+    return s
+
+
+def write_gadget_native(path, snapshot: Snapshot):
+    """Write a Gadget-1 native binary (per-particle mass block)."""
+    names = snapshot.GetTypes()
+    ptypes = []
+    for nm in names:
+        if nm in _GADGET_PTYPES:
+            ptypes.append(_GADGET_PTYPES.index(nm))
+        else:
+            ptypes.append(1)                       # default to Halo
+    hdt = _gadget_header_dtype()
+    hdr = np.zeros(1, hdt)
+    order = np.argsort(ptypes)
+    for idx in order:
+        k = ptypes[idx]
+        c = snapshot[names[idx]]
+        hdr["npart"][0][k] += len(c["mass"])
+        hdr["npartTotal"][0][k] += len(c["mass"])
+    hdr["time"] = snapshot.time
+    hdr["num_files"] = 1
+
+    def blk(fh, payload):
+        fh.write(np.int32(len(payload)).tobytes())
+        fh.write(payload)
+        fh.write(np.int32(len(payload)).tobytes())
+
+    xs = np.concatenate([snapshot[names[i]]["x"] for i in order])
+    vs = np.concatenate([snapshot[names[i]]["v"] for i in order])
+    ms = np.concatenate([snapshot[names[i]]["mass"] for i in order])
+    with open(path, "wb") as fh:
+        blk(fh, hdr.tobytes())
+        blk(fh, xs.astype(np.float32).tobytes())
+        blk(fh, vs.astype(np.float32).tobytes())
+        blk(fh, np.arange(1, len(ms) + 1, dtype=np.int32).tobytes())
+        blk(fh, ms.astype(np.float32).tobytes())
+
+
 def createReader(kind: str, path, **kw):
     """Reader factory (ParticleReader::createReader, ParticleReader.cc:99)."""
     kind = kind.lower()
     if kind in ("psp", "pspout", "pspspl"):
         return read_psp_snapshot(path, **kw)
+    elif kind in ("gadgetnative",):
+        return read_gadget_native(path)
     elif kind in ("gadgethdf5", "gadget"):
         return read_gadget_hdf5(path)
     elif kind in ("tipsy", "bonsai"):

@@ -269,3 +269,32 @@ Output:
         np.testing.assert_allclose(snap["halo/pos"][()],
                                    np.asarray(sim._state["halo"].x)[:n],
                                    rtol=1e-6)
+
+
+def test_gadget_native_roundtrip(tmp_path):
+    """Gadget-1 native binary round-trip (ParticleReader.cc:103 parity):
+    mixed per-type content, header-mass and mass-block variants."""
+    from exp_tpu.io.readers import (Snapshot, read_gadget_native,
+                                    write_gadget_native, createReader)
+
+    rng = np.random.default_rng(11)
+    s = Snapshot(0.75)
+    s.add("Halo", rng.normal(0, 1, (200, 3)), rng.normal(0, 1, (200, 3)),
+          rng.uniform(0.5, 1.0, 200))
+    s.add("Disk", rng.normal(0, 1, (100, 3)), rng.normal(0, 1, (100, 3)),
+          rng.uniform(0.1, 0.2, 100))
+    p = tmp_path / "snap_000"
+    write_gadget_native(str(p), s)
+
+    back = read_gadget_native(str(p))
+    assert back.time == 0.75
+    assert set(back.GetTypes()) == {"Halo", "Disk"}
+    for name in ("Halo", "Disk"):
+        x0, v0, m0 = s.GetParticles(name)
+        x1, v1, m1 = back.GetParticles(name)
+        np.testing.assert_allclose(x1, x0, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(v1, v0, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(m1, m0, rtol=1e-6)
+
+    via = createReader("gadgetnative", str(p))
+    assert set(via.GetTypes()) == {"Halo", "Disk"}
