@@ -50,14 +50,40 @@ def hall_factors(coef_sub, floor: float = 1e-30):
     return b, mean, var
 
 
+def smoothing_weights(mean, var, tk_type: str = "Hall",
+                      tksmooth: float = 3.0, tkcum: float = 0.95):
+    """Per-coefficient smoothing weights for the reference's tk_type
+    policies (AxisymmetricBasis.cc:482-503; defaults tksmooth=3, tkcum=0.95
+    from :58-59):
+
+    Hall             — b = s^2/(s^2 + var) (signal fraction).
+    VarianceCut      — zero channels with tksmooth*var > s^2.
+    CumulativeCut    — keep leading radial channels until the cumulative
+                       signal fraction exceeds tkcum (always keep n=0).
+    VarianceWeighted — w = 1/(1 + var/s^2).
+    None             — unity.
+    """
+    mean = jnp.asarray(mean)
+    var = jnp.asarray(var)
+    s2 = mean * mean
+    if tk_type == "Hall":
+        return s2 / (s2 + var + 1e-30)
+    if tk_type == "VarianceCut":
+        return (tksmooth * var <= s2).astype(mean.dtype)
+    if tk_type == "CumulativeCut":
+        tot = jnp.sum(s2, axis=-1, keepdims=True) + 1e-30
+        cuml = jnp.cumsum(s2, axis=-1) / tot
+        first = jnp.arange(s2.shape[-1]) == 0   # broadcasts over lead dims
+        return ((cuml <= tkcum) | first).astype(mean.dtype)
+    if tk_type == "VarianceWeighted":
+        return 1.0 / (1.0 + var / (s2 + 1e-14))
+    return jnp.ones_like(mean)
+
+
 def smooth_coefficients(coef, factors, tk_type: str = "Hall",
                         tksmooth: float = 3.0):
-    """Apply a smoothing policy (the reference's tk_type options).
-
-    Hall         — multiply by b (signal fraction).
-    VarianceCut  — zero coefficients with S/N^2 below 1/tksmooth.
-    None         — pass through.
-    """
+    """Apply precomputed Hall factors with a policy (legacy helper; use
+    smoothing_weights for the full reference tk_type set)."""
     if tk_type == "Hall":
         return coef * factors
     elif tk_type == "VarianceCut":

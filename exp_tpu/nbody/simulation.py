@@ -262,6 +262,9 @@ class Component:
     playback: object = None
     npca: int = 0
     nsamples: int = 8
+    tk_type: str = "Hall"
+    tksmooth: float = 3.0
+    tkcum: float = 0.95
 
     def adb(self, t):
         """Adiabatic mass factor in [0, 1]."""
@@ -374,9 +377,13 @@ class Simulation:
 
                 self.components[cc.name].playback = Coefs.from_file(
                     os.path.join(workdir, pb))
-            # Hall smoothing config (npca / nsamples, AxisymmetricBasis)
+            # coefficient smoothing config (npca/nsamples/tk_type knobs,
+            # AxisymmetricBasis.H:20-43)
             self.components[cc.name].npca = int(cp.get("npca", 0))
             self.components[cc.name].nsamples = int(cp.get("nsamples", 8))
+            self.components[cc.name].tk_type = str(cp.get("tk_type", "Hall"))
+            self.components[cc.name].tksmooth = float(cp.get("tksmooth", 3.0))
+            self.components[cc.name].tkcum = float(cp.get("tkcum", 0.95))
         self._centers = {n: np.zeros(3) for n in self.components}
         self._rots = {n: np.eye(3) for n in self.components}
         # restart: resume orient-tracked centers/rotations immediately
@@ -935,8 +942,11 @@ class Simulation:
                 self._rots[n] = c.orient.body
 
     def _update_hall(self, multistep=False):
-        """Recompute Hall factors every npca steps (pca_hall analogue)."""
-        from exp_tpu.nbody.pca import subsample_coefficients, hall_factors
+        """Recompute coefficient smoothing weights every npca steps
+        (pca_hall analogue; tk_type selects Hall/VarianceCut/CumulativeCut/
+        VarianceWeighted per AxisymmetricBasis.cc:482-503)."""
+        from exp_tpu.nbody.pca import (subsample_coefficients,
+                                       smoothing_weights)
 
         for n, c in self.components.items():
             if c.npca > 0 and self.istep % c.npca == 0:
@@ -945,8 +955,12 @@ class Simulation:
                 ps = self._state[n]
                 cs = subsample_coefficients(c.force, ps.x, ps.mass,
                                             nsamples=c.nsamples)
-                b, _, _ = hall_factors(cs)
-                self._hall[n] = np.asarray(b)
+                T = cs.shape[0]
+                mean = jnp.mean(cs, axis=0)
+                var = jnp.var(cs, axis=0, ddof=1) / T
+                w = smoothing_weights(mean, var, tk_type=c.tk_type,
+                                      tksmooth=c.tksmooth, tkcum=c.tkcum)
+                self._hall[n] = np.asarray(w)
 
     def _check_stop(self):
         """Wall-clock budget / SIGTERM stop; SIGHUP checkpoint dump."""

@@ -148,3 +148,64 @@ Output:
 
     with h5py.File(tmp_path / "outsamp.halo.hall0.h5") as f:
         assert len([k for k in f.keys()]) >= 1
+
+
+def test_smoothing_weight_variants():
+    """tk_type policies (AxisymmetricBasis.cc:482-503): Hall shrinks noisy
+    channels, VarianceCut zeros them, CumulativeCut keeps the leading
+    radial channels, VarianceWeighted downweights by noise fraction."""
+    import jax.numpy as jnp
+    from exp_tpu.nbody.pca import smoothing_weights
+
+    mean = jnp.asarray([[10.0, 1.0, 0.01, 0.001]])
+    var = jnp.asarray([[0.01, 0.01, 0.01, 0.01]])
+
+    b = np.asarray(smoothing_weights(mean, var, "Hall"))
+    assert b[0, 0] > 0.999 and b[0, 2] < 0.01
+
+    vc = np.asarray(smoothing_weights(mean, var, "VarianceCut",
+                                      tksmooth=3.0))
+    np.testing.assert_array_equal(vc[0], [1, 1, 0, 0])
+
+    cc = np.asarray(smoothing_weights(mean, var, "CumulativeCut",
+                                      tkcum=0.95))
+    assert cc[0, 0] == 1 and cc[0, 3] == 0      # leading kept, tail cut
+
+    vw = np.asarray(smoothing_weights(mean, var, "VarianceWeighted"))
+    assert vw[0, 0] > 0.999 and vw[0, 2] < 0.01
+    assert np.all(vw >= 0) and np.all(vw <= 1)
+
+    one = np.asarray(smoothing_weights(mean, var, "None"))
+    np.testing.assert_array_equal(one, np.ones_like(one))
+
+
+def test_tk_type_in_driver(tmp_path):
+    """Driver honors tk_type: VarianceCut zeroes noisy channels in the
+    applied smoothing weights."""
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.ic.eddington import sample_spherical_model
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+
+    m = hernquist_model(rmin=1e-4, rmax=20.0, numr=600)
+    m.to_file(tmp_path / "h.model")
+    x, v, mass = sample_spherical_model(m, 2000, seed=12)
+    write_ascii_bodies(tmp_path / "h.bods", (x, v, mass))
+    (tmp_path / "c.yml").write_text("""\
+Global: {dtime: 0.02, nsteps: 4, runtag: tk0}
+Components:
+  - name: halo
+    bodyfile: h.bods
+    parameters: {npca: 2, nsamples: 4, tk_type: VarianceCut, tksmooth: 3.0}
+    force:
+      id: sphereSL
+      parameters: {numr: 400, Lmax: 2, nmax: 6, rmapping: 1.0,
+                   modelname: h.model}
+Output: []
+""")
+    sim = Simulation.from_file(str(tmp_path / "c.yml"), steps_per_block=2)
+    sim.prime()
+    sim.run()
+    w = sim._hall["halo"]
+    assert set(np.unique(w)).issubset({0.0, 1.0})   # a cut, not a shrink
+    assert w.max() == 1.0 and w.min() == 0.0        # some channels zeroed
