@@ -170,7 +170,12 @@ class CylinderForce:
         (a 32768x126 @ 126x14 matmul, ~25 MFLOP): the n-sum commutes with
         the gather and the bilinear mix, so the per-particle lookup then
         needs only 6(M+1)-wide rows instead of 3(M+1)n — the gather was
-        7x over the bandwidth bound at 1M particles before this."""
+        7x over the bandwidth bound at 1M particles before this.
+
+        All four bilinear corners are fused into ONE gather row
+        [C(y) | C(y+1) | C(x+1,y) | C(x+1,y+1)]: TPU gathers are
+        per-index-overhead bound at these row widths, so one 168-float
+        gather beats two 84-float gathers."""
         M1, nn = self.mmax + 1, self.nmax
         eye = jnp.eye(M1, dtype=coef.dtype)
         # block-diagonal selectors (M1*nn, M1) for cos and sin
@@ -179,8 +184,10 @@ class CylinderForce:
         B = jnp.concatenate([Bc, Bs], axis=1)            # (M1*nn, 2*M1)
         C = jnp.concatenate([self.pot_t @ B, self.rfrc_t @ B,
                              self.zfrc_t @ B], axis=1)   # (G, 6*M1)
-        # fuse each row with its +1-in-y neighbor: two gathers total
-        return jnp.concatenate([C, jnp.roll(C, -1, axis=0)], axis=1)
+        return jnp.concatenate(
+            [C, jnp.roll(C, -1, axis=0),
+             jnp.roll(C, -self.numy, axis=0),
+             jnp.roll(C, -self.numy - 1, axis=0)], axis=1)
 
     def acceleration(self, coef, x):
         dtype = x.dtype
@@ -194,8 +201,7 @@ class CylinderForce:
         ze = z * shrink
 
         Cq = self._contracted_quad(coef)
-        # fused lookup: two gathers of contracted [U|dUr|dUz]x[cos|sin]
-        # x [y, y+1] rows
+        # fused lookup: ONE gather of the 4-corner contracted rows
         xg = (Re / self.acyl - 1.0) / (Re / self.acyl + 1.0)
         yg = jnp.arcsinh(ze / self.hcyl)
         tx = jnp.clip((xg - self.xmin) / self.dx, 0.0, self.numx - 1.001)
@@ -207,10 +213,9 @@ class CylinderForce:
         i00 = ix * self.numy + iy
         M1 = self.mmax + 1
         Fn = 6 * M1
-        g0 = Cq[i00]
-        g1 = Cq[i00 + self.numy]
-        v0 = g0[:, :Fn] * (1 - fy) + g0[:, Fn:] * fy
-        v1 = g1[:, :Fn] * (1 - fy) + g1[:, Fn:] * fy
+        g = Cq[i00]
+        v0 = g[:, :Fn] * (1 - fy) + g[:, Fn:2 * Fn] * fy
+        v1 = g[:, 2 * Fn:3 * Fn] * (1 - fy) + g[:, 3 * Fn:] * fy
         v = v0 * (1 - fx) + v1 * fx                      # (N, 6*M1)
         cosm, sinm = self._trig(phi, dtype)
 
