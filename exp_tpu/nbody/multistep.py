@@ -195,20 +195,23 @@ class LevelBuckets:
         return sum(int((np.asarray(b.mass) > 0).sum()) for b in self.buckets)
 
 
-def _pad_cap(n: int, quantum: int) -> int:
-    """Capacity: round up to the quantum (mesh shards), sticky growth."""
+def _pad_cap(n: int, quantum: int, headroom: int = 1) -> int:
+    """Capacity: round up to the quantum (mesh shards), sticky growth.
+    `headroom` multiplies the capacity (power of two) so level migration
+    between re-levelings rarely overflows a bucket — every overflow means
+    recompiling all substep graphs for the new capacity signature."""
     n = max(n, 1)
     c = ((n + quantum - 1) // quantum) * quantum
     # next power-of-two-ish growth to keep recompiles rare
     p = quantum
     while p < c:
         p *= 2
-    return p
+    return p * max(1, int(headroom))
 
 
 def bucketize(ps: ParticleSystem, M: int, quantum: int,
               caps: tuple[int, ...] | None = None,
-              mesh=None) -> LevelBuckets:
+              mesh=None, headroom: int = 1) -> LevelBuckets:
     """Split a flat ParticleSystem into per-level padded buckets (host)."""
     level = np.asarray(ps.level)
     mass = np.asarray(ps.mass)
@@ -221,7 +224,7 @@ def bucketize(ps: ParticleSystem, M: int, quantum: int,
     for l in range(M + 1):
         sel = live & (level == l)
         n = int(sel.sum())
-        cap = _pad_cap(n, quantum)
+        cap = _pad_cap(n, quantum, headroom)
         if caps is not None and caps[l] >= cap:
             cap = caps[l]
         new_caps.append(cap)
@@ -422,7 +425,8 @@ class MultistepRunner:
 
     def __init__(self, forces: dict, couples: dict, dtime: float, M: int,
                  mesh, accum_dtype=jnp.float32, dynparams=None,
-                 shiftlevl: int = 0, externals=(), feats=None, wrappers=()):
+                 shiftlevl: int = 0, externals=(), feats=None, wrappers=(),
+                 cap_headroom: int = 1):
         self.externals = tuple(externals)
         self.forces = forces
         self.couples = couples
@@ -435,6 +439,7 @@ class MultistepRunner:
         self.feats = feats or {n: CompFeats() for n in forces}
         self.wrappers = tuple(wrappers)
         self.quantum = int(mesh.devices.size)
+        self.cap_headroom = int(cap_headroom)
         self._fns = {}
         self._init_fns = {}
         self._assess_fns = {}
@@ -475,7 +480,8 @@ class MultistepRunner:
         rots = rots or self._eye_rots()
         extras = (extras_fn or self._default_extras)(t0)
         # first pass: everything at level 0 to get accelerations
-        state = {n: bucketize(ps, self.M, self.quantum, mesh=self.mesh)
+        state = {n: bucketize(ps, self.M, self.quantum, mesh=self.mesh,
+                              headroom=self.cap_headroom)
                  for n, ps in flat.items()}
         caps = {n: lb.caps for n, lb in state.items()}
         st = {n: tuple(lb.buckets) for n, lb in state.items()}
@@ -488,7 +494,8 @@ class MultistepRunner:
             lev = assign_levels(dtr, ps.level, self.dtime, self.M,
                                 self.shiftlevl)
             flat2[n] = replace(ps, level=jnp.where(ps.mass > 0, lev, 0))
-        state = {n: bucketize(ps, self.M, self.quantum, mesh=self.mesh)
+        state = {n: bucketize(ps, self.M, self.quantum, mesh=self.mesh,
+                              headroom=self.cap_headroom)
                  for n, ps in flat2.items()}
         self.caps = {n: lb.caps for n, lb in state.items()}
         st = {n: tuple(lb.buckets) for n, lb in state.items()}
@@ -646,7 +653,8 @@ class MultistepRunner:
             # signature)
             state = {n: bucketize(replace(ps, level=levs[n]), self.M,
                                   self.quantum, caps=self.caps.get(n),
-                                  mesh=self.mesh)
+                                  mesh=self.mesh,
+                                  headroom=self.cap_headroom)
                      for n, ps in flat.items()}
             self.caps = {n: lb.caps for n, lb in state.items()}
             st = {n: tuple(lb.buckets) for n, lb in state.items()}
