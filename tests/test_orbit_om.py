@@ -69,3 +69,56 @@ def test_osipkov_merritt_anisotropy():
     sel = (ri > 2) & (ri < 8)
     beta0 = 1.0 - 0.5 * vti2[sel].mean() / (vri[sel] ** 2).mean()
     assert abs(beta0) < 0.08
+
+
+def test_angle_grid_consistency():
+    """compute_angles: w1 reaches pi at apocenter, the relative azimuthal
+    phase f vanishes at both turning points, and w1 is monotone
+    (orbit_trans.cc:362-520)."""
+    m = hernquist_model(rmin=1e-4, rmax=50.0, numr=2000)
+    o = SphericalOrbit(m, E=-0.35, kappa=0.5)
+    g = o.compute_angles()
+    assert g["w1"][0] == pytest.approx(0.0, abs=1e-12)
+    assert g["w1"][-1] == pytest.approx(np.pi, abs=1e-6)
+    assert g["f"][0] == pytest.approx(0.0, abs=1e-8)
+    assert g["f"][-1] == pytest.approx(0.0, abs=1e-6)
+    assert (np.diff(g["w1"]) > 0).all()
+    # get_angle round trips: r at time Tr/2 is the apocenter
+    assert o.get_angle("r", o.Tr / 2) == pytest.approx(o.apo, rel=1e-5)
+    assert o.get_angle("r", 0.0) == pytest.approx(o.peri, rel=1e-5)
+    # get_w1 inverse on both branches
+    rmid = 0.5 * (o.peri + o.apo)
+    w_up = o.get_w1(rmid, +1.0)
+    w_dn = o.get_w1(rmid, -1.0)
+    assert 0 < w_up < np.pi
+    assert w_dn == pytest.approx(2 * np.pi - w_up, rel=1e-12)
+
+
+def test_pot_trans_orbit_average():
+    """pot_trans(0, 0, V) is the orbit average of V: unity for V=1 and the
+    time-averaged radius for V=r (orbit_trans.cc:761-795)."""
+    m = hernquist_model(rmin=1e-4, rmax=50.0, numr=2000)
+    o = SphericalOrbit(m, E=-0.35, kappa=0.5)
+    assert o.pot_trans(0, 0, np.ones_like) == pytest.approx(1.0, abs=1e-5)
+    wr = o.pot_trans(0, 0, lambda r: r)
+    assert o.peri < wr < o.apo
+    # vectorized multi-channel form
+    wv = o.pot_trans(2, -1, lambda r: np.stack([r, r * r], -1))
+    assert wv.shape == (2,)
+    # near-circular collapse: l1 != 0 components vanish
+    oc = SphericalOrbit(m, E=-0.35, kappa=0.9999)
+    assert oc.pot_trans(1, 2, lambda r: r) == pytest.approx(0.0)
+    assert oc.pot_trans(0, 2, lambda r: r) == pytest.approx(
+        oc.rcirc(oc.E), rel=1e-3)
+
+
+def test_find_orb_roundtrip():
+    """find_orb inverts (peri, apo) back to (E, kappa) (FindOrb.cc)."""
+    from exp_tpu.analysis.orbit import find_orb
+
+    m = hernquist_model(rmin=1e-4, rmax=50.0, numr=2000)
+    o = SphericalOrbit(m, E=-0.35, kappa=0.5)
+    res = find_orb(m, o.peri, o.apo)
+    assert res["energy"] == pytest.approx(-0.35, abs=1e-6)
+    assert res["kappa"] == pytest.approx(0.5, abs=1e-6)
+    assert res["radial_period"] == pytest.approx(o.Tr, rel=1e-6)
