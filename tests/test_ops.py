@@ -54,3 +54,28 @@ def test_real_ylm_orthonormal():
             y2 = (fac[l, m] * P[:, l, m])[:, None] ** 2 * trig[None, :] ** 2
             val = np.sum(y2 * wq[:, None]) * dphi
             assert val == pytest.approx(1.0, rel=1e-10)
+
+
+def test_qdht_gaussian_pair():
+    """QDHT: the zero-order Hankel transform of exp(-r^2/2) is its own
+    transform, the matrix is orthogonal, and forward/backward round-trips
+    (exputil/QDHT.cc)."""
+    from exp_tpu.ops.transforms import QDHT
+
+    q = QDHT(0, 128, 12.0)
+    assert q.check() < 1e-8
+    f = np.exp(-q.r ** 2 / 2)
+    F = q(f)
+    assert np.abs(F - np.exp(-q.k ** 2 / 2)).max() < 1e-12
+    assert np.abs(q(F, forward=False) - f).max() < 1e-12
+    assert abs(q.interp(1.3, F) - np.exp(-1.3 ** 2 / 2)) < 1e-12
+
+
+def test_transform_fft_power_peak():
+    from exp_tpu.ops.transforms import TransformFFT
+
+    t = TransformFFT(0.1, np.cos(2 * np.pi * 1.5 * np.arange(256) * 0.1))
+    fr, P = t.power()
+    assert abs(fr[P.argmax()] / (2 * np.pi) - 1.5) < 0.05
+    fr2, W = t.inverse()
+    assert W.shape == fr2.shape
