@@ -94,6 +94,46 @@ class FieldBasis:
                 series[k].append(np.asarray(val))
         return {k: np.stack(vs) for k, vs in series.items()}
 
+    def write_coefs(self, path, times, series, name=""):
+        """Write a create_from_snapshots result to a field coefficient file
+        (SphFldCoefs/CylFldCoefs schema — io.coefs field files)."""
+        from exp_tpu.io.coefs import (SphFldCoefsFile, CylFldCoefsFile,
+                                      pack_sph_matrix)
+
+        labels = ["dens"] + [f for f in self.fields]
+        first = series[labels[0]]
+        if first.ndim == 5:        # (T, 2, L+1, L+1, nmax): spherical
+            angmax = first.shape[2] - 1
+            nmax = first.shape[4]
+            f = SphFldCoefsFile(path, "w", name=name, nfld=len(labels),
+                                angmax=angmax, nmax=nmax, labels=labels)
+            pack = pack_sph_matrix
+        else:                      # (T, 2, M+1, nmax): polar
+            angmax = first.shape[2] - 1
+            nmax = first.shape[3]
+            f = CylFldCoefsFile(path, "w", name=name, nfld=len(labels),
+                                angmax=angmax, nmax=nmax, labels=labels)
+
+            def pack(c):
+                return c[0] + 1j * c[1]
+        with f:
+            for i, t in enumerate(np.asarray(times)):
+                tensor = np.stack([pack(series[k][i]) for k in labels])
+                f.append(float(t), tensor)
+
+    @staticmethod
+    def read_coefs(path):
+        """Read a field coefficient file -> (times, dict label -> (T, rows,
+        nmax) complex array)."""
+        from exp_tpu.io.coefs import open_coefs
+
+        with open_coefs(path) as f:
+            times, coefs = f.read_all()
+            labels = list(getattr(f, "labels", []))
+        if not labels:
+            labels = [f"f{i}" for i in range(coefs.shape[1])]
+        return times, {k: coefs[:, i] for i, k in enumerate(labels)}
+
     def evaluate(self, coefs: dict, points):
         """Field estimates at points: dict field -> (N,) array."""
         pts = jnp.asarray(np.asarray(points))

@@ -198,11 +198,19 @@ class CylCoefsFile:
 
 def open_coefs(path):
     """Factory: open a coefficient file by geometry (Coefs::factory analogue,
-    expui/Coefficients.cc)."""
+    expui/Coefficients.cc:2911-2966; files with a fieldID attribute are
+    general field expansions, files with forceID are biorthogonal bases)."""
     import h5py
 
     with h5py.File(path, "r") as f:
         geom = f.attrs["geometry"]
+        is_field = "fieldID" in f.attrs
+    if is_field:
+        if geom == "sphere":
+            return SphFldCoefsFile(path, "r")
+        elif geom == "cylinder":
+            return CylFldCoefsFile(path, "r")
+        raise ValueError(f"unknown field coefficient geometry {geom!r}")
     if geom == "sphere":
         return SphCoefsFile(path, "r")
     elif geom == "cylinder":
@@ -412,3 +420,112 @@ class TableCoefsFile:
 
     def __exit__(self, *a):
         self.close()
+
+
+class _FldCoefsFile:
+    """Shared machinery for general field-expansion coefficient files
+    (SphFldStruct/CylFldStruct, expui/CoefStruct.H:431-520): keyed by a
+    `fieldID` attribute instead of forceID (Coefs::factory dispatch,
+    Coefficients.cc:2953-2964); complex (nfld, rows, nmax) tensor per
+    snapshot, where rows is the packed angular dimension."""
+
+    geometry = ""
+    field_id = ""
+    ang_attr = ""
+
+    def __init__(self, path, mode="r", name="", nfld=0, angmax=0, nmax=0,
+                 scale=1.0, config="", labels=()):
+        import h5py
+
+        self.path = path
+        if mode == "w":
+            self.nfld, self.angmax, self.nmax = int(nfld), int(angmax), int(nmax)
+            self.scale = float(scale)
+            f = h5py.File(path, "w")
+            f.attrs["CoefficientOutputVersion"] = COEFFICIENT_OUTPUT_VERSION
+            f.attrs["geometry"] = self.geometry
+            f.attrs["fieldID"] = self.field_id
+            f.attrs["name"] = name
+            f.attrs["config"] = config
+            f.attrs["nfld"] = np.int32(nfld)
+            f.attrs[self.ang_attr] = np.int32(angmax)
+            f.attrs["nmax"] = np.int32(nmax)
+            f.attrs["scale"] = float(scale)
+            if labels:
+                f.attrs["labels"] = list(labels)
+            f.create_dataset("count", data=np.uint32(0))
+            f.create_group("snapshots")
+            self._f = f
+        else:
+            f = h5py.File(path, "r")
+            if f.attrs["geometry"] != self.geometry \
+                    or "fieldID" not in f.attrs:
+                raise ValueError(
+                    f"not a {self.geometry} field coefficient file: {path}")
+            self.nfld = int(f.attrs["nfld"])
+            self.angmax = int(f.attrs[self.ang_attr])
+            self.nmax = int(f.attrs["nmax"])
+            self.scale = float(f.attrs.get("scale", 1.0))
+            self.labels = [str(s) for s in f.attrs.get("labels", [])]
+            self._f = f
+
+    def append(self, time: float, coef, center=None):
+        """coef: complex (nfld, rows, nmax) tensor."""
+        c = np.asarray(coef).astype(np.complex128)
+        f = self._f
+        count = int(f["count"][()])
+        g = f["snapshots"].create_group(f"{count:08d}")
+        g.attrs["Time"] = float(time)
+        g.attrs["Center"] = np.zeros(3) if center is None \
+            else np.asarray(center)
+        g.create_dataset("coefficients", data=c)
+        f["count"][...] = np.uint32(count + 1)
+
+    def times(self):
+        snaps = self._f["snapshots"]
+        return np.array(sorted(float(snaps[k].attrs["Time"]) for k in snaps))
+
+    def read_all(self):
+        """Returns (times (T,), coefs (T, nfld, rows, nmax) complex)."""
+        snaps = self._f["snapshots"]
+        keys = sorted(snaps.keys())
+        times = np.array([float(snaps[k].attrs["Time"]) for k in keys])
+        rows = self._rows()
+        coefs = np.stack([np.asarray(snaps[k]["coefficients"]).view(
+            np.complex128).reshape(self.nfld, rows, self.nmax)
+            for k in keys])
+        order = np.argsort(times)
+        return times[order], coefs[order]
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class SphFldCoefsFile(_FldCoefsFile):
+    """Spherical field-expansion coefficients (SphFldCoefs,
+    Coefficients.cc:461-560): packed (l, m) rows like the sphere files."""
+
+    geometry = "sphere"
+    field_id = "spherical field"
+    ang_attr = "lmax"
+
+    def _rows(self):
+        return (self.angmax + 1) * (self.angmax + 2) // 2
+
+
+class CylFldCoefsFile(_FldCoefsFile):
+    """Polar field-expansion coefficients (CylFldCoefs,
+    Coefficients.cc:565-665): m rows 0..mmax."""
+
+    geometry = "cylinder"
+    field_id = "polar field"
+    ang_attr = "mmax"
+
+    def _rows(self):
+        return self.angmax + 1

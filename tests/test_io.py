@@ -298,3 +298,31 @@ def test_gadget_native_roundtrip(tmp_path):
 
     via = createReader("gadgetnative", str(p))
     assert set(via.GetTypes()) == {"Halo", "Disk"}
+
+
+def test_field_coefs_roundtrip(tmp_path):
+    """SphFld field coefficient files: write a FieldBasis snapshot series,
+    read it back through the factory, bit-exact (SphFldCoefs,
+    expui/Coefficients.cc:461-560; fieldID dispatch :2953-2964)."""
+    from exp_tpu.analysis.field_basis import FieldBasis
+    from exp_tpu.basis.analytic import make_analytic_force
+    from exp_tpu.io.coefs import open_coefs, pack_sph_matrix
+
+    force = make_analytic_force("CBsphere", lmax=2, nmax=3)
+    fb = FieldBasis(force, "spherical")
+    rng = np.random.default_rng(1)
+    snaps = []
+    for _ in range(3):
+        x = rng.normal(0, 0.3, (2000, 3)).astype(np.float32)
+        v = rng.normal(0, 0.1, (2000, 3)).astype(np.float32)
+        snaps.append((x, v, np.full(2000, 1 / 2000, np.float32)))
+    ser = fb.create_from_snapshots(snaps)
+    p = str(tmp_path / "fld.h5")
+    fb.write_coefs(p, [0.0, 0.5, 1.0], ser, name="halo")
+    times, back = FieldBasis.read_coefs(p)
+    assert np.allclose(times, [0.0, 0.5, 1.0])
+    for i in range(3):
+        assert np.allclose(back["vt"][i], pack_sph_matrix(ser["vt"][i]))
+    with open_coefs(p) as f:
+        assert f.geometry == "sphere" and f.nfld == 4
+        assert f.labels == ["dens", "vr", "vt", "vp"]
