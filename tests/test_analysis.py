@@ -276,3 +276,32 @@ def test_velocity_field_basis(halo_setup):
     np.testing.assert_allclose(out["vp"], om * Rp, rtol=0.35)
     assert np.abs(out["vr"]).max() < 0.1 * om
     assert np.isfinite(out["vt"]).all()
+
+
+def test_unit_validator_and_h5_units(tmp_path):
+    """UnitValidator alias canonicalization and the Units dataset
+    round-trip on a coefficient file (expui/UnitValidator.cc,
+    Coefficients.cc:142-180)."""
+    import h5py
+
+    from exp_tpu.analysis.units import (UnitValidator, write_units,
+                                        read_units, grav_constant)
+
+    v = UnitValidator()
+    assert v("Len", "kiloparsec") == (True, "length", "kpc")
+    assert v("M", "solar_mass") == (True, "mass", "Msun")
+    assert v("t", "Myr") == (True, "time", "Myr")
+    assert v("grav", "unitless") == (True, "G", "none")
+    assert v("bogus", "kpc")[0] is False
+    assert v("length", "furlong")[0] is False
+    assert "velocity" in v.allowed_types()
+
+    p = str(tmp_path / "u.h5")
+    with h5py.File(p, "w") as f:
+        write_units(f, [("Len", "kpc", 1.0), ("M", "Msun", 1e12),
+                        ("t", "Gyr", 1.0), ("grav", "none", 1.0)])
+    with h5py.File(p, "r") as f:
+        u = read_units(f)
+    assert ("length", "kpc", 1.0) in u
+    assert grav_constant(u) == 1.0
+    assert grav_constant([]) == 1.0
