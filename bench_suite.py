@@ -98,7 +98,9 @@ def bench_disk(n=1_048_576, reps=10, mmax=6, nmax=18):
         nmaxfid=int(os.environ.get("BENCH_NMAXFID", 24)),
         acyl=0.01, hcyl=0.002,
         cachename=os.path.join(CACHE_DIR, f"eof_m{mmax}n{nmax}.h5"))
-    force = CylinderForce.from_tables(t, dtype=jnp.float32)
+    force = CylinderForce.from_tables(
+        t, dtype=jnp.float32,
+        backend=os.environ.get("BENCH_CYL_BACKEND", "pallas"))
     x, mass = sample_exponential_disk(n, acyl=0.01, hcyl=0.002, mass=0.05,
                                       seed=2)
     v = disk_velocities(x, lambda R: np.sqrt(0.05 * R * R
@@ -142,7 +144,9 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2):
         nmaxfid=int(os.environ.get("BENCH_NMAXFID", 24)),
         acyl=0.01, hcyl=0.002,
         cachename=os.path.join(CACHE_DIR, "eof_m6n18.h5"))
-    disk = CylinderForce.from_tables(tc, dtype=jnp.float32)
+    disk = CylinderForce.from_tables(
+        tc, dtype=jnp.float32,
+        backend=os.environ.get("BENCH_CYL_BACKEND", "pallas"))
 
     xh, vh, mh = sample_spherical_model(m, n_halo, seed=3)
     xd, md = sample_exponential_disk(n_disk, acyl=0.01, hcyl=0.002,
@@ -192,7 +196,7 @@ def bench_cube(n=4_194_304, reps=10, nmax=6):
     from exp_tpu.nbody.step import make_kdk_step, init_force_state
 
     force = Cube.create(nmaxx=nmax, nmaxy=nmax, nmaxz=nmax,
-                        dtype=jnp.float32)
+                        dtype=jnp.float32, backend="pallas")
     x, v, mass = sample_cube(n, seed=5)
     dt = 1e-3
     ps = ParticleSystem.from_arrays(x, v, mass, dtype=jnp.float32)

@@ -32,6 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: compiled pallas kernels keyed by static basis geometry
+_PALLAS_CACHE: dict = {}
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
@@ -47,6 +50,7 @@ class Cube:
     nminx: int = 0
     nminy: int = 0
     nminz: int = 0
+    backend: str = "einsum"  # 'einsum' (XLA) | 'pallas' (fused TPU kernels)
 
     # mirrors the SphereSL coef-file metadata protocol
     @property
@@ -61,7 +65,7 @@ class Cube:
 
     @classmethod
     def create(cls, nmaxx=6, nmaxy=6, nmaxz=6, nminx=0, nminy=0, nminz=0,
-               dtype=jnp.float32) -> "Cube":
+               dtype=jnp.float32, backend: str = "einsum") -> "Cube":
         kx = np.arange(-nmaxx, nmaxx + 1)
         ky = np.arange(-nmaxy, nmaxy + 1)
         kz = np.arange(-nmaxz, nmaxz + 1)
@@ -76,11 +80,12 @@ class Cube:
         return cls(norm=jnp.asarray(norm, dtype=dtype),
                    lap=jnp.asarray(lap, dtype=dtype),
                    nmaxx=nmaxx, nmaxy=nmaxy, nmaxz=nmaxz,
-                   nminx=nminx, nminy=nminy, nminz=nminz)
+                   nminx=nminx, nminy=nminy, nminz=nminz, backend=backend)
 
     def tree_flatten(self):
         return (self.norm, self.lap), (self.nmaxx, self.nmaxy, self.nmaxz,
-                                       self.nminx, self.nminy, self.nminz)
+                                       self.nminx, self.nminy, self.nminz,
+                                       self.backend)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -106,8 +111,34 @@ class Cube:
 
     # ------------------------------------------------------------------
 
+    def _pallas_kernels(self):
+        from exp_tpu.ops import pallas_cube as pk
+
+        key = (self.nmaxx, self.nmaxy, self.nmaxz)
+        ck = _PALLAS_CACHE.get(("coef",) + key)
+        ak = _PALLAS_CACHE.get(("accel",) + key)
+        if ck is None or ak is None:
+            interp = jax.default_backend() == "cpu"
+            ck = pk.make_cube_coef_kernel(*key, interpret=interp)
+            ak = pk.make_cube_accel_kernel(*key, interpret=interp)
+            _PALLAS_CACHE[("coef",) + key] = ck
+            _PALLAS_CACHE[("accel",) + key] = ak
+        return ck, ak
+
     def coefficients_local(self, x, mass, accum_dtype=jnp.float32):
         """a_k partial sums; positions wrapped into the unit box."""
+        if self.backend == "pallas":
+            from exp_tpu.ops import pallas_cube as pk
+
+            ck, _ = self._pallas_kernels()
+            n = x.shape[0]
+            npad = (-n) % 1024
+            if npad:
+                x = jnp.concatenate([x, jnp.zeros((npad, 3), x.dtype)])
+                mass = jnp.concatenate([mass, jnp.zeros(npad, mass.dtype)])
+            raw = ck(pk.pack_xyzm(x, mass))
+            cd = self._cdtype(accum_dtype)
+            return -raw.astype(cd) * self.norm.astype(cd)
         xw = jnp.mod(x, 1.0)
         ex, ey, ez = self._phases(xw, sign=-1.0)
         cd = self._cdtype(accum_dtype)
@@ -127,6 +158,21 @@ class Cube:
     def acceleration(self, coef, x):
         """acc, pot from the coefficient tensor."""
         cd = self._cdtype(x.dtype)
+        if self.backend == "pallas":
+            from exp_tpu.ops import pallas_cube as pk
+
+            _, ak = self._pallas_kernels()
+            b = coef.astype(cd) * self.norm.astype(cd)
+            Rr, Ri = pk.pack_force_matrix(b, self.nmaxx, self.nmaxy,
+                                          self.nmaxz)
+            n = x.shape[0]
+            npad = (-n) % 1024
+            xp = x if not npad else jnp.concatenate(
+                [x, jnp.zeros((npad, 3), x.dtype)])
+            out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], x.dtype)),
+                     Rr, Ri)
+            return (out[0:3, :n].T.astype(x.dtype),
+                    out[3, :n].astype(x.dtype))
         xw = jnp.mod(x, 1.0)
         ex, ey, ez = self._phases(xw, sign=+1.0)
         b = coef.astype(cd) * self.norm.astype(cd)      # a_k norm_k

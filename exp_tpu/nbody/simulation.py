@@ -94,7 +94,8 @@ def build_force(fc, dtype, workdir=".", particles=None):
 
         return Cube.create(
             nmaxx=int(p.pop("nmaxx", 6)), nmaxy=int(p.pop("nmaxy", 6)),
-            nmaxz=int(p.pop("nmaxz", 6)), dtype=dtype)
+            nmaxz=int(p.pop("nmaxz", 6)), dtype=dtype,
+            backend=str(p.pop("backend", "einsum")))
     elif fc.id == "cylinder":
         from exp_tpu.basis.empcyl import build_empcyl_tables
         from exp_tpu.forces.cylinder import CylinderForce
@@ -129,7 +130,9 @@ def build_force(fc, dtype, workdir=".", particles=None):
             numx=int(p.pop("ncylnx", 256)), numy=int(p.pop("ncylny", 128)),
             rnum=int(p.pop("rnum", 200)), tnum=int(p.pop("tnum", 80)),
             cachename=cachename)
-        return CylinderForce.from_tables(t, dtype=dtype)
+        return CylinderForce.from_tables(
+            t, dtype=dtype, backend=str(p.pop("backend", "xla")),
+            pallas_precision=str(p.pop("pallas_precision", "default")))
     elif fc.id in ("flatdisk", "CBDisk"):
         from exp_tpu.basis.flatdisk import build_flatdisk_tables
         from exp_tpu.forces.cylinder import CylinderForce

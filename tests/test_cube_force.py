@@ -136,3 +136,29 @@ Output:
     assert coefs.shape[1:] == (9, 9, 9)
     assert np.isfinite(coefs).all()
     cf.close()
+
+
+def test_pallas_backend_matches_einsum():
+    """Fused Pallas kernels (interpret mode on CPU) reproduce the XLA
+    einsum path for both coefficient and force passes."""
+    nm = 3
+    cube_e = Cube.create(nmaxx=nm, nmaxy=nm, nmaxz=nm, dtype=jnp.float32)
+    cube_p = Cube.create(nmaxx=nm, nmaxy=nm, nmaxz=nm, dtype=jnp.float32,
+                         backend="pallas")
+    rng = np.random.default_rng(7)
+    n = 1500  # not a block multiple: exercises the zero-padding path
+    x = jnp.asarray(rng.uniform(-0.2, 1.2, (n, 3)), jnp.float32)
+    m = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32) / n
+
+    ce = cube_e.coefficients_local(x, m)
+    cp = cube_p.coefficients_local(x, m)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(ce),
+                               rtol=2e-4, atol=2e-7)
+
+    ae, pe = cube_e.acceleration(ce, x)
+    ap, pp = cube_p.acceleration(ce, x)
+    scale = float(jnp.abs(ae).max())
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ae),
+                               rtol=2e-4, atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(pe),
+                               rtol=2e-4, atol=2e-6)
