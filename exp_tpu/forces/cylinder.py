@@ -27,6 +27,9 @@ import numpy as np
 
 from exp_tpu.basis.empcyl import EmpCylTables
 
+#: compiled pallas kernels keyed by static basis geometry
+_PALLAS_CACHE: dict = {}
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
@@ -38,6 +41,9 @@ class CylinderForce:
     zfrc_t: jax.Array     # dU/dz
     dens_t: jax.Array
     potq_t: jax.Array     # [pot | pot shifted -1 in y]: 2-gather bilinear
+    pot_c: jax.Array      # coarse-x (ncx, numy, mmax+1, nmax) pallas tables
+    rfrc_c: jax.Array
+    zfrc_c: jax.Array
     mmax: int
     nmax: int
     numx: int
@@ -56,9 +62,17 @@ class CylinderForce:
         return self.mmax
 
     scale: float = 1.0
+    ncx: int = 64
+    dxc: float = 0.0
+    backend: str = "xla"   # 'xla' (fused-gather) | 'pallas' (fused kernels)
+    #: 'default' = bf16 MXU passes (fast; see ops/pallas_cylinder.py
+    #: docstring for measured error), 'highest' = fp32 emulation
+    pallas_precision: str = "default"
 
     @classmethod
-    def from_tables(cls, t: EmpCylTables, dtype=jnp.float32) -> "CylinderForce":
+    def from_tables(cls, t: EmpCylTables, dtype=jnp.float32,
+                    backend: str = "xla", ncx: int = 64,
+                    pallas_precision: str = "default") -> "CylinderForce":
         # tables stored FLAT (numx*numy, (mmax+1)*nmax): 2-D row layout keeps
         # TPU gathers vectorized (a 4-D (x,y,m,n) array tiles the trailing
         # (m,n) dims to (8,128) — an 8x physical blowup and scalarized loads)
@@ -67,26 +81,56 @@ class CylinderForce:
                 a.reshape(t.numx * t.numy, (t.mmax + 1) * t.nmax),
                 dtype=dtype)
 
+        from exp_tpu.ops import pallas_cylinder as pk
+
         potf = flat(t.pot)
         return cls(
             pot_t=potf, rfrc_t=flat(t.rforce), zfrc_t=flat(t.zforce),
             dens_t=flat(t.dens),
             potq_t=jnp.concatenate([potf, jnp.roll(potf, -1, axis=0)],
                                    axis=1),
+            pot_c=jnp.asarray(pk.resample_coarse_x(t.pot, t.numx, ncx)),
+            rfrc_c=jnp.asarray(pk.resample_coarse_x(t.rforce, t.numx, ncx)),
+            zfrc_c=jnp.asarray(pk.resample_coarse_x(t.zforce, t.numx, ncx)),
             mmax=t.mmax, nmax=t.nmax, numx=t.numx, numy=t.numy,
             acyl=t.acyl, hcyl=t.hcyl, xmin=t.xmin, dx=t.dx,
-            ymin=t.ymin, dy=t.dy, rmax_grid=t.rcylmax * t.acyl)
+            ymin=t.ymin, dy=t.dy, rmax_grid=t.rcylmax * t.acyl,
+            ncx=ncx, dxc=pk.coarse_dxc(t.numx, ncx, t.dx), backend=backend,
+            pallas_precision=pallas_precision)
 
     def tree_flatten(self):
         return ((self.pot_t, self.rfrc_t, self.zfrc_t, self.dens_t,
-                 self.potq_t),
+                 self.potq_t, self.pot_c, self.rfrc_c, self.zfrc_c),
                 (self.mmax, self.nmax, self.numx, self.numy, self.acyl,
                  self.hcyl, self.xmin, self.dx, self.ymin, self.dy,
-                 self.rmax_grid))
+                 self.rmax_grid, self.scale, self.ncx, self.dxc,
+                 self.backend, self.pallas_precision))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+    def _pallas_kernels(self):
+        from exp_tpu.ops import pallas_cylinder as pk
+
+        key = (self.mmax, self.nmax, self.ncx, self.numy, self.acyl,
+               self.hcyl, self.xmin, self.dxc, self.ymin, self.dy,
+               self.rmax_grid)
+        pkey = key + (self.pallas_precision,)
+        ck = _PALLAS_CACHE.get(("coef",) + pkey)
+        ak = _PALLAS_CACHE.get(("accel",) + pkey)
+        if ck is None or ak is None:
+            interp = jax.default_backend() == "cpu"
+            prec = (jax.lax.Precision.HIGHEST
+                    if self.pallas_precision == "highest"
+                    else jax.lax.Precision.DEFAULT)
+            ck = pk.make_cyl_coef_kernel(*key, interpret=interp,
+                                         precision=prec)
+            ak = pk.make_cyl_accel_kernel(*key, interpret=interp,
+                                          precision=prec)
+            _PALLAS_CACHE[("coef",) + pkey] = ck
+            _PALLAS_CACHE[("accel",) + pkey] = ak
+        return ck, ak
 
     @property
     def coef_shape(self):
@@ -128,7 +172,23 @@ class CylinderForce:
 
     # ------------------------------------------------------------------
 
+    def _pad1024(self, x, mass=None):
+        n = x.shape[0]
+        npad = (-n) % 1024
+        if npad:
+            x = jnp.concatenate([x, jnp.zeros((npad, 3), x.dtype)])
+            if mass is not None:
+                mass = jnp.concatenate([mass, jnp.zeros(npad, mass.dtype)])
+        return x, mass, n
+
     def coefficients_local(self, x, mass, accum_dtype=jnp.float32):
+        if self.backend == "pallas":
+            from exp_tpu.ops import pallas_cylinder as pk
+
+            ck, _ = self._pallas_kernels()
+            xp, mp, _ = self._pad1024(x, mass)
+            G = ck(pk.pack_xyzm(xp, mp))
+            return pk.contract_coef_output(G, self.pot_c).astype(accum_dtype)
         R, z, phi = self._geometry(x)
         r = jnp.sqrt(R * R + z * z)
         w = jnp.where(r <= self.rmax_grid, mass, 0.0)
@@ -191,6 +251,15 @@ class CylinderForce:
 
     def acceleration(self, coef, x):
         dtype = x.dtype
+        if self.backend == "pallas":
+            from exp_tpu.ops import pallas_cylinder as pk
+
+            _, ak = self._pallas_kernels()
+            Ct = pk.contract_coef_tables(coef, self.pot_c, self.rfrc_c,
+                                         self.zfrc_c)
+            xp, _, n = self._pad1024(x)
+            out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], dtype)), Ct)
+            return (out[0:3, :n].T.astype(dtype), out[3, :n].astype(dtype))
         coef = coef.astype(dtype)
         R, z, phi = self._geometry(x)
         r = jnp.sqrt(R * R + z * z) + 1e-12

@@ -83,8 +83,9 @@ def build_force(fc, dtype, workdir=".", particles=None):
                                 rmin=None if rmin is None else float(rmin),
                                 rmax=None if rmax is None else float(rmax),
                                 cmap=cmap, rmap=rmap, cachename=cachename)
-        return SphereSL.from_tables(t, scale=scale, dtype=dtype,
-                                    backend=backend)
+        return SphereSL.from_tables(
+            t, scale=scale, dtype=dtype, backend=backend,
+            pallas_precision=str(p.pop("pallas_precision", "highest")))
     elif fc.id == "noforce":
         from exp_tpu.forces.noforce import NoForce
 
