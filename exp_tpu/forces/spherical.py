@@ -79,11 +79,22 @@ class SphereSL:
     backend: str = "matmul"
     numr_c: int = 512
     chunk: int = 65536
+    #: pallas backend only.  'highest' (the default) is the right choice
+    #: here: unlike the MXU-bound cylinder kernels, these are VPU-bound
+    #: (Legendre/trig recurrences), so 'default' bf16 matmuls buy only
+    #: ~10-30% while costing 3e-3 coefficient error and a broken radial
+    #: derivative (the hat-difference dot cancels adjacent bf16-rounded
+    #: table entries -> O(1) force errors where the table is flat).
+    #: Measured v5e @1M lmax=4/nmax=10: coef 4.5 -> 4.1 ms, accel
+    #: 6.4 -> 4.3 ms, accel err 7.5e-1 max.  Kept as a knob for
+    #: experiments only.
+    pallas_precision: str = "highest"
 
     @classmethod
     def from_tables(cls, t: SphSLTables, scale: float = 1.0,
                     dtype=jnp.float32, backend: str = "matmul",
-                    numr_c: int = 512, chunk: int = 65536) -> "SphereSL":
+                    numr_c: int = 512, chunk: int = 65536,
+                    pallas_precision: str = "highest") -> "SphereSL":
         grid = SLGridSph.from_tables(t, dtype=dtype)
         # resample the (numr, L+1, nmax) table onto a coarse uniform xi grid
         import numpy as np
@@ -97,12 +108,12 @@ class SphereSL:
         return cls(grid=grid, fac=real_ylm_norm(t.lmax, dtype=dtype),
                    tabc=jnp.asarray(tabc, dtype=dtype),
                    lmax=t.lmax, nmax=t.nmax, scale=scale, backend=backend,
-                   numr_c=nc, chunk=chunk)
+                   numr_c=nc, chunk=chunk, pallas_precision=pallas_precision)
 
     def tree_flatten(self):
         return (self.grid, self.fac, self.tabc), (
             self.lmax, self.nmax, self.scale, self.backend, self.numr_c,
-            self.chunk)
+            self.chunk, self.pallas_precision)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -178,20 +189,24 @@ class SphereSL:
 
         key = (self.lmax, self.nmax, self.numr_c, float(self.grid.xmin),
                float(self._dxc), float(self.grid.rmin), float(self.grid.rmax),
-               self.grid.cmap, float(self.grid.rmap), float(self.scale))
+               self.grid.cmap, float(self.grid.rmap), float(self.scale),
+               self.pallas_precision)
         ck = _PALLAS_CACHE.get(("coef",) + key)
         ak = _PALLAS_CACHE.get(("accel",) + key)
         if ck is None or ak is None:
             interp = _jax.default_backend() == "cpu"
             fac_np = np.asarray(self.fac, np.float32)
+            prec = (_jax.lax.Precision.DEFAULT
+                    if self.pallas_precision == "default"
+                    else _jax.lax.Precision.HIGHEST)
             ck = pk.make_coef_kernel(self.lmax, self.nmax, self.numr_c,
                                      key[3], key[4], key[5], key[6],
                                      self.grid.cmap, key[8], key[9], fac_np,
-                                     interpret=interp)
+                                     interpret=interp, precision=prec)
             ak = pk.make_accel_kernel(self.lmax, self.nmax, self.numr_c,
                                       key[3], key[4], key[5], key[6],
                                       self.grid.cmap, key[8], key[9], fac_np,
-                                      interpret=interp)
+                                      interpret=interp, precision=prec)
             _PALLAS_CACHE[("coef",) + key] = ck
             _PALLAS_CACHE[("accel",) + key] = ak
         return ck, ak

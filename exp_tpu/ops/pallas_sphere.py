@@ -45,25 +45,25 @@ def _round_up(x, m):
 _PREC = jax.lax.Precision.HIGHEST   # f32 MXU passes (Mosaic default is bf16)
 
 
-def _dotT(a, b):
+def _dotT(a, b, prec=_PREC):
     """a (C, I) x b (J, I) -> (C, J): contract the last dims."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_PREC)
+                               precision=prec)
 
 
-def _dotTT(a, b):
+def _dotTT(a, b, prec=_PREC):
     """a (J, C) x b (J, I) -> (C, I): contract the first dims."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_PREC)
+                               precision=prec)
 
 
-def _dotNT(a, b):
+def _dotNT(a, b, prec=_PREC):
     """a (C, J) x b (J, I) -> (C, I): plain matmul."""
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_PREC)
+                               precision=prec)
 
 
 def _geometry(xs, cmap, rmap, scale, eps=1e-10):
@@ -133,13 +133,15 @@ def _hat_rows(xi, xmin, dxc, nc, B, deriv=False):
 # ---------------------------------------------------------------------------
 
 def make_coef_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
-                     scale, fac_np, block=1024, interpret=False):
+                     scale, fac_np, block=1024, interpret=False,
+                     precision=None):
     """Returns fn(xyzm8 (8, N), tabc_padded (numr_c, Fp))
     -> (2, lmax+1, lmax+1, nmax) f32."""
     nlm = (lmax + 1) * (lmax + 1)
     C1 = _round_up(2 * nlm, 8)
     F = (lmax + 1) * nmax
     Fp = _round_up(F, 128)
+    prec = _PREC if precision is None else precision
 
     def kernel(xs_ref, tab_ref, out_ref):
         @pl.when(pl.program_id(0) == 0)
@@ -170,7 +172,7 @@ def make_coef_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
         Y2 = jnp.concatenate(rows, axis=0)              # (C1, B)
 
         Wt, _ = _hat_rows(xi, xmin, dxc, numr_c, B)     # (nc, B)
-        YW = _dotT(Y2, Wt)                              # (C1, nc)
+        YW = _dotT(Y2, Wt, prec)                        # (C1, nc)
         out_ref[:] += jnp.dot(YW, tab_ref[:],
                               preferred_element_type=jnp.float32,
                               precision=_PREC)
@@ -204,7 +206,8 @@ def make_coef_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
 # ---------------------------------------------------------------------------
 
 def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
-                      scale, fac_np, block=1024, interpret=False):
+                      scale, fac_np, block=1024, interpret=False,
+                      precision=None):
     """Returns fn(xyzm8 (8, N), twT (C1, numr_c)) -> (8, N) with rows
     (ax, ay, az, pot, 0...).
 
@@ -217,6 +220,7 @@ def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
     nlm = (lmax + 1) * (lmax + 1)
     C1 = _round_up(2 * nlm, 8)
     eps = 1e-10
+    prec = _PREC if precision is None else precision
 
     def kernel(xs_ref, tw_ref, out_ref):
         xs = xs_ref[:]
@@ -252,8 +256,8 @@ def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
         else:
             dxidr = jnp.ones_like(xi)
 
-        pc = _dotNT(tw_ref[:], Wt)                      # (C1, B)
-        dpc = _dotNT(tw_ref[:], dWt) * dxidr
+        pc = _dotNT(tw_ref[:], Wt, prec)                # (C1, B)
+        dpc = _dotNT(tw_ref[:], dWt, prec) * dxidr
 
         base = jnp.where(outside, rb / r, 1.0)
         att = {0: base}                                 # (rb/r)^(l+1)
