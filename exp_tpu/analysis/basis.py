@@ -88,14 +88,25 @@ class Basis:
     @property
     def geometry(self):
         from exp_tpu.forces.cube import Cube
+        from exp_tpu.forces.cylinder import CylinderForce
+        from exp_tpu.forces.slab import SlabForce
 
         if isinstance(self.force, Cube):
             return "cube"
+        if isinstance(self.force, CylinderForce):
+            return "cylinder"
+        if isinstance(self.force, SlabForce):
+            return "slab"
         return "sphere"
 
     def _meta(self):
         f = self.force
-        if self.geometry == "sphere":
+        g = self.geometry
+        if g == "sphere":
             return {"lmax": f.lmax, "nmax": f.nmax,
                     "scale": getattr(f, "scale", 1.0)}
+        if g == "cylinder":
+            return {"mmax": f.mmax, "nmax": f.nmax}
+        if g == "slab":
+            return {"nmaxx": f.nmaxx, "nmaxy": f.nmaxy, "nmaxz": f.nmax}
         return {"nmaxx": f.nmaxx, "nmaxy": f.nmaxy, "nmaxz": f.nmaxz}

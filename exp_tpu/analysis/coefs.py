@@ -60,6 +60,11 @@ class Coefs:
                                       nmaxx=int(self.meta.get("nmaxx", 0)),
                                       nmaxy=int(self.meta.get("nmaxy", 0)),
                                       nmaxz=int(self.meta.get("nmaxz", 0)))
+        elif self.geometry == "slab":
+            f = iocoefs.SlabCoefsFile(path, "w", name=self.name,
+                                      nmaxx=int(self.meta.get("nmaxx", 0)),
+                                      nmaxy=int(self.meta.get("nmaxy", 0)),
+                                      nmaxz=int(self.meta.get("nmaxz", 0)))
         else:
             raise ValueError(f"unknown geometry {self.geometry}")
         for t in self.times():

@@ -1,0 +1,81 @@
+"""pyEXP.edmd compatibility (reference pyEXP/EDMDWrappers.cc).
+
+Koopman with the reference's constructor convention (config dict of
+name -> (Coefs, keys, []) like expMSSA) and camelCase methods, over
+exp_tpu.analysis.edmd.Koopman.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from exp_tpu.analysis.edmd import Koopman as _NativeKoopman
+
+
+class Koopman:
+    """Reference-shaped extended-DMD driver (expui/Koopman.H:13-61)."""
+
+    def __init__(self, config: dict, numev: int = 10, flags: str = ""):
+        self._coefs = {}
+        data = {}
+        keys = {}
+        for name, spec in config.items():
+            if isinstance(spec, (tuple, list)):
+                coefs = spec[0]
+                chans = spec[1] if len(spec) > 1 else None
+            else:
+                coefs, chans = spec, None
+            nat = coefs._c if hasattr(coefs, "_c") else coefs
+            self._coefs[name] = coefs
+            data[name] = nat
+            if chans:
+                keys[name] = [tuple(int(i) for i in k) for k in chans]
+        self._k = _NativeKoopman(data, numev, keys=keys or None)
+        self._modes = None
+
+    def eigenvalues(self):
+        return np.asarray(self._k.eigenvalues())
+
+    def getModes(self):
+        return np.asarray(self._k.getModes())
+
+    def getAllKeys(self):
+        return [(name,) + tuple(int(i)
+                                for i in np.unravel_index(j, self._k._shape))
+                for name, j in self._k.keys]
+
+    def reconstruct(self, evlist=None):
+        self._modes = (None if evlist is None
+                       else [int(i) for i in np.atleast_1d(evlist)])
+
+    def getReconstructedKoopman(self):
+        """dict name -> Coefs rebuilt from the selected Koopman modes."""
+        rec = self._k.reconstruction(modes=self._modes)   # (C, nt) rows
+        out = {}
+        for name, coefs in self._coefs.items():
+            nat = coefs._c if hasattr(coefs, "_c") else coefs
+            new = nat.deepcopy()
+            times = new.times()
+            A = new.as_array()
+            flat = A.reshape(A.shape[0], -1)
+            for row, (nm, j) in enumerate(self._k.keys):
+                if nm == name:
+                    series = np.real(rec[row])
+                    n = min(len(series), flat.shape[0])
+                    flat[:n, j] = series[:n]
+            for i, t in enumerate(times):
+                new._data[t] = flat[i].reshape(self._k._shape)
+            if hasattr(coefs, "_c"):
+                from .coefs import Coefs as _CompatCoefs
+
+                out[name] = _CompatCoefs(new)
+            else:
+                out[name] = new
+        return out
+
+    def saveState(self, prefix: str):
+        np.savez(f"{prefix}_edmd.npz", ev=self._k.eigenvalues(),
+                 modes=self._k.getModes())
+
+    def restoreState(self, prefix: str):
+        np.load(f"{prefix}_edmd.npz")  # decomposition is cheap; re-derived

@@ -1,0 +1,171 @@
+"""pyEXP.mssa compatibility (reference pyEXP/MSSAWrappers.cc).
+
+expMSSA with the reference's constructor convention — config is a dict
+  name -> (Coefs, keys, [])
+(expMSSA.H:13) — and camelCase methods, delegating to
+exp_tpu.analysis.mssa.expMSSA.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from exp_tpu.analysis.mssa import expMSSA as _NativeMSSA
+
+
+class expMSSA:
+    """Reference-shaped MSSA driver."""
+
+    def __init__(self, config: dict, window: int, numpc: int, flags: str = ""):
+        self._coefs = {}
+        data = {}
+        keys = {}
+        for name, spec in config.items():
+            if isinstance(spec, (tuple, list)):
+                coefs = spec[0]
+                chans = spec[1] if len(spec) > 1 else None
+            else:
+                coefs, chans = spec, None
+            nat = coefs._c if hasattr(coefs, "_c") else coefs
+            self._coefs[name] = coefs
+            data[name] = nat
+            if chans:
+                keys[name] = [tuple(int(i) for i in k) for k in chans]
+        self._m = _NativeMSSA(data, window, numpc, keys=keys or None)
+        self._groups = None
+
+    # -- decomposition -------------------------------------------------------
+
+    def eigenvalues(self):
+        return np.asarray(self._m.eigenvalues())
+
+    def getPC(self):
+        return np.asarray(self._m.pcs())
+
+    def getU(self):
+        """Left singular vectors (K, numpc)."""
+        return np.asarray(self._m.U)
+
+    def contrib(self):
+        return np.asarray(self._m.contributions())
+
+    def getTotVar(self):
+        return float(sum(np.var(s) for s in self._m._series.values()))
+
+    def getTotPow(self):
+        tot = 0.0
+        for (name, j), s in self._m._series.items():
+            tot += float(np.sum((s + self._m._mean[(name, j)]) ** 2))
+        return tot
+
+    def getAllKeys(self):
+        """Channel keys as (name, multi-index...) tuples."""
+        return [(name,) + tuple(int(i)
+                                for i in np.unravel_index(j, self._m._shape))
+                for name, j in self._m.keys]
+
+    def getRCkeys(self):
+        return self.getAllKeys()
+
+    # -- DFT diagnostics -----------------------------------------------------
+
+    def pcDFT(self, dt=1.0):
+        return self._m.pcDFT(dt)
+
+    def channelDFT(self, dt=1.0):
+        return self._m.channelDFT(dt)
+
+    def singleDFT(self, key, dt=1.0):
+        return self._m.singleDFT(key, dt)
+
+    # -- grouping / reconstruction -------------------------------------------
+
+    def reconstruct(self, evlist=None):
+        """Select eigentriples for reconstruction (stored; applied in
+        getReconstructed, matching the reference's two-step flow)."""
+        self._groups = (None if evlist is None
+                        else [list(map(int, np.atleast_1d(evlist)))])
+
+    def getRC(self, key=None):
+        """Reconstructed channel series (incl. mean) for the current
+        selection: dict (name, flat_index) -> (T,) array, or one array
+        for `key`."""
+        rec = self._m.reconstructed(groups=self._groups)
+        if key is not None:
+            return np.asarray(rec[key] if key in rec else rec[tuple(key)])
+        return {k: np.asarray(v) for k, v in rec.items()}
+
+    def getReconstructed(self):
+        """dict name -> Coefs with the reconstruction applied
+        (expMSSA::getReconstructed)."""
+        out = {}
+        for name, coefs in self._coefs.items():
+            nat = coefs._c if hasattr(coefs, "_c") else coefs
+            newnat = self._m.reconstruct_coefs(nat, groups=self._groups)
+            if hasattr(coefs, "_c"):
+                from .coefs import Coefs as _CompatCoefs
+
+                out[name] = _CompatCoefs(newnat)
+            else:
+                out[name] = newnat
+        return out
+
+    # -- w-correlation -------------------------------------------------------
+
+    def wCorr(self, name=None, key=None):
+        return np.asarray(self._m.wcorr())
+
+    def wCorrAll(self):
+        return np.asarray(self._m.wcorr())
+
+    def wCorrKey(self, key):
+        return np.asarray(self._m.wcorr())
+
+    def wcorrPNG(self, prefix="wcorr"):
+        """Render the w-correlation matrix to <prefix>.png."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        W = np.asarray(self._m.wcorr())
+        fig, ax = plt.subplots(figsize=(5, 4), dpi=120)
+        im = ax.imshow(np.abs(W), origin="lower", cmap="viridis",
+                       vmin=0, vmax=1)
+        ax.set_xlabel("component")
+        ax.set_ylabel("component")
+        fig.colorbar(im, ax=ax, label="|w-corr|")
+        path = f"{prefix}.png"
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
+    # -- grouping ------------------------------------------------------------
+
+    def kmeans(self, clusters=4, stride=1, toTerm=False):
+        """dict eigentriple -> (cluster id, distance) (expMSSA::kmeans)."""
+        ids, dists, tol = self._m.kmeans(clusters, stride=stride)
+        return {int(i): (int(c), float(d))
+                for i, (c, d) in enumerate(zip(ids, dists))}
+
+    def kmeansChannel(self, key, clusters=4, stride=1):
+        ids, dists, tol = self._m.kmeans(clusters, stride=stride, key=key)
+        return {int(i): (int(c), float(d))
+                for i, (c, d) in enumerate(zip(ids, dists))}
+
+    # -- state ---------------------------------------------------------------
+
+    def saveState(self, prefix: str):
+        """Persist the decomposition to <prefix>_mssa.npz."""
+        np.savez(f"{prefix}_mssa.npz",
+                 U=self._m.U, S=self._m.S, Vt=self._m.Vt,
+                 window=self._m.window, numpc=self._m.numpc)
+
+    def restoreState(self, prefix: str):
+        d = np.load(f"{prefix}_mssa.npz")
+        if (int(d["window"]) != self._m.window
+                or int(d["numpc"]) != self._m.numpc):
+            raise ValueError("saved state does not match this expMSSA "
+                             "configuration")
+        self._m.U, self._m.S, self._m.Vt = d["U"], d["S"], d["Vt"]
+        self._m.PC = self._m.U * self._m.S

@@ -1,0 +1,255 @@
+"""pyEXP-compatibility layer (exp_tpu/pyexp): reference-named workflows
+end-to-end — reader -> basis -> coefs -> mssa/edmd -> field, plus orbit
+integration, units, power diagnostics, and the accumulation API."""
+
+import numpy as np
+import pytest
+
+import exp_tpu.pyexp as pyEXP
+from exp_tpu.basis.model import hernquist_model
+from exp_tpu.ic.eddington import sample_spherical_model
+from exp_tpu.nbody.particles import write_ascii_bodies
+
+YAML_SPHERE = """
+id: sphereSL
+parameters:
+  modelname: hernquist
+  Lmax: 2
+  nmax: 6
+  numr: 400
+"""
+
+
+@pytest.fixture(scope="module")
+def snapshot(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pyexp")
+    m = hernquist_model(rmin=1e-3, rmax=20.0)
+    x, v, mass = sample_spherical_model(m, 3000, seed=9)
+    path = d / "halo.bods"
+    write_ascii_bodies(path, (x, v, mass))
+    return str(path), x, v, mass
+
+
+@pytest.fixture(scope="module")
+def basis():
+    return pyEXP.basis.Basis.factory(YAML_SPHERE)
+
+
+def test_reader_and_create_from_reader(snapshot, basis):
+    path, x, v, mass = snapshot
+    reader = pyEXP.read.ParticleReader.createReader("ascii", path)
+    assert reader.CurrentNumber() == 3000
+    assert reader.GetTypes() == ["comp"]
+    reader.SelectType("comp")
+    coefs = basis.createFromReader(reader)
+    assert coefs.Times() == [0.0]
+    assert coefs.getGeometry() == "sphere"
+    st = coefs.getCoefStruct(0.0)
+    assert np.isfinite(st.getCoefs()).all()
+    # monopole dominates an equilibrium halo
+    c = st.getCoefs()
+    assert abs(c[0, 0, 0, 0]) > np.abs(c[0, 1:]).max()
+
+
+def test_accumulation_api_matches_oneshot(snapshot, basis):
+    path, x, v, mass = snapshot
+    one = basis.createFromArray(mass, x, time=1.5)
+    basis.initFromArray()
+    basis.addFromArray(mass[:1000], x[:1000])
+    basis.addFromArray(mass[1000:], x[1000:])
+    st = basis.makeFromArray(time=1.5)
+    np.testing.assert_allclose(st.getCoefs(), one.getCoefs(), rtol=1e-10)
+    assert st.getCoefTime() == 1.5
+
+
+def test_get_fields_labels_and_values(snapshot, basis):
+    path, x, v, mass = snapshot
+    st = basis.createFromArray(mass, x)
+    basis.set_coefs(st)
+    labels = basis.getFieldLabels()
+    assert labels[:6] == ["dens m=0", "dens m>0", "dens",
+                          "potl m=0", "potl m>0", "potl"]
+    out = basis.getFields(1.0, 0.0, 0.0)
+    assert out.shape == (len(labels),)
+    # dens m=0 + dens m>0 == dens
+    np.testing.assert_allclose(out[0] + out[1], out[2], rtol=1e-6,
+                               atol=1e-12)
+    assert out[5] < 0        # potential is negative
+    # total mass from the monopole field
+    M = basis.getMass(25.0)
+    assert abs(M - float(np.sum(mass))) / float(np.sum(mass)) < 0.05
+
+
+def test_ortho_and_basis_dump(basis):
+    grams = basis.orthoCheck()
+    assert len(grams) == 3
+    for G in grams:
+        # potential/density biorthogonality: -identity
+        np.testing.assert_allclose(G, -np.eye(G.shape[0]), atol=5e-2)
+    tab = basis.getBasis(-2, 1, 64)
+    assert len(tab) == 3 and set(tab[0][0]) == {"potential", "density",
+                                                "rforce"}
+
+
+def test_coefs_io_power_units(snapshot, basis, tmp_path):
+    path, x, v, mass = snapshot
+    coefs = None
+    for i, t in enumerate([0.0, 0.5, 1.0]):
+        st = basis.createFromArray(mass, x * (1 + 0.02 * i), time=t)
+        if coefs is None:
+            coefs = pyEXP.coefs.Coefs.makecoefs(st, "halo")
+        coefs.add(st)
+    P = coefs.Power()
+    assert P.shape == (3, 3)
+    assert (P[:, 0] > P[:, 1]).all()
+    # units
+    coefs.setUnits([("length", "kpc", 1.0), ("mass", "Msun", 1e12),
+                    ("time", "Myr", 10.0), ("G", "none", 1.0)])
+    assert coefs.getGravConstant() == 1.0
+    with pytest.raises(ValueError):
+        coefs.setUnits([("length", "cubits", 1.0)])
+    # HDF5 round trip + extension + comparison
+    f = tmp_path / "halo_coefs.h5"
+    coefs.WriteH5Coefs(str(f))
+    back = pyEXP.coefs.Coefs.factory(str(f))
+    assert back.CompareStanzas(coefs)
+    st2 = basis.createFromArray(mass, x, time=2.0)
+    more = pyEXP.coefs.Coefs.makecoefs(st2, "halo")
+    more.add(st2)
+    more.ExtendH5Coefs(str(f))
+    again = pyEXP.coefs.Coefs.factory(str(f))
+    assert len(again.Times()) == 4
+    assert pyEXP.coefs.getAllowedUnitNames("length")
+    assert "length" in pyEXP.coefs.getAllowedUnitTypes()
+
+
+def test_mssa_workflow(snapshot, basis, tmp_path):
+    path, x, v, mass = snapshot
+    rng = np.random.default_rng(0)
+    coefs = None
+    for i, t in enumerate(np.linspace(0, 2 * np.pi, 24)):
+        xt = x * (1 + 0.05 * np.sin(t))
+        st = basis.createFromArray(mass, xt, time=float(i))
+        if coefs is None:
+            coefs = pyEXP.coefs.Coefs.makecoefs(st, "halo")
+        coefs.add(st)
+    ssa = pyEXP.mssa.expMSSA({"halo": (coefs, None, [])}, window=8, numpc=4)
+    ev = ssa.eigenvalues()
+    assert len(ev) == 4 and (np.diff(ev) <= 1e-9).all()
+    assert ssa.getPC().shape[1] == 4
+    assert 0 < ssa.getTotVar()
+    ssa.reconstruct([0, 1])
+    rec = ssa.getReconstructed()
+    assert "halo" in rec and len(rec["halo"].Times()) == 24
+    W = ssa.wCorrAll()
+    assert W.shape == (4, 4)
+    png = ssa.wcorrPNG(str(tmp_path / "wc"))
+    import os
+    assert os.path.exists(png)
+    km = ssa.kmeans(2)
+    assert set(c for c, d in km.values()) <= {0, 1}
+    ssa.saveState(str(tmp_path / "st"))
+    ssa.restoreState(str(tmp_path / "st"))
+
+
+def test_edmd_workflow(snapshot, basis):
+    path, x, v, mass = snapshot
+    coefs = None
+    for i in range(16):
+        st = basis.createFromArray(mass, x * (1 + 0.03 * np.cos(0.7 * i)),
+                                   time=float(i))
+        if coefs is None:
+            coefs = pyEXP.coefs.Coefs.makecoefs(st, "halo")
+        coefs.add(st)
+    koop = pyEXP.edmd.Koopman({"halo": (coefs, None, [])}, numev=4)
+    assert len(koop.eigenvalues()) <= 4
+    koop.reconstruct()
+    rec = koop.getReconstructedKoopman()
+    assert "halo" in rec
+
+
+def test_field_generator(snapshot, basis):
+    path, x, v, mass = snapshot
+    st = basis.createFromArray(mass, x, time=0.0)
+    coefs = pyEXP.coefs.Coefs.makecoefs(st, "halo")
+    coefs.add(st)
+    fg = pyEXP.field.FieldGenerator([0.0], (-2, -2, 0), (2, 2, 0),
+                                    (16, 16, 0))
+    sl = fg.slices(basis, coefs)
+    assert sl[0.0]["dens"].shape == (16, 16)
+    ln = fg.lines(basis, coefs, (0.1, 0, 0), (3.0, 0, 0), 32)
+    assert ln[0.0]["potl"].shape == (32,)
+    assert (np.diff(ln[0.0]["potl"]) > 0).all()   # rising toward 0
+    H, edges = fg.histo1d(x, mass, axis=0, nbins=8)
+    assert H.sum() > 0
+
+
+def test_integrate_orbits(snapshot, basis):
+    path, x, v, mass = snapshot
+    st = basis.createFromArray(mass, x, time=0.0)
+    coefs = pyEXP.coefs.Coefs.makecoefs(st, "halo")
+    coefs.add(st)
+    # circular-ish orbit at r=1 (enclosed mass sets vc)
+    basis.set_coefs(st)
+    M1 = basis.getMass(1.0)
+    vc = np.sqrt(M1 / 1.0)
+    ps = np.array([[1.0, 0, 0, 0, vc, 0.0]])
+    T, O = pyEXP.basis.IntegrateOrbits(
+        0.0, 3.0, 0.01, ps, [(basis, coefs)],
+        pyEXP.basis.AllTimeAccel(), nout=30)
+    assert O.shape[0] == len(T)
+    r = np.sqrt(O[:, 0, 0] ** 2 + O[:, 0, 1] ** 2 + O[:, 0, 2] ** 2)
+    assert abs(r.max() - 1.0) < 0.2 and abs(r.min() - 1.0) < 0.2
+
+
+def test_index_helpers(basis):
+    assert basis.I(0, 0) == 0
+    l, m = basis.invI(basis.I(2, 1))
+    assert (l, m) == (2, 1)
+    assert pyEXP.util.getVersionInfo()
+    assert pyEXP.read.getReaders()
+    groups = pyEXP.read.parseStringList(
+        ["snap_0", "snap_1", "other_0", "other_1"])
+    assert ["snap_0", "snap_1"] in groups
+
+
+YAML_DISK = """
+id: cylinder
+parameters:
+  mmax: 2
+  nmax: 4
+  lmaxfid: 12
+  nmaxfid: 8
+  acyl: 0.01
+  hcyl: 0.002
+  ncylnx: 64
+  ncylny: 32
+  rnum: 60
+  tnum: 30
+"""
+
+
+def test_cylinder_geometry_compat():
+    """Disk basis through the compat layer: cylindrical field type,
+    m-split fields, coefficient round trip."""
+    basis = pyEXP.basis.Basis.factory(YAML_DISK)
+    assert basis.getFieldType() == "cylindrical"
+    assert basis.getFieldLabels()[6:] == ["rad force", "ver force",
+                                          "azi force"]
+    rng = np.random.default_rng(4)
+    n = 2000
+    R = rng.exponential(0.01, n)
+    ph = rng.uniform(0, 2 * np.pi, n)
+    x = np.stack([R * np.cos(ph), R * np.sin(ph),
+                  rng.normal(0, 0.002, n)], -1)
+    mass = np.full(n, 1.0 / n)
+    st = basis.createFromArray(mass, x, time=0.0)
+    assert st.getGeometry() == "cylinder"
+    basis.set_coefs(st)
+    out = basis.getFields(0.02, 0.0, 0.001)
+    np.testing.assert_allclose(out[0] + out[1], out[2], rtol=1e-6,
+                               atol=1e-10)
+    coefs = pyEXP.coefs.Coefs.makecoefs(st, "disk")
+    coefs.add(st)
+    P = coefs.Power()
+    assert P.shape == (1, 3)
