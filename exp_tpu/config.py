@@ -71,10 +71,15 @@ class GlobalConfig:
     #: hard cap on bodies per component (reference global.H nbodmax);
     #: 0 = unlimited
     nbodmax: int = 0
-    #: NaN guard: scan the phase-space state after each block and abort with
-    #: a diagnostic checkpoint (the reference's fpe_trap + bad_values(),
-    #: expand.cc:315-317, ComponentContainer.cc:1596)
-    fpe: bool = False
+    #: NaN guard (the reference's fpe_trap/fpe_trace + bad_values(),
+    #: expand.cc:315-317, ComponentContainer.cc:1596):
+    #:   false  — off
+    #:   true   — scan diagnostics + coefficients after each block; abort
+    #:            with a diagnostic checkpoint on non-finite values
+    #:   trace  — additionally enable jax_debug_nans, which re-runs the
+    #:            faulting op outside jit and raises AT the op (the
+    #:            analogue of fpe_trace's backtrace-at-the-signal)
+    fpe: bool | str = False
     #: multistep sanity stop: if more than this fraction of a component's
     #: particles request a timestep below the finest level, checkpoint and
     #: stop the run (reference max_mindt, global.cc:21, multistep.cc:296-341)

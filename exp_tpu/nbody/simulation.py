@@ -295,6 +295,12 @@ class Simulation:
         self.time = 0.0
         self.istep = 0
 
+        # fpe: trace -> jax_debug_nans re-runs the faulting op un-jitted
+        # and raises at the op (reference fpe_trace backtrace handler,
+        # expand.cc:315-317, exputil/fpetrap.cc)
+        if str(getattr(g, "fpe", False)).lower() in ("trace", "debug"):
+            jax.config.update("jax_debug_nans", True)
+
         self.compute_dtype = jnp.dtype(g.compute_dtype)
         # f64 accumulation only if x64 is enabled (on TPU the f32 path with
         # chunked partial sums is the native choice; f64 is for CPU testing)
@@ -782,22 +788,34 @@ class Simulation:
 
     def _check_bad_values(self):
         """NaN guard (reference bad_values(), ComponentContainer.cc:1596;
-        fpe_trap expand.cc:315-317): on non-finite diagnostics, dump a
-        diagnostic checkpoint and raise."""
+        fpe_trap expand.cc:315-317): on non-finite diagnostics or
+        coefficients, dump a diagnostic checkpoint and raise.  This is the
+        step-fence: it runs on the synchronized state after every jitted
+        block, so a blow-up is caught within `steps_per_block` steps of
+        the faulting step (use `fpe: trace` to locate the faulting op)."""
         if not getattr(self.config.glob, "fpe", False) or self._diag is None:
             return
-        for n, d in self._diag.items():
-            ke = float(np.asarray(d["KE"]))
-            pe = float(np.asarray(d["PE"]))
-            if np.isfinite(ke) and np.isfinite(pe):
-                continue
+
+        def _dump_and_raise(n, what):
             from exp_tpu.nbody.output import OutChkpt
             name = f"SPSCHK.{self.runtag}.badvalues"
             path = os.path.join(self.outdir, name)
             OutChkpt(self, nint=0, filename=name).write(self, self.istep)
             raise FloatingPointError(
-                f"non-finite diagnostics in component {n!r} at step "
-                f"{self.istep} (KE={ke}, PE={pe}); state dumped to {path}")
+                f"non-finite {what} in component {n!r} at step "
+                f"{self.istep}; state dumped to {path}")
+
+        for n, d in self._diag.items():
+            ke = float(np.asarray(d["KE"]))
+            pe = float(np.asarray(d["PE"]))
+            if not (np.isfinite(ke) and np.isfinite(pe)):
+                _dump_and_raise(n, f"diagnostics (KE={ke}, PE={pe})")
+        if self._coefs is not None:
+            for n, c in self._coefs.items():
+                arr = np.asarray(jax.tree_util.tree_leaves(c)[0]) \
+                    if not isinstance(c, np.ndarray) else c
+                if not np.isfinite(arr).all():
+                    _dump_and_raise(n, "coefficients")
 
     def _ms_centers(self):
         """Prescribed expansion centers for the multistep path (EJ orient /
