@@ -351,7 +351,10 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                               regs[n][0][l], regs[n][1][l])
                     tot = c if tot is None else _tmap(jnp.add, tot, c)
                 if n in hall_names:
-                    tot = _tmap(lambda v: v * extras["hall"][n], tot)
+                    from exp_tpu.nbody.pca import apply_hall
+
+                    tot = _tmap(lambda v: apply_hall(v, extras["hall"][n]),
+                                tot)
                 coef_full[n] = tot
 
             # -- closing half-kick for levels at their end boundary -------
@@ -707,7 +710,9 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
             for c in cs[1:]:
                 tot = _tmap(jnp.add, tot, c)
             if n in hall_names:
-                tot = _tmap(lambda v: v * extras["hall"][n], tot)
+                from exp_tpu.nbody.pca import apply_hall
+
+                tot = _tmap(lambda v: apply_hall(v, extras["hall"][n]), tot)
             coef_full[n] = tot
         out = {}
         diag = {}

@@ -80,6 +80,39 @@ def smoothing_weights(mean, var, tk_type: str = "Hall",
     return jnp.ones_like(mean)
 
 
+def eof_smoothing_matrix(coef_sub, tk_type: str = "Hall",
+                         tksmooth: float = 3.0, tkcum: float = 0.95):
+    """pcaeof smoothing (AxisymmetricBasis.H:27 `pcaeof`): rotate the
+    radial (n) channels per harmonic into the subsample-covariance
+    eigenbasis, apply the tk_type weights THERE, rotate back.
+
+    coef_sub: (T, ..., nmax) subsample estimates.
+    Returns S (..., nmax, nmax) with smoothed = S @ coef; when the
+    covariance is diagonal this reduces to the elementwise weights."""
+    cs = np.asarray(coef_sub, np.float64)
+    T = cs.shape[0]
+    mean = cs.mean(axis=0)
+    dev = cs - mean
+    # covariance of the MEAN estimator: sample covariance / T
+    C = np.einsum("t...i,t...j->...ij", dev, dev) / max(T - 1, 1) / T
+    lam, Q = np.linalg.eigh(C)                      # (..., n), (..., n, n)
+    mproj = np.einsum("...ij,...i->...j", Q, mean)  # Q^T mean
+    w = np.asarray(smoothing_weights(mproj, np.maximum(lam, 0.0),
+                                     tk_type=tk_type, tksmooth=tksmooth,
+                                     tkcum=tkcum))
+    return np.einsum("...ik,...k,...jk->...ij", Q, w, Q)
+
+
+def apply_hall(coef, w):
+    """Apply smoothing weights to one coefficient leaf: elementwise for
+    diagonal (same-shape) weights, radial matrix contraction for pcaeof
+    (trailing (n, n)) weights."""
+    w = jnp.asarray(w)
+    if w.ndim == jnp.ndim(coef) + 1:
+        return jnp.einsum("...nm,...m->...n", w, coef)
+    return coef * w
+
+
 def smooth_coefficients(coef, factors, tk_type: str = "Hall",
                         tksmooth: float = 3.0):
     """Apply precomputed Hall factors with a policy (legacy helper; use

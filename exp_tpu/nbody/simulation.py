@@ -269,6 +269,9 @@ class Component:
     tk_type: str = "Hall"
     tksmooth: float = 3.0
     tkcum: float = 0.95
+    # smooth in the subsample-covariance eigenbasis instead of channel-wise
+    # (AxisymmetricBasis.H:27 pcaeof)
+    pcaeof: bool = False
 
     def adb(self, t):
         """Adiabatic mass factor in [0, 1]."""
@@ -394,6 +397,7 @@ class Simulation:
             self.components[cc.name].tk_type = str(cp.get("tk_type", "Hall"))
             self.components[cc.name].tksmooth = float(cp.get("tksmooth", 3.0))
             self.components[cc.name].tkcum = float(cp.get("tkcum", 0.95))
+            self.components[cc.name].pcaeof = bool(cp.get("pcaeof", False))
         self._centers = {n: np.zeros(3) for n in self.components}
         self._rots = {n: np.eye(3) for n in self.components}
         # restart: resume orient-tracked centers/rotations immediately
@@ -564,8 +568,11 @@ class Simulation:
                 coefs[n] = forces[n].coefficients(
                     xc, mw, axis_name="p", accum_dtype=self.accum_dtype)
                 if n in extras.get("hall", {}):
+                    from exp_tpu.nbody.pca import apply_hall
+
                     coefs[n] = jax.tree_util.tree_map(
-                        lambda t_: t_ * extras["hall"][n], coefs[n])
+                        lambda t_: apply_hall(t_, extras["hall"][n]),
+                        coefs[n])
         accs = {}
         pots = {}
         for n, ps in state.items():
@@ -968,7 +975,8 @@ class Simulation:
         (pca_hall analogue; tk_type selects Hall/VarianceCut/CumulativeCut/
         VarianceWeighted per AxisymmetricBasis.cc:482-503)."""
         from exp_tpu.nbody.pca import (subsample_coefficients,
-                                       smoothing_weights)
+                                       smoothing_weights,
+                                       eof_smoothing_matrix)
 
         for n, c in self.components.items():
             if c.npca > 0 and self.istep % c.npca == 0:
@@ -977,6 +985,14 @@ class Simulation:
                 ps = self._state[n]
                 cs = subsample_coefficients(c.force, ps.x, ps.mass,
                                             nsamples=c.nsamples)
+                if c.pcaeof:
+                    self._hall[n] = np.asarray(
+                        eof_smoothing_matrix(np.asarray(cs),
+                                             tk_type=c.tk_type,
+                                             tksmooth=c.tksmooth,
+                                             tkcum=c.tkcum),
+                        np.asarray(cs).dtype)
+                    continue
                 T = cs.shape[0]
                 mean = jnp.mean(cs, axis=0)
                 var = jnp.var(cs, axis=0, ddof=1) / T

@@ -209,3 +209,72 @@ Output: []
     w = sim._hall["halo"]
     assert set(np.unique(w)).issubset({0.0, 1.0})   # a cut, not a shrink
     assert w.max() == 1.0 and w.min() == 0.0        # some channels zeroed
+
+
+def test_pcaeof_matrix(setup):
+    """pcaeof: smoothing in the covariance eigenbasis (a) reduces to the
+    elementwise Hall weights for a diagonal covariance, and (b) shrinks
+    noise-dominated power at least as well as channel-wise Hall on the
+    sampled halo."""
+    from exp_tpu.nbody.pca import (eof_smoothing_matrix, apply_hall,
+                                   smoothing_weights)
+
+    m, force, x, v, mass = setup
+    cs = np.asarray(subsample_coefficients(force, x, mass, nsamples=8,
+                                           accum_dtype=jnp.float64))
+    S = eof_smoothing_matrix(cs)            # (..., n, n)
+    mean = cs.mean(axis=0)
+    assert S.shape == mean.shape + (mean.shape[-1],)
+    sm = np.einsum("...nm,...m->...n", S, mean)
+    # monopole (dominant) barely touched
+    assert abs(sm[0, 0, 0, 0] / mean[0, 0, 0, 0] - 1) < 0.05
+    # high-l noise power shrunk
+    raw_hi = np.sum(mean[:, 2] ** 2)
+    smo_hi = np.sum(sm[:, 2] ** 2)
+    assert smo_hi < raw_hi
+
+    # diagonal-covariance limit: independent synthetic channels
+    rng = np.random.default_rng(0)
+    sig = np.array([10.0, 1.0, 0.1, 0.01])
+    sub = sig[None, :] + rng.normal(0, 0.05, (64, 4))
+    Sd = eof_smoothing_matrix(sub)
+    md = sub.mean(axis=0)
+    vd = sub.var(axis=0, ddof=1) / sub.shape[0]
+    wd = np.asarray(smoothing_weights(md, vd))
+    np.testing.assert_allclose(np.einsum("nm,m->n", Sd, md), wd * md,
+                               rtol=0.3, atol=1e-4)
+    # apply_hall dispatches on shape
+    np.testing.assert_allclose(np.asarray(apply_hall(jnp.asarray(md), Sd)),
+                               np.einsum("nm,m->n", Sd, md), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(apply_hall(jnp.asarray(md), wd)),
+                               wd * md, rtol=1e-12)
+
+
+def test_pcaeof_in_driver(tmp_path):
+    """pcaeof: true threads the matrix weights through the jitted step."""
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+    from exp_tpu.basis.model import hernquist_model
+
+    m = hernquist_model(rmin=1e-3, rmax=20.0)
+    m.to_file(tmp_path / "h.model")
+    x, v, mass = sample_spherical_model(m, 2000, seed=12)
+    write_ascii_bodies(tmp_path / "h.bods", (x, v, mass))
+    (tmp_path / "c.yml").write_text("""\
+Global: {dtime: 0.02, nsteps: 4, runtag: pe0}
+Components:
+  - name: halo
+    bodyfile: h.bods
+    parameters: {npca: 2, nsamples: 4, pcaeof: true}
+    force:
+      id: sphereSL
+      parameters: {numr: 400, Lmax: 2, nmax: 6, rmapping: 1.0,
+                   modelname: h.model}
+Output: []
+""")
+    sim = Simulation.from_file(str(tmp_path / "c.yml"), steps_per_block=2)
+    sim.prime()
+    sim.run()
+    W = sim._hall["halo"]
+    assert W.ndim == 5 and W.shape[-1] == W.shape[-2] == 6
+    assert np.isfinite(np.asarray(sim._coefs["halo"])).all()
