@@ -68,11 +68,16 @@ class CylinderForce:
     #: 'default' = bf16 MXU passes (fast; see ops/pallas_cylinder.py
     #: docstring for measured error), 'highest' = fp32 emulation
     pallas_precision: str = "default"
+    #: coarse-x interpolation: 'spline' = prefiltered quadratic B-spline
+    #: (C1 field, O(h^3) — same matmul cost as 'linear' hats; the energy
+    #: drift of the pallas backend is set by this choice, not precision)
+    pallas_interp: str = "spline"
 
     @classmethod
     def from_tables(cls, t: EmpCylTables, dtype=jnp.float32,
                     backend: str = "xla", ncx: int = 64,
-                    pallas_precision: str = "default") -> "CylinderForce":
+                    pallas_precision: str = "default",
+                    pallas_interp: str = "spline") -> "CylinderForce":
         # tables stored FLAT (numx*numy, (mmax+1)*nmax): 2-D row layout keeps
         # TPU gathers vectorized (a 4-D (x,y,m,n) array tiles the trailing
         # (m,n) dims to (8,128) — an 8x physical blowup and scalarized loads)
@@ -83,20 +88,25 @@ class CylinderForce:
 
         from exp_tpu.ops import pallas_cylinder as pk
 
+        def coarse(a):
+            c = pk.resample_coarse_x(a, t.numx, ncx)
+            if pallas_interp == "spline":
+                c = pk.prefilter_x(c)
+            return jnp.asarray(c)
+
         potf = flat(t.pot)
         return cls(
             pot_t=potf, rfrc_t=flat(t.rforce), zfrc_t=flat(t.zforce),
             dens_t=flat(t.dens),
             potq_t=jnp.concatenate([potf, jnp.roll(potf, -1, axis=0)],
                                    axis=1),
-            pot_c=jnp.asarray(pk.resample_coarse_x(t.pot, t.numx, ncx)),
-            rfrc_c=jnp.asarray(pk.resample_coarse_x(t.rforce, t.numx, ncx)),
-            zfrc_c=jnp.asarray(pk.resample_coarse_x(t.zforce, t.numx, ncx)),
+            pot_c=coarse(t.pot), rfrc_c=coarse(t.rforce),
+            zfrc_c=coarse(t.zforce),
             mmax=t.mmax, nmax=t.nmax, numx=t.numx, numy=t.numy,
             acyl=t.acyl, hcyl=t.hcyl, xmin=t.xmin, dx=t.dx,
             ymin=t.ymin, dy=t.dy, rmax_grid=t.rcylmax * t.acyl,
             ncx=ncx, dxc=pk.coarse_dxc(t.numx, ncx, t.dx), backend=backend,
-            pallas_precision=pallas_precision)
+            pallas_precision=pallas_precision, pallas_interp=pallas_interp)
 
     def tree_flatten(self):
         return ((self.pot_t, self.rfrc_t, self.zfrc_t, self.dens_t,
@@ -104,7 +114,7 @@ class CylinderForce:
                 (self.mmax, self.nmax, self.numx, self.numy, self.acyl,
                  self.hcyl, self.xmin, self.dx, self.ymin, self.dy,
                  self.rmax_grid, self.scale, self.ncx, self.dxc,
-                 self.backend, self.pallas_precision))
+                 self.backend, self.pallas_precision, self.pallas_interp))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -116,7 +126,7 @@ class CylinderForce:
         key = (self.mmax, self.nmax, self.ncx, self.numy, self.acyl,
                self.hcyl, self.xmin, self.dxc, self.ymin, self.dy,
                self.rmax_grid)
-        pkey = key + (self.pallas_precision,)
+        pkey = key + (self.pallas_precision, self.pallas_interp)
         ck = _PALLAS_CACHE.get(("coef",) + pkey)
         ak = _PALLAS_CACHE.get(("accel",) + pkey)
         if ck is None or ak is None:
@@ -125,9 +135,11 @@ class CylinderForce:
                     if self.pallas_precision == "highest"
                     else jax.lax.Precision.DEFAULT)
             ck = pk.make_cyl_coef_kernel(*key, interpret=interp,
-                                         precision=prec)
+                                         precision=prec,
+                                         interp=self.pallas_interp)
             ak = pk.make_cyl_accel_kernel(*key, interpret=interp,
-                                          precision=prec)
+                                          precision=prec,
+                                          interp=self.pallas_interp)
             _PALLAS_CACHE[("coef",) + pkey] = ck
             _PALLAS_CACHE[("accel",) + pkey] = ak
         return ck, ak

@@ -22,6 +22,9 @@ import numpy as np
 
 from exp_tpu.basis.slab import SlabTables
 
+#: compiled pallas kernels keyed by static basis geometry
+_PALLAS_CACHE: dict = {}
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
@@ -30,6 +33,8 @@ class SlabForce:
     dphi_t: jax.Array
     dens_t: jax.Array
     sgn: jax.Array        # (2nmaxx+1, 2nmaxy+1, nmax) pairing signs
+    phi_s: jax.Array      # coarse-z SIGNED tables (nzc, 2nx+1, 2ny+1, nmax)
+    dphi_s: jax.Array
     nmaxx: int
     nmaxy: int
     nmax: int
@@ -37,30 +42,65 @@ class SlabForce:
     zmax: float
 
     scale: float = 1.0
+    nzc: int = 128
+    backend: str = "einsum"   # 'einsum' (XLA) | 'pallas' (fused kernels)
 
     @property
     def lmax(self):
         return max(self.nmaxx, self.nmaxy)
 
     @classmethod
-    def from_tables(cls, t: SlabTables, dtype=jnp.float32) -> "SlabForce":
+    def from_tables(cls, t: SlabTables, dtype=jnp.float32,
+                    backend: str = "einsum", nzc: int = 128) -> "SlabForce":
+        from exp_tpu.ops import pallas_slab as pk
+
         sg = np.asarray(t.sgn)
         sg = np.concatenate([sg[:0:-1], sg], axis=0)
         sg = np.concatenate([sg[:, :0:-1], sg], axis=1)
+        nzc = min(nzc, t.numz)
+        phi_c = pk.resample_z(t.phi, t.numz, nzc)
+        dphi_c = pk.resample_z(t.dphi, t.numz, nzc)
         return cls(phi_t=jnp.asarray(t.phi, dtype=dtype),
                    dphi_t=jnp.asarray(t.dphi, dtype=dtype),
                    dens_t=jnp.asarray(t.dens, dtype=dtype),
                    sgn=jnp.asarray(sg, dtype=dtype),
+                   phi_s=jnp.asarray(pk.expand_signed(phi_c)),
+                   dphi_s=jnp.asarray(pk.expand_signed(dphi_c)),
                    nmaxx=t.nmaxx, nmaxy=t.nmaxy, nmax=t.nmax, numz=t.numz,
-                   zmax=t.zmax)
+                   zmax=t.zmax, nzc=nzc, backend=backend)
 
     def tree_flatten(self):
-        return ((self.phi_t, self.dphi_t, self.dens_t, self.sgn),
-                (self.nmaxx, self.nmaxy, self.nmax, self.numz, self.zmax))
+        return ((self.phi_t, self.dphi_t, self.dens_t, self.sgn,
+                 self.phi_s, self.dphi_s),
+                (self.nmaxx, self.nmaxy, self.nmax, self.numz, self.zmax,
+                 self.scale, self.nzc, self.backend))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+    def _pallas_kernels(self):
+        from exp_tpu.ops import pallas_slab as pk
+
+        key = (self.nmaxx, self.nmaxy, self.nzc, self.zmax)
+        ck = _PALLAS_CACHE.get(("coef",) + key)
+        ak = _PALLAS_CACHE.get(("accel",) + key)
+        if ck is None or ak is None:
+            interp = jax.default_backend() == "cpu"
+            ck = pk.make_slab_coef_kernel(*key, interpret=interp)
+            ak = pk.make_slab_accel_kernel(*key, interpret=interp)
+            _PALLAS_CACHE[("coef",) + key] = ck
+            _PALLAS_CACHE[("accel",) + key] = ak
+        return ck, ak
+
+    def _pad1024(self, x, mass=None):
+        n = x.shape[0]
+        npad = (-n) % 1024
+        if npad:
+            x = jnp.concatenate([x, jnp.zeros((npad, 3), x.dtype)])
+            if mass is not None:
+                mass = jnp.concatenate([mass, jnp.zeros(npad, mass.dtype)])
+        return x, mass, n
 
     @property
     def coef_shape(self):
@@ -93,6 +133,13 @@ class SlabForce:
     # ------------------------------------------------------------------
 
     def coefficients_local(self, x, mass, accum_dtype=jnp.float32):
+        if self.backend == "pallas":
+            from exp_tpu.ops import pallas_slab as pk
+
+            ck, _ = self._pallas_kernels()
+            xp, mp, _ = self._pad1024(x, mass)
+            G = ck(pk.pack_xyzm(xp, mp))
+            return pk.contract_coef_output(G, self.phi_s, self.sgn)
         xw = jnp.mod(x[:, :2], 1.0)
         z = x[:, 2]
         w = jnp.where(jnp.abs(z) <= self.zmax, mass, 0.0).astype(x.dtype)
@@ -113,6 +160,16 @@ class SlabForce:
 
     def acceleration(self, coef, x):
         dtype = x.dtype
+        if self.backend == "pallas":
+            from exp_tpu.ops import pallas_slab as pk
+
+            _, ak = self._pallas_kernels()
+            Ct = pk.contract_slab_tables(coef.astype(self._cdtype(dtype)),
+                                         self.phi_s, self.dphi_s,
+                                         self.nmaxx, self.nmaxy)
+            xp, _, n = self._pad1024(x)
+            out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], dtype)), Ct)
+            return (out[0:3, :n].T.astype(dtype), out[3, :n].astype(dtype))
         cd = self._cdtype(dtype)
         coef = coef.astype(cd)
         z = jnp.clip(x[:, 2], -self.zmax, self.zmax)

@@ -133,7 +133,8 @@ def build_force(fc, dtype, workdir=".", particles=None):
             cachename=cachename)
         return CylinderForce.from_tables(
             t, dtype=dtype, backend=str(p.pop("backend", "xla")),
-            pallas_precision=str(p.pop("pallas_precision", "default")))
+            pallas_precision=str(p.pop("pallas_precision", "default")),
+            pallas_interp=str(p.pop("pallas_interp", "spline")))
     elif fc.id in ("flatdisk", "CBDisk"):
         from exp_tpu.basis.flatdisk import build_flatdisk_tables
         from exp_tpu.forces.cylinder import CylinderForce
@@ -168,7 +169,8 @@ def build_force(fc, dtype, workdir=".", particles=None):
             nmax=int(p.pop("nmaxz", p.pop("nmax", 6))),
             zmax=float(p.pop("zmax", 0.1)), h=float(p.pop("hslab", 0.01)),
             cachename=cachename)
-        return SlabForce.from_tables(t, dtype=dtype)
+        return SlabForce.from_tables(
+            t, dtype=dtype, backend=str(p.pop("backend", "einsum")))
     elif fc.id == "bessel":
         from exp_tpu.basis.bessel import make_bessel_force
 

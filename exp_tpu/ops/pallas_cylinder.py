@@ -77,19 +77,38 @@ def _trig_rows(mmax, cphi, sphi):
     return c, s
 
 
-def _hat3(t, nc):
-    """Hat weights as a 3D (nc, 1, B) tensor from node offsets (iota on
-    the leading dim — no row-concatenation)."""
+def _b2(u):
+    """Quadratic B-spline kernel (support |u| < 1.5)."""
+    au = jnp.abs(u)
+    inner = 0.75 - au * au
+    outer = 0.5 * (1.5 - au) * (1.5 - au)
+    return jnp.where(au <= 0.5, inner,
+                     jnp.where(au <= 1.5, outer, 0.0))
+
+
+def _w3(t, nc, interp):
+    """Interpolation weights as a 3D (rows, 1, B) tensor from node
+    offsets (iota on the leading dim — no row-concatenation).
+
+    'linear': hat weights, rows = nc.  'spline': prefiltered quadratic
+    B-spline weights against ghost-extended spline coefficients, rows =
+    nc + 2 with t shifted by the ghost offset (see prefilter_x)."""
+    rows = nc + 2 if interp == "spline" else nc
     t3 = t[None, :, :]                                   # (1, 1, B)
-    j = jax.lax.broadcasted_iota(jnp.int32, (nc, 1, t.shape[1]),
+    j = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, t.shape[1]),
                                  0).astype(jnp.float32)
+    if interp == "spline":
+        return _b2(j - 1.0 - t3)
     return jnp.maximum(0.0, 1.0 - jnp.abs(j - t3))
 
 
-def _hat2(t, nc):
-    """Hat weights (nc, B)."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (nc, t.shape[1]),
+def _w2(t, nc, interp="linear"):
+    """2D (rows, B) variant of _w3."""
+    rows = nc + 2 if interp == "spline" else nc
+    j = jax.lax.broadcasted_iota(jnp.int32, (rows, t.shape[1]),
                                  0).astype(jnp.float32)
+    if interp == "spline":
+        return _b2(j - 1.0 - t[0][None, :])
     return jnp.maximum(0.0, 1.0 - jnp.abs(j - t[0][None, :]))
 
 
@@ -114,12 +133,14 @@ def _grid_coords(R, z, acyl, hcyl, xmin, dxc, ncx, ymin, dy, ncy):
 
 def make_cyl_coef_kernel(mmax, nmax, ncx, ncy, acyl, hcyl, xmin, dxc,
                          ymin, dy, rmax_grid, block=1024, interpret=False,
-                         precision=None):
-    """Returns fn(xyzm8 (8, N)) -> G (ncx, 16, ncy) f32 raw MTTKRP sums
+                         precision=None, interp="linear"):
+    """Returns fn(xyzm8 (8, N)) -> G (xrows, 16, ncy) f32 raw MTTKRP sums
     G[jx, cs*(M+1)+m, jy] = sum_i Wx[jx,i] Wy[jy,i] w_i trig_m(phi_i)
-    (caller contracts with the coarse pot table and applies -4pi)."""
+    (caller contracts with the coarse pot table — spline coefficients
+    when interp='spline' — and applies -4pi)."""
     T16 = 16                    # 2*(mmax+1) trig rows padded to 16
     assert 2 * (mmax + 1) <= T16, "mmax > 7 needs a wider trig row block"
+    xrows = ncx + 2 if interp == "spline" else ncx
     ncyp = _round_up(ncy, 128)
     prec = jax.lax.Precision.DEFAULT if precision is None else precision
 
@@ -144,20 +165,20 @@ def make_cyl_coef_kernel(mmax, nmax, ncx, ncy, acyl, hcyl, xmin, dxc,
 
         tx, ty = _grid_coords(R, z, acyl, hcyl, xmin, dxc, ncx,
                               ymin, dy, ncy)
-        Wx3 = _hat3(tx, ncx)                             # (ncx, 1, B)
-        Wy = _hat2(ty, ncyp)        # (ncyp, B); pad rows are exactly 0
-        A = (Wx3 * WT[None, :, :]).reshape(ncx * T16, -1)
-        out_ref[:] += _dotTp(A, Wy).reshape(ncx, T16, ncyp)
+        Wx3 = _w3(tx, ncx, interp)                       # (xrows, 1, B)
+        Wy = _w2(ty, ncyp)          # (ncyp, B); pad rows are exactly 0
+        A = (Wx3 * WT[None, :, :]).reshape(xrows * T16, -1)
+        out_ref[:] += _dotTp(A, Wy).reshape(xrows, T16, ncyp)
 
     def fn(xyzm8):
         n = xyzm8.shape[1]
         return pl.pallas_call(
             kernel,
             grid=(n // block,),
-            out_shape=jax.ShapeDtypeStruct((ncx, T16, ncyp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((xrows, T16, ncyp), jnp.float32),
             in_specs=[pl.BlockSpec((8, block), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((ncx, T16, ncyp), lambda i: (0, 0, 0),
+            out_specs=pl.BlockSpec((xrows, T16, ncyp), lambda i: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(xyzm8)[:, :, :ncy]
@@ -167,7 +188,8 @@ def make_cyl_coef_kernel(mmax, nmax, ncx, ncy, acyl, hcyl, xmin, dxc,
 
 def make_cyl_accel_kernel(mmax, nmax, ncx, ncy, acyl, hcyl, xmin, dxc,
                           ymin, dy, rmax_grid, block=1024, chunk=16,
-                          interpret=False, precision=None):
+                          interpret=False, precision=None,
+                          interp="linear"):
     """Returns fn(xyzm8 (8, N), Ct (ncx*Sp, ncyp)) -> (8, N) rows
     (ax, ay, az, pot, 0...).
 
@@ -178,7 +200,10 @@ def make_cyl_accel_kernel(mmax, nmax, ncx, ncy, acyl, hcyl, xmin, dxc,
     S = 6 * M1
     Sp = _round_up(S, 8)
     ncyp = _round_up(ncy, 128)
-    assert ncx % chunk == 0
+    xrows = ncx + 2 if interp == "spline" else ncx
+    chunk = min(chunk, xrows)
+    while xrows % chunk:
+        chunk -= 1
     prec = jax.lax.Precision.DEFAULT if precision is None else precision
 
     def _dotNTp(a, b):
@@ -194,12 +219,12 @@ def make_cyl_accel_kernel(mmax, nmax, ncx, ncy, acyl, hcyl, xmin, dxc,
         shrink = jnp.where(outside, rmax_grid / r, 1.0)
         tx, ty = _grid_coords(R * shrink, z * shrink, acyl, hcyl,
                               xmin, dxc, ncx, ymin, dy, ncy)
-        Wy = _hat2(ty, ncyp)        # (ncyp, B); pad rows are exactly 0
-        Wx3 = _hat3(tx, ncx)                             # (ncx, 1, B)
+        Wy = _w2(ty, ncyp)          # (ncyp, B); pad rows are exactly 0
+        Wx3 = _w3(tx, ncx, interp)                       # (xrows, 1, B)
 
         B = xs.shape[1]
         v = jnp.zeros((Sp, B), jnp.float32)
-        for jc in range(0, ncx, chunk):
+        for jc in range(0, xrows, chunk):
             Dc = _dotNTp(ct_ref[jc * Sp:(jc + chunk) * Sp, :], Wy)
             v += jnp.sum(Dc.reshape(chunk, Sp, B)
                          * Wx3[jc:jc + chunk], axis=0)
@@ -244,7 +269,7 @@ def make_cyl_accel_kernel(mmax, nmax, ncx, ncy, acyl, hcyl, xmin, dxc,
             in_specs=[
                 pl.BlockSpec((8, block), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ncx * Sp, ncyp), lambda i: (0, 0),
+                pl.BlockSpec((xrows * Sp, ncyp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
@@ -270,6 +295,32 @@ def resample_coarse_x(table, numx, ncx):
 
 def coarse_dxc(numx, ncx, dx):
     return (numx - 1.0) * dx / (ncx - 1.0)
+
+
+def prefilter_x(table):
+    """Quadratic-B-spline prefilter along axis 0 (host-side, once).
+
+    Solves the tridiagonal interpolation system (1/8, 3/4, 1/8) so the
+    spline passes through the table values, with ghost rows from linear
+    extrapolation (which collapses the boundary conditions to
+    s[0] = tab[0], s[-1] = tab[-1]).  Returns (nc + 2, ...) spline
+    coefficients matching _w3/_w2's interp='spline' row layout."""
+    from scipy.linalg import solve_banded
+
+    a = np.asarray(table, np.float64)
+    nc = a.shape[0]
+    ab = np.zeros((3, nc))
+    ab[0, 1:] = 0.125
+    ab[1, :] = 0.75
+    ab[2, :-1] = 0.125
+    ab[1, 0] = 1.0
+    ab[0, 1] = 0.0
+    ab[1, -1] = 1.0
+    ab[2, -2] = 0.0
+    s = solve_banded((1, 1), ab, a.reshape(nc, -1)).reshape(a.shape)
+    top = 2.0 * s[:1] - s[1:2]
+    bot = 2.0 * s[-1:] - s[-2:-1]
+    return np.concatenate([top, s, bot], axis=0).astype(np.float32)
 
 
 def contract_coef_tables(coef, potc, rfrcc, zfrcc):
