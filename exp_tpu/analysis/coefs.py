@@ -27,8 +27,20 @@ class Coefs:
 
     @classmethod
     def from_file(cls, path) -> "Coefs":
-        """Read a coefficient HDF5 file (Coefs::factory analogue)."""
+        """Read a coefficient file — HDF5 or EXP native binary (the
+        reference's Coefs::factory sniffs the same way)."""
         from exp_tpu.io.coefs import open_coefs
+
+        with open(path, "rb") as fh:
+            if fh.read(4) != b"\x89HDF":
+                from exp_tpu.io.coefs import read_native_coefs
+
+                geom, times, arrs, meta = read_native_coefs(path)
+                out = cls(geometry=geom,
+                          name=str(meta.get("forceID", "")), meta=meta)
+                for t, c in zip(times, arrs):
+                    out.add(float(t), c)
+                return out
 
         f = open_coefs(path)
         times, coefs = f.read_all()

@@ -529,3 +529,130 @@ class CylFldCoefsFile(_FldCoefsFile):
 
     def _rows(self):
         return self.angmax + 1
+
+
+# ---------------------------------------------------------------------------
+# EXP native (pre-HDF5) binary coefficient files
+# ---------------------------------------------------------------------------
+
+_SPH_MAGIC = 0xc0a57a2    # expui/CoefStruct.cc:386 (SphStruct::read)
+_CYL_MAGIC = 0xc0a57a3    # expui/CoefStruct.cc:... (CylStruct::read)
+
+
+def _sph_prefactors(lmax):
+    """exp-native -> 'true normed' prefactors (CoefStruct.cc SphStruct::read
+    exp_type block): fac_lm = sqrt((l/2+1/4)/pi (l-m)!/(l+m)!) [* sqrt2]."""
+    from scipy.special import gammaln
+
+    fac = np.zeros((lmax + 1, lmax + 1))
+    for l in range(lmax + 1):
+        for m in range(l + 1):
+            f = np.sqrt((0.5 * l + 0.25) / np.pi
+                        * np.exp(gammaln(1.0 + l - m) - gammaln(1.0 + l + m)))
+            fac[l, m] = f * (np.sqrt(2.0) if m else 1.0)
+    return fac
+
+
+def read_native_coefs(path, geometry=None):
+    """Read an EXP native binary outcoef file (the reference's pre-HDF5
+    format: readNativeCoefs, expui/Coefficients.cc:796/1289).
+
+    Each record is either new-style (uint32 magic + uint32 YAML size +
+    YAML header) or a legacy raw header, followed by the packed
+    coefficient doubles.  Returns (geometry, times, coefs, meta) with
+    coefs in the exp_tpu layouts ((2, L+1, L+1, n) sphere /
+    (2, M+1, n) cylinder) and 'true normed' spherical amplitudes
+    (native un-normed records get the exp_type prefactors applied,
+    matching Coefs::factory)."""
+    import io as _io
+    import yaml as _yaml
+
+    raw = open(path, "rb").read()
+    pos = 0
+    times = []
+    out = []
+    geom = geometry
+    meta = {}
+    while pos < len(raw):
+        if len(raw) - pos < 4:
+            break
+        magic = np.frombuffer(raw, np.uint32, 1, pos)[0]
+        normed = False
+        if magic in (_SPH_MAGIC, _CYL_MAGIC):
+            hsize = int(np.frombuffer(raw, np.uint32, 1, pos + 4)[0])
+            node = _yaml.safe_load(raw[pos + 8:pos + 8 + hsize].decode())
+            pos += 8 + hsize
+            time = float(node["time"])
+            nmax = int(node["nmax"])
+            if magic == _SPH_MAGIC:
+                geom = geom or "sphere"
+                lmax = int(node["lmax"])
+                meta.setdefault("scale", float(node.get("scale", 1.0)))
+                normed = bool(node.get("normed", False))
+            else:
+                geom = geom or "cylinder"
+                lmax = int(node["mmax"])
+        else:
+            # legacy raw headers: sphere = char[64] id + 2 doubles + 2 ints
+            # (include/coef.H:18); cylinder = double + 2 ints (coef.H:5)
+            if geom is None:
+                # sniff: a sphere header starts with a printable force id
+                head = raw[pos:pos + 16]
+                geom = "sphere" if any(32 <= b < 127 for b in head[:4]) \
+                    and head[:4] != b"\x00\x00\x00\x00" else "cylinder"
+            if geom == "sphere":
+                hid = raw[pos:pos + 64].split(b"\0")[0].decode("latin1")
+                time, scale = np.frombuffer(raw, np.float64, 2, pos + 64)
+                nmax, lmax = np.frombuffer(raw, np.int32, 2, pos + 80)
+                meta.setdefault("scale", float(scale))
+                meta.setdefault("forceID", hid)
+                pos += 88
+                time, nmax, lmax = float(time), int(nmax), int(lmax)
+            else:
+                time = float(np.frombuffer(raw, np.float64, 1, pos)[0])
+                lmax, nmax = (int(v) for v in
+                              np.frombuffer(raw, np.int32, 2, pos + 8))
+                pos += 16
+        if geom == "sphere":
+            ldim = (lmax + 1) * (lmax + 2) // 2
+            # per radial index: (l, m<=l) rows, m=0 real else re+im
+            vals_per_ir = (lmax + 1) + 2 * (ldim - (lmax + 1))
+            need = nmax * vals_per_ir
+            data = np.frombuffer(raw, np.float64, need, pos)
+            pos += need * 8
+            mat = np.zeros((ldim, nmax), np.complex128)
+            k = 0
+            for ir in range(nmax):
+                L = 0
+                for l in range(lmax + 1):
+                    for m in range(l + 1):
+                        if m == 0:
+                            mat[L, ir] = data[k]
+                            k += 1
+                        else:
+                            mat[L, ir] = data[k] + 1j * data[k + 1]
+                            k += 2
+                        L += 1
+            if not normed:
+                fac = _sph_prefactors(lmax)
+                L = 0
+                for l in range(lmax + 1):
+                    for m in range(l + 1):
+                        mat[L] *= fac[l, m]
+                        L += 1
+            out.append(unpack_sph_matrix(mat, lmax, nmax))
+            meta.setdefault("lmax", lmax)
+            meta.setdefault("nmax", nmax)
+        else:
+            c = np.zeros((2, lmax + 1, nmax))
+            for mm in range(lmax + 1):
+                c[0, mm] = np.frombuffer(raw, np.float64, nmax, pos)
+                pos += nmax * 8
+                if mm:
+                    c[1, mm] = np.frombuffer(raw, np.float64, nmax, pos)
+                    pos += nmax * 8
+            out.append(c)
+            meta.setdefault("mmax", lmax)
+            meta.setdefault("nmax", nmax)
+        times.append(time)
+    return geom, np.asarray(times), np.stack(out) if out else None, meta

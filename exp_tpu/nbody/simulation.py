@@ -156,7 +156,10 @@ def build_force(fc, dtype, workdir=".", particles=None):
             numx=int(p.pop("numx", 256)), numy=int(p.pop("numy", 128)),
             knots=int(p.pop("knots", 400)), numk=int(p.pop("numk", 256)),
             cachename=cachename)
-        return CylinderForce.from_tables(t, dtype=dtype)
+        return CylinderForce.from_tables(
+            t, dtype=dtype, backend=str(p.pop("backend", "xla")),
+            pallas_precision=str(p.pop("pallas_precision", "default")),
+            pallas_interp=str(p.pop("pallas_interp", "spline")))
     elif fc.id == "slabSL":
         from exp_tpu.basis.slab import build_slab_tables
         from exp_tpu.forces.slab import SlabForce

@@ -38,9 +38,17 @@ from exp_tpu.ops.pallas_cube import (_axis_phases, _select_mats,
 _PREC = jax.lax.Precision.DEFAULT
 
 
-def _hat_rows(t, nc):
-    j = jax.lax.broadcasted_iota(jnp.int32, (nc, t.shape[1]),
+def _w_rows(t, nc, interp):
+    """z interpolation weights (rows, B): linear hats, or prefiltered
+    quadratic B-spline against ghost-extended coefficients (rows=nc+2,
+    ghost offset +1; see pallas_cylinder.prefilter_x)."""
+    rows = nc + 2 if interp == "spline" else nc
+    j = jax.lax.broadcasted_iota(jnp.int32, (rows, t.shape[1]),
                                  0).astype(jnp.float32)
+    if interp == "spline":
+        from exp_tpu.ops.pallas_cylinder import _b2
+
+        return _b2(j - 1.0 - t[0][None, :])
     return jnp.maximum(0.0, 1.0 - jnp.abs(j - t[0][None, :]))
 
 
@@ -51,21 +59,26 @@ def _dotp(a, b):
 
 
 def _dotn(a, b):
+    # HIGHEST: the accel z-profile matmuls are small (~90k MAC/particle)
+    # but bf16 rounding of the pre-contracted tables costs ~5e-3 force
+    # error; fp32 emulation here is ~1 ms at 1M for 10x the accuracy
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_PREC)
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def make_slab_coef_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
-                          interpret=False):
-    """Returns fn(xyzm8 (8, N)) -> complex64 (C, nzc) raw sums
+                          interpret=False, interp="linear"):
+    """Returns fn(xyzm8 (8, N)) -> complex64 (C, zrows) raw sums
     G[ab, j] = sum_i w_i e^{-2 pi i k.xy_i} Wz[j, i] with w masked to
-    |z| <= zmax (caller contracts with the z-tables)."""
+    |z| <= zmax (caller contracts with the z-tables — spline
+    coefficients when interp='spline')."""
     kx, ky = 2 * nmaxx + 1, 2 * nmaxy + 1
     C = kx * ky
     Cp = _round_up(C, 8)
     kxp, kyp = _round_up(kx, 8), _round_up(ky, 8)
-    nzp = _round_up(nzc, 128)
+    zrows = nzc + 2 if interp == "spline" else nzc
+    nzp = _round_up(zrows, 128)
     Pm, Qm = _select_mats(kx, ky, kxp, kyp, Cp)
     dz = 2.0 * zmax / (nzc - 1)
 
@@ -81,7 +94,9 @@ def make_slab_coef_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
         eyr, eyi = _axis_phases(y - jnp.floor(y), nmaxy, -1.0, pad_to=kyp)
         xyr, xyi = _outer_complex(pm_ref[:], qm_ref[:], exr, exi, eyr, eyi)
         t = jnp.clip((z + zmax) / dz, 0.0, nzc - 1.0)
-        Wz = _hat_rows(t, nzp)            # pad rows are exactly 0
+        Wz = _w_rows(t, nzc, interp)
+        Wz = jnp.pad(Wz, ((0, nzp - Wz.shape[0]), (0, 0))) \
+            if Wz.shape[0] < nzp else Wz
         out_ref[:] += jnp.concatenate(
             [_dotp(xyr * w, Wz), _dotp(xyi * w, Wz)], axis=0)
 
@@ -103,13 +118,13 @@ def make_slab_coef_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(xyzm8, Pm, Qm)
-        return jax.lax.complex(big[:C, :nzc], big[Cp:Cp + C, :nzc])
+        return jax.lax.complex(big[:C, :zrows], big[Cp:Cp + C, :zrows])
 
     return fn
 
 
 def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
-                           interpret=False):
+                           interpret=False, interp="linear"):
     """Returns fn(xyzm8 (8, N), Ct (8*Cp, nzp)) -> (8, N) rows
     (ax, ay, az, pot, 0...).
 
@@ -120,7 +135,8 @@ def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
     C = kx * ky
     Cp = _round_up(C, 8)
     kxp, kyp = _round_up(kx, 8), _round_up(ky, 8)
-    nzp = _round_up(nzc, 128)
+    zrows = nzc + 2 if interp == "spline" else nzc
+    nzp = _round_up(zrows, 128)
     Pm, Qm = _select_mats(kx, ky, kxp, kyp, Cp)
     dz = 2.0 * zmax / (nzc - 1)
 
@@ -132,17 +148,19 @@ def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
         eyr, eyi = _axis_phases(y - jnp.floor(y), nmaxy, +1.0, pad_to=kyp)
         xyr, xyi = _outer_complex(pm_ref[:], qm_ref[:], exr, exi, eyr, eyi)
         t = jnp.clip((zc + zmax) / dz, 0.0, nzc - 1.0)
-        Wz = _hat_rows(t, nzp)
+        Wz = _w_rows(t, nzc, interp)
+        Wz = jnp.pad(Wz, ((0, nzp - Wz.shape[0]), (0, 0))) \
+            if Wz.shape[0] < nzp else Wz
 
-        def interp(q):
+        def zprof(q):
             vr = _dotn(ct_ref[(2 * q) * Cp:(2 * q + 1) * Cp, :], Wz)
             vi = _dotn(ct_ref[(2 * q + 1) * Cp:(2 * q + 2) * Cp, :], Wz)
             return vr, vi
 
-        v0r, v0i = interp(0)     # pot profile
-        v1r, v1i = interp(1)     # 2 pi kx pot
-        v2r, v2i = interp(2)     # 2 pi ky pot
-        v3r, v3i = interp(3)     # d/dz
+        v0r, v0i = zprof(0)      # pot profile
+        v1r, v1i = zprof(1)      # 2 pi kx pot
+        v2r, v2i = zprof(2)      # 2 pi ky pot
+        v3r, v3i = zprof(3)      # d/dz
         pot = jnp.sum(xyr * v0r - xyi * v0i, axis=0, keepdims=True)
         ax = jnp.sum(xyr * v1i + xyi * v1r, axis=0, keepdims=True)
         ay = jnp.sum(xyr * v2i + xyi * v2r, axis=0, keepdims=True)

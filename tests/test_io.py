@@ -326,3 +326,90 @@ def test_field_coefs_roundtrip(tmp_path):
     with open_coefs(p) as f:
         assert f.geometry == "sphere" and f.nfld == 4
         assert f.labels == ["dens", "vr", "vt", "vp"]
+
+
+def test_native_binary_coefs_roundtrip(tmp_path):
+    """EXP native (pre-HDF5) outcoef binary files: new-style magic+YAML
+    records and legacy raw-header records, sphere and cylinder
+    (expui/Coefficients.cc readNativeCoefs; CoefStruct.cc read)."""
+    import struct
+    import numpy as np
+    from exp_tpu.io.coefs import (read_native_coefs, pack_sph_matrix,
+                                  _sph_prefactors)
+    from exp_tpu.analysis.coefs import Coefs
+
+    rng = np.random.default_rng(0)
+    lmax, nmax = 2, 4
+    coef = rng.normal(size=(2, lmax + 1, lmax + 1, nmax))
+    for l in range(lmax + 1):       # zero invalid m > l and m=0 sin
+        coef[:, l, l + 1:] = 0.0
+    coef[1, :, 0] = 0.0
+    mat = pack_sph_matrix(coef)     # 'true normed' packed matrix
+
+    # -- new-style sphere record (normed: true) --------------------------
+    p = tmp_path / "outcoef.sph.bin"
+    with open(p, "wb") as f:
+        for it, t in enumerate([0.0, 0.5]):
+            hdr = (f"lmax: {lmax}\nnmax: {nmax}\ntime: {t}\n"
+                   f"scale: 1.0\nnormed: true\nid: sphereSL\n").encode()
+            f.write(struct.pack("<II", 0xc0a57a2, len(hdr)))
+            f.write(hdr)
+            m = mat * (1 + it)
+            for ir in range(nmax):
+                L = 0
+                for l in range(lmax + 1):
+                    for mm in range(l + 1):
+                        f.write(struct.pack("<d", m[L, ir].real))
+                        if mm:
+                            f.write(struct.pack("<d", m[L, ir].imag))
+                        L += 1
+    geom, times, arrs, meta = read_native_coefs(str(p))
+    assert geom == "sphere" and list(times) == [0.0, 0.5]
+    np.testing.assert_allclose(arrs[0], coef, atol=1e-12)
+    np.testing.assert_allclose(arrs[1], 2 * coef, atol=1e-12)
+    c = Coefs.from_file(str(p))     # factory sniffs non-HDF5
+    assert c.geometry == "sphere" and len(c.times()) == 2
+
+    # -- legacy sphere record (un-normed; prefactors applied on read) ----
+    p2 = tmp_path / "outcoef.sph.legacy.bin"
+    fac = _sph_prefactors(lmax)
+    with open(p2, "wb") as f:
+        f.write(b"sphereSL".ljust(64, b"\0"))
+        f.write(struct.pack("<ddii", 0.25, 1.0, nmax, lmax))
+        for ir in range(nmax):
+            L = 0
+            for l in range(lmax + 1):
+                for mm in range(l + 1):
+                    f.write(struct.pack("<d", mat[L, ir].real / fac[l, mm]))
+                    if mm:
+                        f.write(struct.pack("<d",
+                                            mat[L, ir].imag / fac[l, mm]))
+                    L += 1
+    geom, times, arrs, meta = read_native_coefs(str(p2))
+    assert geom == "sphere" and times[0] == 0.25
+    assert meta["forceID"] == "sphereSL"
+    np.testing.assert_allclose(arrs[0], coef, atol=1e-12)
+
+    # -- cylinder records (new-style + legacy) ---------------------------
+    mmax, cn = 3, 5
+    cc = rng.normal(size=(2, mmax + 1, cn))
+    cc[1, 0] = 0.0
+    p3 = tmp_path / "outcoef.cyl.bin"
+    with open(p3, "wb") as f:
+        hdr = f"time: 1.5\nnmax: {cn}\nmmax: {mmax}\n".encode()
+        f.write(struct.pack("<II", 0xc0a57a3, len(hdr)))
+        f.write(hdr)
+        for mm in range(mmax + 1):
+            f.write(cc[0, mm].astype("<f8").tobytes())
+            if mm:
+                f.write(cc[1, mm].astype("<f8").tobytes())
+        # legacy header record appended to the same file
+        f.write(struct.pack("<dii", 2.5, mmax, cn))
+        for mm in range(mmax + 1):
+            f.write(cc[0, mm].astype("<f8").tobytes())
+            if mm:
+                f.write(cc[1, mm].astype("<f8").tobytes())
+    geom, times, arrs, meta = read_native_coefs(str(p3))
+    assert geom == "cylinder" and list(times) == [1.5, 2.5]
+    np.testing.assert_allclose(arrs[0], cc, atol=1e-12)
+    np.testing.assert_allclose(arrs[1], cc, atol=1e-12)

@@ -30,7 +30,7 @@ def particles():
 
 def test_slab_pallas_matches_einsum(tables, particles):
     fx = SlabForce.from_tables(tables, backend="einsum")
-    fp = SlabForce.from_tables(tables, backend="pallas", nzc=128)
+    fp = SlabForce.from_tables(tables, backend="pallas", nzc=126)
     x, m = particles
 
     cx = fx.coefficients_local(x, m)
@@ -46,7 +46,7 @@ def test_slab_pallas_matches_einsum(tables, particles):
 
 
 def test_slab_pallas_zero_mass(tables, particles):
-    fp = SlabForce.from_tables(tables, backend="pallas", nzc=128)
+    fp = SlabForce.from_tables(tables, backend="pallas", nzc=126)
     x, m = particles
     c0 = fp.coefficients_local(x, jnp.zeros_like(m))
     assert float(jnp.abs(c0).max()) == 0.0
