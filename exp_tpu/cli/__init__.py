@@ -15,7 +15,7 @@ utils/ inventory (SURVEY section 2.5):
 TOOLS = [
     "gensph", "cubeics", "gendisk", "genslab", "gendisk2d",
     "pspinfo", "pspstat", "psp2ascii", "ascii2psp", "snap2ascii", "diffpsp",
-    "psp2hdf5", "shrinkics", "psphisto", "pspbox",
+    "psp2hdf5", "shrinkics", "psphisto", "pspbox", "snapconvert", "snap2vtk",
     "diskprof", "haloprof", "slabprof", "mssaprof", "viewcoefs", "h5compare",
     "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
     "diskfreqs", "kldiv", "yamldiff",

@@ -270,3 +270,95 @@ def pspbox(argv=None):
     out = a.output or a.file + ".box"
     write_psp(out, out_dump)
     print(f"wrote {out} ({ntot} bodies kept)")
+
+
+def snapconvert(argv=None):
+    """snapconvert — universal snapshot format converter (the generic
+    replacement for the reference's per-pair converters: ascii2psp2,
+    spl2psp, tipstd2psp, psp2hdf5, ...).  Reads any supported format and
+    writes psp / ascii / gadget / gadget_hdf5."""
+    ap = make_parser("snapconvert", snapconvert.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("--from", dest="src", default="psp",
+                    choices=["psp", "gadget", "gadgetnative", "gadgethdf5",
+                             "tipsy", "bonsai", "ascii"])
+    ap.add_argument("--to", dest="dst", default="psp",
+                    choices=["psp", "ascii", "gadget", "gadgethdf5"])
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("--comp", default=None, help="component (default: all)")
+    ap.add_argument("--time", type=float, default=None)
+    a = ap.parse_args(argv)
+    from exp_tpu.io.readers import (createReader, write_gadget_hdf5,
+                                    write_gadget_native)
+
+    s = createReader(a.src, a.file)
+    names = [a.comp] if a.comp else s.GetTypes()
+    time = a.time if a.time is not None else getattr(s, "time", 0.0)
+    out = a.output or f"{a.file}.{a.dst}"
+    if a.dst == "ascii":
+        from exp_tpu.nbody.particles import write_ascii_bodies
+
+        for n in names:
+            x, v, m = s.GetParticles(n)
+            path = out if len(names) == 1 else f"{out}.{n}"
+            write_ascii_bodies(path, (x, v, m))
+            print(f"wrote {path} ({len(m)} bodies)")
+    elif a.dst == "psp":
+        from exp_tpu.io.psp import PSPDump, PSPComponent, write_psp
+
+        comps = []
+        for n in names:
+            x, v, m = s.GetParticles(n)
+            comps.append(PSPComponent(name=n, info=f"name: {n}\n",
+                                      mass=m, x=x, v=v,
+                                      pot=np.zeros(len(m))))
+        write_psp(out, PSPDump(time=time, components=comps))
+        print(f"wrote {out} ({sum(len(c.mass) for c in comps)} bodies)")
+    else:
+        from exp_tpu.io.readers import Snapshot
+
+        snap = Snapshot(time)
+        for n in names:
+            x, v, m = s.GetParticles(n)
+            snap.add(n, x, v, m)
+        if a.dst == "gadgethdf5":
+            write_gadget_hdf5(out, snap)
+        else:
+            write_gadget_native(out, snap)
+        print(f"wrote {out}")
+
+
+def snap2vtk(argv=None):
+    """snap2vtk — particles -> legacy-VTK point cloud with mass (and
+    optional potential) scalars, for ParaView (the reference's psp2vtu)."""
+    ap = make_parser("snap2vtk", snap2vtk.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("--type", default="psp",
+                    choices=["psp", "gadget", "tipsy", "ascii"])
+    ap.add_argument("--comp", default=None)
+    ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("-o", "--output", default=None)
+    a = ap.parse_args(argv)
+    from exp_tpu.io.readers import createReader
+
+    s = createReader(a.type, a.file)
+    x, v, m = s.GetParticles(a.comp)
+    x = np.asarray(x)[::a.stride]
+    v = np.asarray(v)[::a.stride]
+    m = np.asarray(m)[::a.stride]
+    n = len(m)
+    out = a.output or a.file + ".vtk"
+    with open(out, "w") as f:
+        f.write("# vtk DataFile Version 3.0\nexp_tpu particles\nASCII\n")
+        f.write("DATASET POLYDATA\n")
+        f.write(f"POINTS {n} float\n")
+        np.savetxt(f, x, fmt="%.7g")
+        f.write(f"VERTICES {n} {2 * n}\n")
+        np.savetxt(f, np.stack([np.ones(n, int),
+                                np.arange(n)], -1), fmt="%d")
+        f.write(f"POINT_DATA {n}\nSCALARS mass float 1\n"
+                "LOOKUP_TABLE default\n")
+        np.savetxt(f, m, fmt="%.7g")
+        f.write("VECTORS velocity float\n")
+        np.savetxt(f, v, fmt="%.7g")
+    print(f"wrote {out} ({n} points)")

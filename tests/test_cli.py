@@ -259,3 +259,39 @@ def test_slabprof(tmp_path, capsys):
     zpk = tab[np.argmax(tab[:, 1]), 0]
     assert abs(zpk) < 0.02
     assert tab[:, 1].max() > 5 * tab[0, 1]
+
+
+def test_snapconvert_and_vtk(tmp_path, monkeypatch):
+    """snapconvert round-trips ascii -> psp -> gadget_hdf5 -> ascii and
+    snap2vtk emits a readable legacy-VTK point cloud."""
+    import numpy as np
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.cli.psptools import snapconvert, snap2vtk
+    from exp_tpu.io.readers import createReader
+
+    rng = np.random.default_rng(0)
+    n = 200
+    x = rng.normal(size=(n, 3))
+    v = rng.normal(size=(n, 3))
+    m = rng.uniform(0.5, 1.5, n)
+    src = tmp_path / "b.ascii"
+    write_ascii_bodies(src, (x, v, m))
+
+    psp = tmp_path / "b.psp"
+    snapconvert([str(src), "--from", "ascii", "--to", "psp",
+                 "-o", str(psp)])
+    h5 = tmp_path / "b.hdf5"
+    snapconvert([str(psp), "--from", "psp", "--to", "gadgethdf5",
+                 "-o", str(h5)])
+    back = createReader("gadgethdf5", str(h5))
+    xb, vb, mb = back.GetParticles(back.GetTypes()[0])
+    assert len(mb) == n
+    np.testing.assert_allclose(np.sort(np.asarray(mb)), np.sort(m),
+                               rtol=1e-5)
+
+    vtk = tmp_path / "b.vtk"
+    snap2vtk([str(psp), "--type", "psp", "-o", str(vtk)])
+    txt = vtk.read_text()
+    assert txt.startswith("# vtk DataFile")
+    assert f"POINTS {n} float" in txt
+    assert "SCALARS mass" in txt and "VECTORS velocity" in txt
