@@ -50,3 +50,34 @@ def test_slab_pallas_zero_mass(tables, particles):
     x, m = particles
     c0 = fp.coefficients_local(x, jnp.zeros_like(m))
     assert float(jnp.abs(c0).max()) == 0.0
+
+
+def test_slab_pallas_driver(tmp_path):
+    """'backend: pallas' on the slabSL stanza runs end-to-end through the
+    YAML driver."""
+    import numpy as np
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    x = np.stack([rng.uniform(0, 1, n), rng.uniform(0, 1, n),
+                  rng.normal(0, 0.02, n)], -1)
+    v = rng.normal(0, 0.05, (n, 3))
+    m = np.full(n, 1.0 / n)
+    write_ascii_bodies(tmp_path / "s.bods", (x, v, m))
+    (tmp_path / "c.yml").write_text("""\
+Global: {dtime: 0.005, nsteps: 4, runtag: slp0}
+Components:
+  - name: slab
+    bodyfile: s.bods
+    force:
+      id: slabSL
+      parameters: {nmaxx: 2, nmaxy: 2, nmax: 4, zmax: 0.1, h: 0.01,
+                   numz: 201, backend: pallas}
+Output: []
+""")
+    sim = Simulation.from_file(str(tmp_path / "c.yml"), steps_per_block=2)
+    sim.prime()
+    sim.run()
+    assert np.isfinite(np.asarray(sim._state["slab"].x)).all()
