@@ -94,7 +94,7 @@ def main():
 
     n = int(os.environ.get("BENCH_N", 1_048_576))
     reps = int(os.environ.get("BENCH_REPS", 20))
-    default_cfgs = "sphere,sphere10m,disk,composite,cube,pyexp"
+    default_cfgs = "sphere,sphere10m,disk,disk10m,composite,cube,pyexp"
     cfgs = os.environ.get("BENCH_CONFIGS", default_cfgs).split(",")
 
     suite = {}
@@ -120,6 +120,8 @@ def main():
             elif c == "disk":
                 r = bench_suite.bench_disk(n=min(n, 1_048_576),
                                            reps=max(5, reps // 2))
+            elif c == "disk10m":
+                r = bench_suite.bench_disk(n=10_485_760, reps=5)
             elif c == "composite":
                 r = bench_suite.bench_composite()
             elif c == "cube":
