@@ -44,7 +44,7 @@ KNOWN_FORCES = {
 }
 
 KNOWN_OUTPUTS = {
-    "outlog", "outcoef", "outchkpt", "outpsn", "outascii", "outmulti",
+    "outlog", "outcoef", "outchkpt", "outchkptq", "outpsn", "outascii", "outmulti",
     "outvel", "outsamp", "orbtrace", "outdiag", "outfrac", "outcalbr",
     "outps", "outhdf5",
 }

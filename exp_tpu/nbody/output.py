@@ -140,11 +140,15 @@ class OutChkpt(Output):
     (OutCHKPT/OutCHKPTQ, OutCHKPT.H:6-20: nbak=1 gives the reference's
     single-.bak behavior; nbak>1 keeps .bak, .bak1, ... .bak<nbak-1>)."""
 
-    def __init__(self, sim, nint=100, filename=None, nbak=1, **kw):
+    def __init__(self, sim, nint=100, filename=None, nbak=1, real4=False,
+                 **kw):
         super().__init__(sim, nint)
         self.path = os.path.join(sim.outdir,
                                  filename or f"OUT.{sim.runtag}.chkpt")
         self.nbak = max(1, int(nbak))
+        # single-precision storage: the reference's OutCHKPTQ "quick"
+        # checkpoints (OutCHKPT.H:6-20)
+        self.real4 = bool(real4)
 
     def _rotate(self):
         baks = [self.path + ".bak"] + [f"{self.path}.bak{i}"
@@ -166,7 +170,10 @@ class OutChkpt(Output):
                 ps = sim._state[n]
                 g = f.create_group(n)
                 for k in ("x", "v", "mass", "pot", "level"):
-                    g.create_dataset(k, data=np.asarray(getattr(ps, k)))
+                    a = np.asarray(getattr(ps, k))
+                    if self.real4 and a.dtype == np.float64:
+                        a = a.astype(np.float32)
+                    g.create_dataset(k, data=a)
 
 
 def restore_checkpoint(sim, path=None):

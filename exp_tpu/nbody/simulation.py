@@ -1078,6 +1078,8 @@ class Simulation:
                                           OutDiag, OutFrac, OutCalbr,
                                           OutPS, OutHDF5)
 
+        if oc.id == "outchkptq":        # quick = single-precision variant
+            return OutChkpt(self, real4=True, **oc.parameters)
         cls = {"outlog": OutLog, "outcoef": OutCoef, "outchkpt": OutChkpt,
                "outascii": OutAscii, "outpsn": OutPSN,
                "outmulti": OutMulti, "outvel": OutVel,

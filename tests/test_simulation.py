@@ -641,3 +641,39 @@ def test_psp_bodyfile_ingestion(rundir, tmp_path):
         va = float(np.asarray(sa._diag["halo"][k]))
         vb = float(np.asarray(sb._diag["halo"][k]))
         assert va == pytest.approx(vb, rel=1e-12), k
+
+
+def test_outchkptq_quick_checkpoint(rundir):
+    """outchkptq writes single-precision checkpoints that restart."""
+    (rundir / "config_ckq.yml").write_text("""\
+Global:
+  dtime: 0.02
+  nsteps: 4
+  runtag: ckq0
+Components:
+  - name: halo
+    bodyfile: halo.bods
+    force:
+      id: sphereSL
+      parameters:
+        numr: 800
+        Lmax: 2
+        nmax: 8
+        rmapping: 1.0
+        modelname: halo.model
+        cachename: halo.cache.h5
+Output:
+  - id: outchkptq
+    parameters: {nint: 2}
+""")
+    from exp_tpu.nbody.simulation import Simulation
+    import h5py
+
+    sim = Simulation.from_file(str(rundir / "config_ckq.yml"))
+    sim.prime()
+    sim.run(4)
+    path = rundir / "OUT.ckq0.chkpt"
+    assert path.exists()
+    with h5py.File(path, "r") as f:
+        comp = f[[k for k in f.keys()][0]]
+        assert comp["x"].dtype == np.float32
