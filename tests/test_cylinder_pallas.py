@@ -80,3 +80,28 @@ def test_pallas_zero_mass_padding(tables, particles):
     x, m = particles
     c0 = fp.coefficients_local(x, jnp.zeros_like(m))
     assert float(jnp.abs(c0).max()) == 0.0
+
+
+def test_pallas_flatdisk_tables():
+    """The pallas backend also serves razor-thin (flatdisk) tables (they
+    share the CylinderForce evaluator)."""
+    from exp_tpu.basis.flatdisk import build_flatdisk_tables
+
+    t = build_flatdisk_tables(mmax=2, nmax=6, model="kuzmin", acyl=1.0,
+                              numx=96, numy=48, knots=200, numk=128,
+                              cachename=None)
+    fx = CylinderForce.from_tables(t, backend="xla")
+    fp = CylinderForce.from_tables(t, backend="pallas", ncx=32)
+    rng = np.random.default_rng(5)
+    n = 1200
+    R = rng.exponential(1.0, n)
+    ph = rng.uniform(0, 2 * np.pi, n)
+    x = jnp.asarray(np.stack([R * np.cos(ph), R * np.sin(ph),
+                              rng.normal(0, 0.05, n)], -1), jnp.float32)
+    m = jnp.asarray(np.full(n, 1.0 / n), jnp.float32)
+    cx = fx.coefficients_local(x, m)
+    cp = fp.coefficients_local(x, m)
+    assert float(jnp.abs(cp - cx).max() / jnp.abs(cx).max()) < 1e-3
+    ax, px = fx.acceleration(cx, x)
+    ap, pp = fp.acceleration(cx, x)
+    assert float(jnp.abs(ap - ax).max() / jnp.abs(ax).max()) < 5e-3
