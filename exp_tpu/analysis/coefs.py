@@ -29,7 +29,7 @@ class Coefs:
     def from_file(cls, path) -> "Coefs":
         """Read a coefficient file — HDF5 or EXP native binary (the
         reference's Coefs::factory sniffs the same way)."""
-        from exp_tpu.io.coefs import open_coefs
+        from exp_tpu.io.coefs import open_coefs, _attr_str
 
         with open(path, "rb") as fh:
             if fh.read(4) != b"\x89HDF":
@@ -49,7 +49,7 @@ class Coefs:
             if hasattr(f, k):
                 meta[k] = getattr(f, k)
         out = cls(geometry=f.geometry,
-                  name=str(f._f.attrs.get("name", "")), meta=meta)
+                  name=_attr_str(f._f.attrs.get("name", "")), meta=meta)
         for t, c in zip(times, coefs):
             out.add(t, c)
         f.close()

@@ -37,7 +37,10 @@ class Koopman:
             for j in sel:
                 cols.append(flat[:, j])
                 self.keys.append((name, j))
-            self._shape = A.shape[1:]
+            if not hasattr(self, "_shapes"):
+                self._shapes = {}
+            self._shapes[name] = A.shape[1:]
+            self._shape = A.shape[1:]     # single-name convenience
         D = np.stack(cols, axis=0)            # (C, T)
         self._mean = D.mean(axis=1, keepdims=True)
         D = D - self._mean

@@ -50,7 +50,10 @@ class expMSSA:
                 mu = s.mean()
                 self._series[(name, j)] = s - mu
                 self._mean[(name, j)] = mu
-            self._shape = A.shape[1:]
+            if not hasattr(self, "_shapes"):
+                self._shapes = {}
+            self._shapes[name] = A.shape[1:]
+            self._shape = A.shape[1:]     # single-name convenience
             self._T = T
 
         self.keys = list(self._series)
@@ -134,18 +137,24 @@ class expMSSA:
         self._recon = out
         return out
 
-    def reconstruct_coefs(self, coefs, groups=None):
+    def reconstruct_coefs(self, coefs, groups=None, name=None):
         """Write a reconstruction into a copy of a Coefs container
-        (expMSSA::reconstruct + getReconstructed, expMSSA.H:135-220)."""
+        (expMSSA::reconstruct + getReconstructed, expMSSA.H:135-220).
+
+        `name` restricts to that dataset's channels — REQUIRED for
+        multi-name configs, where channel indices are per-dataset."""
         rec = self.reconstructed(groups)
         out = coefs.deepcopy()
         times = out.times()
         A = out.as_array()
         flat = A.reshape(A.shape[0], -1)
-        for (name, j), series in rec.items():
+        for (nm, j), series in rec.items():
+            if name is not None and nm != name:
+                continue
             flat[:, j] = series
+        shape = self._shapes[name] if name is not None else self._shape
         for i, t in enumerate(times):
-            out._data[t] = flat[i].reshape(self._shape)
+            out._data[t] = flat[i].reshape(shape)
         return out
 
     def wcorr(self, ncomp=None):

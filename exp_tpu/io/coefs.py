@@ -23,6 +23,12 @@ import numpy as np
 COEFFICIENT_OUTPUT_VERSION = "1.0"
 
 
+def _attr_str(v):
+    """h5py returns fixed-length string attributes as bytes (files written
+    by the reference's HighFive C++ writer do this); normalize to str."""
+    return v.decode() if isinstance(v, bytes) else str(v)
+
+
 def pack_sph_matrix(coef: np.ndarray) -> np.ndarray:
     """(2, lmax+1, lmax+1, nmax) real cos/sin -> packed complex matrix."""
     coef = np.asarray(coef)
@@ -77,7 +83,7 @@ class SphCoefsFile:
             self._f = f
         else:
             f = h5py.File(path, "r")
-            if f.attrs["geometry"] != self.geometry:
+            if _attr_str(f.attrs["geometry"]) != self.geometry:
                 raise ValueError(f"not a sphere coefficient file: {path}")
             self.lmax = int(f.attrs["lmax"])
             self.nmax = int(f.attrs["nmax"])
@@ -151,7 +157,7 @@ class CylCoefsFile:
             self._f = f
         else:
             f = h5py.File(path, "r")
-            if f.attrs["geometry"] != self.geometry:
+            if _attr_str(f.attrs["geometry"]) != self.geometry:
                 raise ValueError(f"not a cylinder coefficient file: {path}")
             self.mmax = int(f.attrs["mmax"])
             self.nmax = int(f.attrs["nmax"])
@@ -203,7 +209,7 @@ def open_coefs(path):
     import h5py
 
     with h5py.File(path, "r") as f:
-        geom = f.attrs["geometry"]
+        geom = _attr_str(f.attrs["geometry"])
         is_field = "fieldID" in f.attrs
     if is_field:
         if geom == "sphere":
@@ -252,7 +258,7 @@ class CubeCoefsFile:
             self._f = f
         else:
             f = h5py.File(path, "r")
-            if f.attrs["geometry"] != self.geometry:
+            if _attr_str(f.attrs["geometry"]) != self.geometry:
                 raise ValueError(f"not a cube coefficient file: {path}")
             self.nmaxx = int(f.attrs["nmaxx"])
             self.nmaxy = int(f.attrs["nmaxy"])
@@ -319,7 +325,7 @@ class SlabCoefsFile:
             self._f = f
         else:
             f = h5py.File(path, "r")
-            if f.attrs["geometry"] != self.geometry:
+            if _attr_str(f.attrs["geometry"]) != self.geometry:
                 raise ValueError(f"not a slab coefficient file: {path}")
             self.nmaxx = int(f.attrs["nmaxx"])
             self.nmaxy = int(f.attrs["nmaxy"])

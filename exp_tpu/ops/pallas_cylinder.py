@@ -46,25 +46,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_PREC = jax.lax.Precision.HIGHEST
+_PREC = jax.lax.Precision.HIGHEST   # host-side einsum contractions
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
-
-
-def _dotT(a, b):
-    """a (C, I) x b (J, I) -> (C, J): contract the last dims."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=_PREC)
-
-
-def _dotNT(a, b):
-    """a (C, J) x b (J, I) -> (C, I): plain matmul."""
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=_PREC)
 
 
 def _trig_rows(mmax, cphi, sphi):

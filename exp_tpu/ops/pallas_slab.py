@@ -39,17 +39,12 @@ _PREC = jax.lax.Precision.DEFAULT
 
 
 def _w_rows(t, nc, interp):
-    """z interpolation weights (rows, B): linear hats, or prefiltered
-    quadratic B-spline against ghost-extended coefficients (rows=nc+2,
-    ghost offset +1; see pallas_cylinder.prefilter_x)."""
-    rows = nc + 2 if interp == "spline" else nc
-    j = jax.lax.broadcasted_iota(jnp.int32, (rows, t.shape[1]),
-                                 0).astype(jnp.float32)
-    if interp == "spline":
-        from exp_tpu.ops.pallas_cylinder import _b2
+    """z interpolation weights (rows, B): the shared hat / prefiltered
+    quadratic-B-spline weight rows (ghost offset +1 for spline; see
+    pallas_cylinder.prefilter_x)."""
+    from exp_tpu.ops.pallas_cylinder import _w2
 
-        return _b2(j - 1.0 - t[0][None, :])
-    return jnp.maximum(0.0, 1.0 - jnp.abs(j - t[0][None, :]))
+    return _w2(t, nc, interp)
 
 
 def _dotp(a, b):

@@ -187,7 +187,13 @@ class Basis:
                         np.atleast_1d(np.asarray(y, float)),
                         np.atleast_1d(np.asarray(z, float))], axis=-1)
         dens, pot, acc = self._b.get_fields(self._coefs, pts)
-        d0, p0, _ = self._b.get_fields(self._m_zeroed(self._coefs), pts)
+        if self._b.geometry in ("cube", "slab"):
+            # no azimuthal split for plane-wave bases: the m=0 columns
+            # are identically zero — skip the second field evaluation
+            d0 = np.zeros_like(dens)
+            p0 = np.zeros_like(pot)
+        else:
+            d0, p0, _ = self._b.get_fields(self._m_zeroed(self._coefs), pts)
         cols = [d0, dens - d0, dens, p0, pot - p0, pot]
         ax, ay, az = acc[:, 0], acc[:, 1], acc[:, 2]
         if self._field_type == "cartesian":

@@ -144,9 +144,18 @@ class Coefs:
         return self._structs[t]
 
     def getAllCoefs(self):
-        """Stacked coefficient array with TIME LAST (the reference's
-        convention: e.g. (lm, n, T) for spheres)."""
+        """Stacked coefficients with TIME LAST in the reference's packed
+        layouts: sphere -> complex (lm, nmax, T) with row l(l+1)/2+m
+        (index with Basis.I), cylinder -> complex (mmax+1, nmax, T);
+        other geometries return the native real layout with time last."""
+        from exp_tpu.io.coefs import pack_sph_matrix
+
         A = self._c.as_array()
+        g = self._c.geometry
+        if g == "sphere" and A.ndim == 5:
+            return np.stack([pack_sph_matrix(a) for a in A], axis=-1)
+        if g == "cylinder" and A.ndim == 4:
+            return np.stack([a[0] + 1j * a[1] for a in A], axis=-1)
         return np.moveaxis(A, 0, -1)
 
     def setCoefs(self, struct: CoefStruct):
@@ -209,7 +218,8 @@ class Coefs:
         the coefficient file/meta."""
         if self._c.geometry != "cylinder":
             raise ValueError("EvenOddPower is cylinder-only")
-        nodd = int(self._c.meta.get("ncylodd", nodd))
+        if nodd < 0:       # explicit nodd overrides file metadata
+            nodd = int(self._c.meta.get("ncylodd", -1))
         if nodd < 0:
             raise ValueError("ncylodd unknown: pass nodd explicitly")
         A = self._c.as_array().astype(float)     # (T, 2, M+1, nmax)

@@ -40,8 +40,9 @@ class Koopman:
         return np.asarray(self._k.getModes())
 
     def getAllKeys(self):
-        return [(name,) + tuple(int(i)
-                                for i in np.unravel_index(j, self._k._shape))
+        return [(name,) + tuple(
+                    int(i) for i in np.unravel_index(
+                        j, self._k._shapes[name]))
                 for name, j in self._k.keys]
 
     def reconstruct(self, evlist=None):
@@ -64,7 +65,7 @@ class Koopman:
                     n = min(len(series), flat.shape[0])
                     flat[:n, j] = series[:n]
             for i, t in enumerate(times):
-                new._data[t] = flat[i].reshape(self._k._shape)
+                new._data[t] = flat[i].reshape(self._k._shapes[name])
             if hasattr(coefs, "_c"):
                 from .coefs import Coefs as _CompatCoefs
 

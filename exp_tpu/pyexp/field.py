@@ -44,7 +44,9 @@ class FieldGenerator:
         b, c = _native_pair(basis, coefs)
         out = self._fg.slices(b, c)
         if self._midplane:
-            out = {t: self._apply_midplane(b, c, fields)
+            out = {t: self._apply_midplane(
+                       b, c.interpolate(t) if hasattr(c, "interpolate")
+                       else c, fields)
                    for t, fields in out.items()}
         return out
 

@@ -60,8 +60,9 @@ class expMSSA:
 
     def getAllKeys(self):
         """Channel keys as (name, multi-index...) tuples."""
-        return [(name,) + tuple(int(i)
-                                for i in np.unravel_index(j, self._m._shape))
+        return [(name,) + tuple(
+                    int(i) for i in np.unravel_index(
+                        j, self._m._shapes[name]))
                 for name, j in self._m.keys]
 
     def getRCkeys(self):
@@ -101,7 +102,8 @@ class expMSSA:
         out = {}
         for name, coefs in self._coefs.items():
             nat = coefs._c if hasattr(coefs, "_c") else coefs
-            newnat = self._m.reconstruct_coefs(nat, groups=self._groups)
+            newnat = self._m.reconstruct_coefs(nat, groups=self._groups,
+                                               name=name)
             if hasattr(coefs, "_c"):
                 from .coefs import Coefs as _CompatCoefs
 

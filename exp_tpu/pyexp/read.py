@@ -88,13 +88,18 @@ def parseFileList(path: str, delimit: str = "") -> list:
 
 
 def parseStringList(names: list, delimit: str = "") -> list:
-    """Group snapshot-piece filenames into per-time batches by trailing
-    index (ParticleReader::parseStringList): pieces that differ only in a
-    final '_<n>' part-number belong to the same batch."""
+    """Group snapshot-piece filenames into per-time batches
+    (ParticleReader::parseStringList): pieces that differ only in a
+    trailing part-number belong to the same batch.  With `delimit`, the
+    stem is everything before the LAST delimiter (the reference's
+    behavior); without it, a trailing '_<n>' is stripped."""
     groups: dict = {}
     for n in names:
-        m = re.match(r"^(.*?)(?:_(\d+))?$", n)
-        stem = m.group(1) if m.group(2) is not None else n
+        if delimit:
+            stem = n.rsplit(delimit, 1)[0] if delimit in n else n
+        else:
+            m = re.match(r"^(.*?)(?:_(\d+))?$", n)
+            stem = m.group(1) if m.group(2) is not None else n
         groups.setdefault(stem, []).append(n)
     return [sorted(v) for k, v in sorted(groups.items())]
 

@@ -14,9 +14,10 @@ def _particles(reader_or_x, mass=None):
     return np.asarray(reader_or_x), mass
 
 
-def getDensityCenter(reader, stride=1, Ndens=32, Nsort=0):
+def getDensityCenter(reader, stride=1, Nsort=0, Ndens=32):
     """KD-density-weighted center (expui/Centering.cc getDensityCenter);
-    accepts a ParticleReader or a position array."""
+    accepts a ParticleReader or a position array.  Positional order
+    matches the reference binding: (reader, stride, Nsort, Ndens)."""
     x, m = _particles(reader)
     if stride and stride > 1:
         x = x[::stride]

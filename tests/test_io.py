@@ -413,3 +413,34 @@ def test_native_binary_coefs_roundtrip(tmp_path):
     assert geom == "cylinder" and list(times) == [1.5, 2.5]
     np.testing.assert_allclose(arrs[0], cc, atol=1e-12)
     np.testing.assert_allclose(arrs[1], cc, atol=1e-12)
+
+
+def test_bytes_string_attrs(tmp_path):
+    """Files whose string attributes are fixed-length ASCII (bytes in
+    h5py — what the reference's HighFive writer produces) open cleanly."""
+    import h5py
+    import numpy as np
+    from exp_tpu.io.coefs import open_coefs
+    from exp_tpu.analysis.coefs import Coefs
+
+    p = tmp_path / "ref_style.h5"
+    with h5py.File(p, "w") as f:
+        f.attrs["CoefficientOutputVersion"] = np.bytes_("1.0")
+        f.attrs["geometry"] = np.bytes_("sphere")
+        f.attrs["name"] = np.bytes_("dark halo")
+        f.attrs["config"] = np.bytes_("")
+        f.attrs["forceID"] = np.bytes_("sphereSL")
+        f.attrs["lmax"] = np.int32(1)
+        f.attrs["nmax"] = np.int32(2)
+        f.attrs["scale"] = 1.0
+        f.create_dataset("count", data=np.uint32(1))
+        g = f.create_group("snapshots").create_group("00000000")
+        g.attrs["Time"] = 0.0
+        g.attrs["Center"] = np.zeros(3)
+        g.create_dataset("coefficients",
+                         data=np.ones((3, 2), np.complex128))
+    cf = open_coefs(str(p))
+    assert cf.geometry == "sphere" and cf.lmax == 1
+    cf.close()
+    c = Coefs.from_file(str(p))
+    assert c.name == "dark halo"

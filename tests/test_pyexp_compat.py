@@ -253,3 +253,80 @@ def test_cylinder_geometry_compat():
     coefs.add(st)
     P = coefs.Power()
     assert P.shape == (1, 3)
+
+
+def test_get_all_coefs_packed_layout(snapshot, basis):
+    """getAllCoefs returns the reference's packed complex (lm, n, T)
+    layout, indexable with Basis.I."""
+    path, x, v, mass = snapshot
+    st = basis.createFromArray(mass, x, time=0.0)
+    coefs = pyEXP.coefs.Coefs.makecoefs(st, "halo")
+    coefs.add(st)
+    allc = coefs.getAllCoefs()
+    L, nmax = 2, 6
+    assert allc.shape == ((L + 1) * (L + 2) // 2, nmax, 1)
+    assert np.iscomplexobj(allc)
+    c = st.getCoefs()
+    np.testing.assert_allclose(allc[basis.I(1, 1), :, 0].real, c[0, 1, 1],
+                               rtol=1e-12)
+    np.testing.assert_allclose(allc[basis.I(1, 1), :, 0].imag, c[1, 1, 1],
+                               rtol=1e-12)
+
+
+def test_multi_name_mssa_and_edmd(snapshot, basis):
+    """Two datasets with DIFFERENT coefficient shapes: per-name channel
+    keys and reconstructions must not cross-contaminate."""
+    path, x, v, mass = snapshot
+    halo = None
+    table = None
+    rng = np.random.default_rng(1)
+    series = np.cumsum(rng.normal(size=(20, 3)), axis=0)
+    from exp_tpu.analysis.coefs import Coefs as NativeCoefs
+
+    tbl = NativeCoefs(geometry="table", name="tbl")
+    for i in range(20):
+        st = basis.createFromArray(mass, x * (1 + 0.02 * np.sin(i)),
+                                   time=float(i))
+        if halo is None:
+            halo = pyEXP.coefs.Coefs.makecoefs(st, "halo")
+        halo.add(st)
+        tbl.add(float(i), series[i])
+    ssa = pyEXP.mssa.expMSSA({"halo": (halo, None, []),
+                              "tbl": (tbl, None, [])}, window=6, numpc=3)
+    keys = ssa.getAllKeys()
+    assert any(k[0] == "halo" and len(k) == 5 for k in keys)
+    assert any(k[0] == "tbl" and len(k) == 2 for k in keys)
+    ssa.reconstruct([0, 1])
+    rec = ssa.getReconstructed()
+    assert rec["halo"]._c.as_array().shape[1:] == (2, 3, 3, 6)
+    assert rec["tbl"].as_array().shape[1:] == (3,)
+
+    koop = pyEXP.edmd.Koopman({"halo": (halo, None, []),
+                               "tbl": (tbl, None, [])}, numev=3)
+    kk = koop.getAllKeys()
+    assert any(k[0] == "tbl" for k in kk)
+    koop.reconstruct()
+    out = koop.getReconstructedKoopman()
+    assert out["halo"]._c.as_array().shape[1:] == (2, 3, 3, 6)
+
+
+def test_even_odd_power_explicit_nodd():
+    """Explicit nodd overrides file metadata (reference precedence)."""
+    from exp_tpu.analysis.coefs import Coefs as NativeCoefs
+
+    nat = NativeCoefs(geometry="cylinder", name="d",
+                      meta={"mmax": 1, "nmax": 4, "ncylodd": 0})
+    c = np.zeros((2, 2, 4))
+    c[0, 0] = [1.0, 1.0, 2.0, 2.0]
+    nat.add(0.0, c)
+    coefs = pyEXP.coefs.Coefs(nat)
+    Pe, Po = coefs.EvenOddPower(nodd=2)
+    np.testing.assert_allclose(Pe[0, 0], 2.0)   # first 2 channels
+    np.testing.assert_allclose(Po[0, 0], 8.0)   # last 2 channels
+
+
+def test_parse_string_list_delimiter():
+    groups = pyEXP.read.parseStringList(
+        ["run.00010.0", "run.00010.1", "run.00011.0"], delimit=".")
+    assert ["run.00010.0", "run.00010.1"] in groups
+    assert ["run.00011.0"] in groups
