@@ -330,3 +330,37 @@ def test_parse_string_list_delimiter():
         ["run.00010.0", "run.00010.1", "run.00011.0"], delimit=".")
     assert ["run.00010.0", "run.00010.1"] in groups
     assert ["run.00011.0"] in groups
+
+
+def test_field_generator_midplane():
+    """setMidplane: disk slices are evaluated at the local density-max
+    height and report a 'midplane' surface (per-time coefficients are
+    interpolated — the bug class this guards)."""
+    basis = pyEXP.basis.Basis.factory(YAML_DISK)
+    rng = np.random.default_rng(6)
+    n = 3000
+    R = rng.exponential(0.01, n)
+    ph = rng.uniform(0, 2 * np.pi, n)
+    x = np.stack([R * np.cos(ph), R * np.sin(ph),
+                  0.001 + rng.normal(0, 0.002, n)], -1)   # offset plane
+    mass = np.full(n, 1.0 / n)
+    coefs = None
+    for t in (0.0, 1.0):
+        st = basis.createFromArray(mass, x, time=t)
+        if coefs is None:
+            coefs = pyEXP.coefs.Coefs.makecoefs(st, "disk")
+        coefs.add(st)
+    fg = pyEXP.field.FieldGenerator([0.0, 1.0], (-0.03, -0.03, 0),
+                                    (0.03, 0.03, 0), (12, 12, 0))
+    fg.setMidplane(True)
+    fg.setColumnHeight(3.0)
+    sl = fg.slices(basis, coefs)
+    assert set(sl) == {0.0, 1.0}
+    assert "midplane" in sl[0.0]
+    mp = sl[0.0]["midplane"]
+    assert mp.shape == (12, 12)
+    assert np.isfinite(sl[0.0]["dens"]).all()
+    # midplane heights stay within the scan range (the offset itself may
+    # not be recoverable with so few odd vertical functions — the test
+    # guards the per-time interpolation path, not the basis resolution)
+    assert np.abs(mp).max() <= 3.0 * 0.002 + 1e-12
