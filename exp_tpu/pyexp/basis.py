@@ -227,13 +227,17 @@ class Basis:
     # -- basis introspection -------------------------------------------------
 
     def getBasis(self, logxmin=-3.0, logxmax=0.5, numgrid=2000,
-                 logzmin=-3.0, logzmax=0.5, numz=0):
+                 logzmin=-3.0, logzmax=0.5, numz=0,
+                 zmin=None, zmax=None):
         """Tabulate the basis functions.
 
         Spherical: list over l of dict n -> {'potential', 'density',
         'rforce'} on a log radius grid (BasisWrappers.cc:1995).
         Cylindrical: dict m -> n -> {'potential', ...} on an (R, z)
-        grid (BasisWrappers.cc:1811)."""
+        grid (BasisWrappers.cc:1811).
+        Slab: nested list [kx][ky] of dict n -> {'potential', 'density',
+        'zforce'} on a linear z grid zmin..zmax (BasisWrappers.cc:2574,
+        BiorthBasis.cc:3892 Slab::getBasis)."""
         f = self._b.force
         g = self._b.geometry
         if g == "sphere":
@@ -271,12 +275,35 @@ class Basis:
                                       jnp.asarray(pts, jnp.float32))
                         ).reshape(numgrid, nz)}
             return out
+        if g == "slab":
+            # vertical SL functions per non-negative (kx, ky) wavenumber
+            # pair on a linear z grid (BiorthBasis.cc:3892-3950)
+            zlo = -f.zmax if zmin is None else float(zmin)
+            zhi = f.zmax if zmax is None else float(zmax)
+            zq = np.linspace(zlo, zhi, numgrid)
+            ztab = np.linspace(-f.zmax, f.zmax, f.numz)
+            phi = np.asarray(self._b.force.phi_t, np.float64)
+            dphi = np.asarray(self._b.force.dphi_t, np.float64)
+            dens = np.asarray(self._b.force.dens_t, np.float64)
+            out = []
+            for ix in range(f.nmaxx + 1):
+                row = []
+                for iy in range(f.nmaxy + 1):
+                    row.append({n: {
+                        "potential": np.interp(zq, ztab, phi[:, ix, iy, n]),
+                        "density": np.interp(zq, ztab, dens[:, ix, iy, n]),
+                        "zforce": -np.interp(zq, ztab, dphi[:, ix, iy, n]),
+                    } for n in range(f.nmax)})
+                out.append(row)
+            return out
         raise NotImplementedError(f"getBasis for geometry {g}")
 
     def orthoCheck(self, knots=40):
         """Biorthogonality Gram matrices: list over l (sphere) / m
-        (cylinder) of (nmax, nmax) inner products, ~ -identity for the
-        potential/density pair (exputil/orthoTest.cc)."""
+        (cylinder) / (kx, ky) pairs (slab) of (nmax, nmax) inner products
+        — ~ -identity for the sphere/cylinder potential/density pair,
+        ~ +identity for slab (sign-folded) and cube (|Gram| of the plane
+        waves, BiorthBasis.cc:4411) — exputil/orthoTest.cc."""
         f = self._b.force
         g = self._b.geometry
         if g == "sphere":
@@ -293,6 +320,51 @@ class Basis:
             return [np.einsum("jn,jm,j->nm", pot[:, l], dens[:, l],
                               r ** 2 * rp * wq)
                     for l in range(f.lmax + 1)]
+        if g == "cylinder":
+            # EOF tables carry the biorthogonal pair (U, D=4 pi rho):
+            # int U^m_n D^m_n' R dR dz dphi = -delta_nn'
+            # (EmpCylSL ortho check; azimuthal factor 2 pi for m=0, pi else)
+            from exp_tpu.ops import coords
+
+            xg = f.xmin + f.dx * np.arange(f.numx)
+            Rg = np.asarray(coords.xi_to_r(xg, 1, f.acyl))
+            zg = f.hcyl * np.sinh(f.ymin + f.dy * np.arange(f.numy))
+            W2 = np.outer(np.gradient(Rg) * Rg, np.gradient(zg))
+            sh = (f.numx, f.numy, f.mmax + 1, f.nmax)
+            pot = np.asarray(f.pot_t, np.float64).reshape(sh)
+            dens = np.asarray(f.dens_t, np.float64).reshape(sh)
+            return [(2 * np.pi if m == 0 else np.pi)
+                    * np.einsum("xyn,xym,xy->nm", pot[:, :, m],
+                                dens[:, :, m], W2)
+                    for m in range(f.mmax + 1)]
+        if g == "slab":
+            # per (kx, ky) pair: -int phi_n dens_n' dz = sgn_n delta_nn'
+            # (SLGridSlab orthoCheck; sgn folded in so the result ~ +I,
+            # matching the reference's convention of near-identity output)
+            phi = np.asarray(f.phi_t, np.float64)
+            dens = np.asarray(f.dens_t, np.float64)
+            sgn = np.asarray(f.sgn, np.float64)[f.nmaxx:, f.nmaxy:]
+            zg = np.linspace(-f.zmax, f.zmax, f.numz)
+            w = np.gradient(zg)
+            return [-np.einsum("zn,zm,z->nm", phi[:, ix, iy],
+                               dens[:, ix, iy], w) * sgn[ix, iy][None, :]
+                    for ix in range(f.nmaxx + 1)
+                    for iy in range(f.nmaxy + 1)]
+        if g == "cube":
+            # plane waves on the unit torus: the Gram matrix factorizes
+            # per axis, G = Gx kron Gy kron Gz with
+            # Gx[k,k'] = int_0^1 e^{2 pi i (k'-k) x} dx = delta (exact at
+            # any midpoint-rule resolution > the bandwidth); reference
+            # returns a single |Gram| (BiorthBasis.cc:4411 Cube::orthoCheck)
+            def axis_gram(nmax):
+                nq = max(knots, 2 * nmax + 1)   # beyond the k' - k bandwidth
+                k = np.arange(-nmax, nmax + 1)
+                xq = (np.arange(nq) + 0.5) / nq
+                e = np.exp(2j * np.pi * np.outer(k, xq))
+                return (np.conj(e) @ e.T).real / nq
+            G = np.kron(axis_gram(f.nmaxx),
+                        np.kron(axis_gram(f.nmaxy), axis_gram(f.nmaxz)))
+            return [np.abs(G)]
         raise NotImplementedError(f"orthoCheck for geometry {g}")
 
     def cacheInfo(self, cachefile: str):

@@ -364,3 +364,40 @@ def test_field_generator_midplane():
     # not be recoverable with so few odd vertical functions — the test
     # guards the per-time interpolation path, not the basis resolution)
     assert np.abs(mp).max() <= 3.0 * 0.002 + 1e-12
+
+
+def test_ortho_and_basis_all_geometries():
+    """orthoCheck/getBasis across the non-spherical geometries
+    (BasisWrappers.cc: Cylindrical:1851, Slab:2574/2613, Cube:2697)."""
+    # cylinder: EOF pot/dens tables biorthogonal per m
+    disk = pyEXP.basis.Basis.factory(YAML_DISK)
+    grams = disk.orthoCheck()
+    assert len(grams) == 3
+    for G in grams:
+        np.testing.assert_allclose(G, -np.eye(G.shape[0]), atol=5e-2)
+
+    # slab: sign-folded vertical Gram ~ +I per (kx, ky) pair
+    slab = pyEXP.basis.Basis.factory(
+        "{id: slabSL, parameters: {nmaxx: 2, nmaxy: 2, nmaxz: 4}}")
+    grams = slab.orthoCheck()
+    assert len(grams) == 9
+    for G in grams:
+        np.testing.assert_allclose(G, np.eye(G.shape[0]), atol=5e-2)
+    tab = slab.getBasis(numgrid=64)
+    assert len(tab) == 3 and len(tab[0]) == 3
+    assert set(tab[1][2][0]) == {"potential", "density", "zforce"}
+    assert all(len(v["potential"]) == 64 for v in tab[1][2].values())
+    # zforce is -d(potential)/dz at interior points
+    f0 = tab[0][0][0]
+    zq = np.linspace(-slab._b.force.zmax, slab._b.force.zmax, 64)
+    dz = zq[1] - zq[0]
+    num = -np.gradient(f0["potential"], dz)
+    np.testing.assert_allclose(num[5:-5], f0["zforce"][5:-5], rtol=0.05,
+                               atol=1e-3 * np.abs(f0["zforce"]).max())
+
+    # cube: plane waves exactly orthonormal -> |Gram| = I
+    cube = pyEXP.basis.Basis.factory(
+        "{id: cube, parameters: {nmaxx: 2, nmaxy: 2, nmaxz: 2}}")
+    (G,) = cube.orthoCheck()
+    assert G.shape == (125, 125)
+    np.testing.assert_allclose(G, np.eye(125), atol=1e-12)
