@@ -127,7 +127,11 @@ def make_analytic_force(kind: str, lmax: int, nmax: int, rmin=1e-3,
     flat = potx.reshape(numr, -1)
     for kk in range(flat.shape[1]):
         tabc[:, kk] = np.interp(xic, xi, flat[:, kk])
+    from exp_tpu.forces.spherical import spline_radial_tables
+
+    ncs = min(256, numr)
+    tabc_s, tabd_s = spline_radial_tables(flat, xi, ncs)
     return SphereSL(grid=grid, fac=real_ylm_norm(lmax, dtype=dtype),
                     tabc=jnp.asarray(tabc, dtype=dtype),
                     lmax=lmax, nmax=nmax, scale=scale, backend=backend,
-                    numr_c=nc)
+                    numr_c=nc, tabc_s=tabc_s, tabd_s=tabd_s, numr_cs=ncs)

@@ -71,7 +71,11 @@ def make_bessel_force(lmax: int, nmax: int, rmax: float, numr: int = 2000,
     flat = pot.reshape(numr, -1)
     for kk in range(flat.shape[1]):
         tabc[:, kk] = np.interp(xi_c, r, flat[:, kk])
+    from exp_tpu.forces.spherical import spline_radial_tables
+
+    ncs = min(256, numr)
+    tabc_s, tabd_s = spline_radial_tables(flat, r, ncs)
     return SphereSL(grid=grid, fac=real_ylm_norm(lmax, dtype=dtype),
                     tabc=jnp.asarray(tabc, dtype=dtype),
                     lmax=lmax, nmax=nmax, scale=1.0, backend=backend,
-                    numr_c=nc)
+                    numr_c=nc, tabc_s=tabc_s, tabd_s=tabd_s, numr_cs=ncs)

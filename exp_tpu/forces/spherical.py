@@ -49,6 +49,25 @@ def _dsmall(dtype):
     return 1.0e-16 if jnp.dtype(dtype) == jnp.float64 else 1.0e-10
 
 
+def spline_radial_tables(pot_flat, xi_fine, ncs):
+    """Spline tables for the pallas 'spline' interp: resample the fine
+    (numr, F) pot table and its d/dxi (2nd-order stencil on the fine f64
+    grid, so the tabulated derivative carries fine-grid accuracy) onto ncs
+    uniform xi nodes and prefilter both into ghost-extended quadratic
+    B-spline coefficients (ncs + 2, F) f32."""
+    from exp_tpu.ops.pallas_cylinder import prefilter_x
+
+    xi_s = np.linspace(xi_fine[0], xi_fine[-1], ncs)
+    dxi_fine = float(xi_fine[1] - xi_fine[0])
+    dpt = np.gradient(pot_flat, dxi_fine, axis=0, edge_order=2)
+    tabs = np.empty((ncs, pot_flat.shape[1]))
+    tabd = np.empty((ncs, pot_flat.shape[1]))
+    for k in range(pot_flat.shape[1]):
+        tabs[:, k] = np.interp(xi_s, xi_fine, pot_flat[:, k])
+        tabd[:, k] = np.interp(xi_s, xi_fine, dpt[:, k])
+    return jnp.asarray(prefilter_x(tabs)), jnp.asarray(prefilter_x(tabd))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class SphereSL:
@@ -79,6 +98,16 @@ class SphereSL:
     backend: str = "matmul"
     numr_c: int = 512
     chunk: int = 65536
+    #: pallas spline tables (pallas_interp='spline'): ghost-extended
+    #: prefiltered quadratic-B-spline coefficients of pot and d(pot)/dxi,
+    #: each (numr_cs + 2, (L+1)*nmax).  O(h^3) interpolation lets the
+    #: spline grid run at half the hat resolution — half the weight-build
+    #: VPU work and half the interpolation matmul in both kernels — while
+    #: staying MORE accurate, and the tabulated derivative removes the
+    #: hat-difference dWt build entirely.
+    tabc_s: jax.Array = None
+    tabd_s: jax.Array = None
+    numr_cs: int = 256
     #: pallas backend only.  'highest' (the default) is the right choice
     #: here: unlike the MXU-bound cylinder kernels, these are VPU-bound
     #: (Legendre/trig recurrences), so 'default' bf16 matmuls buy only
@@ -89,12 +118,18 @@ class SphereSL:
     #: 6.4 -> 4.3 ms, accel err 7.5e-1 max.  Kept as a knob for
     #: experiments only.
     pallas_precision: str = "highest"
+    #: pallas radial interpolation: 'spline' (default; prefiltered
+    #: quadratic B-spline at numr_cs nodes + tabulated d(pot)/dxi) or
+    #: 'hat' (legacy: hats at numr_c nodes, hat-difference derivative)
+    pallas_interp: str = "spline"
 
     @classmethod
     def from_tables(cls, t: SphSLTables, scale: float = 1.0,
                     dtype=jnp.float32, backend: str = "matmul",
                     numr_c: int = 512, chunk: int = 65536,
-                    pallas_precision: str = "highest") -> "SphereSL":
+                    pallas_precision: str = "highest",
+                    pallas_interp: str = "spline",
+                    numr_cs: int = 256) -> "SphereSL":
         grid = SLGridSph.from_tables(t, dtype=dtype)
         # resample the (numr, L+1, nmax) table onto a coarse uniform xi grid
         import numpy as np
@@ -105,19 +140,39 @@ class SphereSL:
         tabc = np.empty((nc, pt.shape[1]))
         for k in range(pt.shape[1]):
             tabc[:, k] = np.interp(xi_c, t.xi, pt[:, k])
+        ncs = min(numr_cs, t.numr)
+        tabc_s, tabd_s = spline_radial_tables(pt, np.asarray(t.xi), ncs)
         return cls(grid=grid, fac=real_ylm_norm(t.lmax, dtype=dtype),
                    tabc=jnp.asarray(tabc, dtype=dtype),
                    lmax=t.lmax, nmax=t.nmax, scale=scale, backend=backend,
-                   numr_c=nc, chunk=chunk, pallas_precision=pallas_precision)
+                   numr_c=nc, chunk=chunk,
+                   tabc_s=tabc_s, tabd_s=tabd_s,
+                   numr_cs=ncs, pallas_precision=pallas_precision,
+                   pallas_interp=pallas_interp)
 
     def tree_flatten(self):
-        return (self.grid, self.fac, self.tabc), (
+        return (self.grid, self.fac, self.tabc, self.tabc_s, self.tabd_s), (
             self.lmax, self.nmax, self.scale, self.backend, self.numr_c,
-            self.chunk, self.pallas_precision)
+            self.chunk, self.numr_cs, self.pallas_precision,
+            self.pallas_interp)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], *aux)
+        grid, fac, tabc, tabc_s, tabd_s = children
+        (lmax, nmax, scale, backend, numr_c, chunk, numr_cs,
+         pallas_precision, pallas_interp) = aux
+        return cls(grid=grid, fac=fac, tabc=tabc, tabc_s=tabc_s,
+                   tabd_s=tabd_s, lmax=lmax, nmax=nmax, scale=scale,
+                   backend=backend, numr_c=numr_c, chunk=chunk,
+                   numr_cs=numr_cs, pallas_precision=pallas_precision,
+                   pallas_interp=pallas_interp)
+
+    @property
+    def _interp_eff(self):
+        """'spline' only when the spline tables exist (directly-constructed
+        forces — bessel/analytic — may carry only the hat table)."""
+        return (self.pallas_interp
+                if self.tabc_s is not None else "hat")
 
     # -- coarse-grid helpers (matmul backend) ---------------------------
 
@@ -175,8 +230,10 @@ class SphereSL:
             if npad:
                 x = jnp.concatenate([x, jnp.zeros((npad, 3), x.dtype)])
                 mass = jnp.concatenate([mass, jnp.zeros(npad, mass.dtype)])
+            tab = (self.tabc_s if self._interp_eff == "spline"
+                   else self.tabc)
             return ck(pk.pack_xyzm(x, mass), pk.pad_table(
-                self.tabc, self.lmax, self.nmax, self.numr_c)
+                tab, self.lmax, self.nmax)
             ).astype(accum_dtype)
         if self.backend == "matmul":
             return self._chunked_sum(self._coef_chunk_matmul, x, mass,
@@ -187,26 +244,32 @@ class SphereSL:
         from exp_tpu.ops import pallas_sphere as pk
         import jax as _jax
 
-        key = (self.lmax, self.nmax, self.numr_c, float(self.grid.xmin),
-               float(self._dxc), float(self.grid.rmin), float(self.grid.rmax),
-               self.grid.cmap, float(self.grid.rmap), float(self.scale),
-               self.pallas_precision)
+        g = self.grid
+        spline = self._interp_eff == "spline"
+        nc = self.numr_cs if spline else self.numr_c
+        dxc = (g.dxi * (g.numr - 1)) / (nc - 1)
+        key = (self.lmax, self.nmax, nc, float(g.xmin),
+               float(dxc), float(g.rmin), float(g.rmax),
+               g.cmap, float(g.rmap), float(self.scale),
+               self.pallas_precision, self._interp_eff)
         ck = _PALLAS_CACHE.get(("coef",) + key)
         ak = _PALLAS_CACHE.get(("accel",) + key)
         if ck is None or ak is None:
-            interp = _jax.default_backend() == "cpu"
+            interpret = _jax.default_backend() == "cpu"
             fac_np = np.asarray(self.fac, np.float32)
             prec = (_jax.lax.Precision.DEFAULT
                     if self.pallas_precision == "default"
                     else _jax.lax.Precision.HIGHEST)
-            ck = pk.make_coef_kernel(self.lmax, self.nmax, self.numr_c,
+            ck = pk.make_coef_kernel(self.lmax, self.nmax, nc,
                                      key[3], key[4], key[5], key[6],
-                                     self.grid.cmap, key[8], key[9], fac_np,
-                                     interpret=interp, precision=prec)
-            ak = pk.make_accel_kernel(self.lmax, self.nmax, self.numr_c,
+                                     g.cmap, key[8], key[9], fac_np,
+                                     interpret=interpret, precision=prec,
+                                     interp=self._interp_eff)
+            ak = pk.make_accel_kernel(self.lmax, self.nmax, nc,
                                       key[3], key[4], key[5], key[6],
-                                      self.grid.cmap, key[8], key[9], fac_np,
-                                      interpret=interp, precision=prec)
+                                      g.cmap, key[8], key[9], fac_np,
+                                      interpret=interpret, precision=prec,
+                                      interp=self._interp_eff)
             _PALLAS_CACHE[("coef",) + key] = ck
             _PALLAS_CACHE[("accel",) + key] = ak
         return ck, ak
@@ -302,8 +365,13 @@ class SphereSL:
             from exp_tpu.ops import pallas_sphere as pk
 
             _, ak = self._pallas_kernels()
-            twT = pk.contract_coef_table_jit(coef, self.tabc, self.lmax,
-                                             self.nmax)
+            if self._interp_eff == "spline":
+                twT = pk.contract_coef_table2_jit(coef, self.tabc_s,
+                                                  self.tabd_s, self.lmax,
+                                                  self.nmax)
+            else:
+                twT = pk.contract_coef_table_jit(coef, self.tabc,
+                                                 self.lmax, self.nmax)
             npad = (-n) % 1024
             xp = x if not npad else jnp.concatenate(
                 [x, jnp.ones((npad, 3), x.dtype)])

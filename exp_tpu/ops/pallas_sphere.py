@@ -140,17 +140,38 @@ def _hat_rows(xi, xmin, dxc, nc, B, deriv=False):
     return W, dW
 
 
+def _spline_rows(xi, xmin, dxc, nc, B):
+    """Wt (nc + 2, B): prefiltered quadratic-B-spline weights against
+    ghost-extended spline coefficients (same scheme as the cylinder
+    kernels, ops/pallas_cylinder.py _w3/prefilter_x: support-3, O(h^3)
+    interpolation error vs the hats' O(h^2) — so the coarse grid can be
+    half the size for better accuracy AND half the matmul/VPU work)."""
+    t = jnp.clip((xi - xmin) / dxc, 0.0, nc - 1.0)          # (1, B)
+    j = jax.lax.broadcasted_iota(jnp.int32, (nc + 2, B), 0).astype(xi.dtype)
+    u = j - 1.0 - t                                         # ghost offset
+    au = jnp.abs(u)
+    inner = 0.75 - au * au
+    outer = 0.5 * (1.5 - au) * (1.5 - au)
+    return jnp.where(au <= 0.5, inner,
+                     jnp.where(au <= 1.5, outer, 0.0))
+
+
 # ---------------------------------------------------------------------------
 
 def make_coef_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
                      scale, fac_np, block=1024, interpret=False,
-                     precision=None):
-    """Returns fn(xyzm8 (8, N), tabc_padded (numr_c, Fp))
-    -> (2, lmax+1, lmax+1, nmax) f32."""
+                     precision=None, interp="hat"):
+    """Returns fn(xyzm8 (8, N), tabc_padded (rows, Fp))
+    -> (2, lmax+1, lmax+1, nmax) f32.
+
+    interp='hat': rows = numr_c, plain coarse table.  interp='spline':
+    rows = numr_c + 2, the table must be ghost-extended prefiltered
+    quadratic-B-spline coefficients (pallas_cylinder.prefilter_x)."""
     prows = packed_rows(lmax)
     C1 = _round_up(len(prows), 8)
     F = (lmax + 1) * nmax
     Fp = _round_up(F, 128)
+    rows = numr_c + 2 if interp == "spline" else numr_c
     prec = _PREC if precision is None else precision
 
     def kernel(xs_ref, tab_ref, out_ref):
@@ -174,8 +195,11 @@ def make_coef_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
         rows += [jnp.zeros_like(w)] * (C1 - len(rows))
         Y2 = jnp.concatenate(rows, axis=0)              # (C1, B)
 
-        Wt, _ = _hat_rows(xi, xmin, dxc, numr_c, B)     # (nc, B)
-        YW = _dotT(Y2, Wt, prec)                        # (C1, nc)
+        if interp == "spline":
+            Wt = _spline_rows(xi, xmin, dxc, numr_c, B)  # (nc + 2, B)
+        else:
+            Wt, _ = _hat_rows(xi, xmin, dxc, numr_c, B)  # (nc, B)
+        YW = _dotT(Y2, Wt, prec)                         # (C1, rows)
         out_ref[:] += jnp.dot(YW, tab_ref[:],
                               preferred_element_type=jnp.float32,
                               precision=_PREC)
@@ -190,7 +214,7 @@ def make_coef_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
             in_specs=[
                 pl.BlockSpec((8, block), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((numr_c, Fp), lambda i: (0, 0),
+                pl.BlockSpec((rows, Fp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((C1, Fp), lambda i: (0, 0),
@@ -212,8 +236,8 @@ def make_coef_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
 
 def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
                       scale, fac_np, block=1024, interpret=False,
-                      precision=None):
-    """Returns fn(xyzm8 (8, N), twT (C1, numr_c)) -> (8, N) with rows
+                      precision=None, interp="hat"):
+    """Returns fn(xyzm8 (8, N), twT) -> (8, N) with rows
     (ax, ay, az, pot, 0...).
 
     twT is the coefficient-contracted table (see contract_coef_table_jit):
@@ -221,10 +245,20 @@ def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
     the kernel fuses the two in-kernel matmuls (table-interp then coef) into
     one, and the (C1, numr_c) transposed layout puts the radial nodes on
     lanes — no 128-lane padding of the ~50-wide feature dim (2.4x fewer
-    matmul FLOPs at lmax=4, nmax=10)."""
+    matmul FLOPs at lmax=4, nmax=10).
+
+    interp='hat': twT (C1, numr_c) pot rows; the radial derivative is the
+    hat-difference contraction (dWt).  interp='spline': twT (2*C1,
+    numr_c + 2) — the first C1 rows are spline-prefiltered pot, the next
+    C1 rows a TABULATED d(pot)/dxi (contract_coef_table2_jit), so the
+    derivative needs no second weight build, shares the single stacked
+    matmul, and is immune to the adjacent-entry cancellation that breaks
+    the hat-difference at reduced precision."""
     prows = packed_rows(lmax)
     C1 = _round_up(len(prows), 8)
     eps = 1e-10
+    rows = numr_c + 2 if interp == "spline" else numr_c
+    twrows = 2 * C1 if interp == "spline" else C1
     prec = _PREC if precision is None else precision
 
     def kernel(xs_ref, tw_ref, out_ref):
@@ -255,14 +289,20 @@ def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
                                          - (l + mm) * P[(l - 1, mm)])
         cm, sm = _trig_rows(lmax, cphi, sphi)
 
-        Wt, dWt = _hat_rows(xi, xmin, dxc, numr_c, B, deriv=True)
         if cmap == 1:
             dxidr = 0.5 * (1.0 - xi) * (1.0 - xi) / rmap
         else:
             dxidr = jnp.ones_like(xi)
 
-        pc = _dotNT(tw_ref[:], Wt, prec)                # (C1, B)
-        dpc = _dotNT(tw_ref[:], dWt, prec) * dxidr
+        if interp == "spline":
+            Wt = _spline_rows(xi, xmin, dxc, numr_c, B)
+            pcd = _dotNT(tw_ref[:], Wt, prec)           # (2*C1, B)
+            pc = pcd[:C1]
+            dpc = pcd[C1:] * dxidr                      # table is d/dxi
+        else:
+            Wt, dWt = _hat_rows(xi, xmin, dxc, numr_c, B, deriv=True)
+            pc = _dotNT(tw_ref[:], Wt, prec)            # (C1, B)
+            dpc = _dotNT(tw_ref[:], dWt, prec) * dxidr
 
         base = jnp.where(outside, rb / r, 1.0)
         att = {0: base}                                 # (rb/r)^(l+1)
@@ -320,7 +360,7 @@ def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
             in_specs=[
                 pl.BlockSpec((8, block), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((C1, numr_c), lambda i: (0, 0),
+                pl.BlockSpec((twrows, rows), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
@@ -380,11 +420,26 @@ def contract_coef_table_jit(coef, tabc, lmax, nmax):
     return tw.T                                          # (C1, numr_c)
 
 
-def pad_table(tabc, lmax, nmax, numr_c):
+def contract_coef_table2_jit(coef, tabc_s, tabd_s, lmax, nmax):
+    """Spline variant of contract_coef_table_jit: both the prefiltered pot
+    table and the prefiltered d(pot)/dxi table (each (numr_c + 2, F))
+    contracted with the coefficients and stacked into (2*C1, numr_c + 2)
+    — the accel kernel's interp='spline' input."""
+    F = (lmax + 1) * nmax
+    Wc = expand_coef_matrix_jit(coef, lmax, nmax)        # (Fp, C1)
+    tw1 = jnp.asarray(tabc_s, jnp.float32) @ Wc[:F, :]   # (rows, C1)
+    tw2 = jnp.asarray(tabd_s, jnp.float32) @ Wc[:F, :]
+    return jnp.concatenate([tw1.T, tw2.T], axis=0)       # (2*C1, rows)
+
+
+def pad_table(tabc, lmax, nmax, numr_c=None):
+    """Pad the feature axis F -> Fp (lane tile); rows come from the table
+    itself (numr_c for hat tables, numr_c + 2 for ghosted spline tables)."""
     F = (lmax + 1) * nmax
     Fp = _round_up(F, 128)
-    out = jnp.zeros((numr_c, Fp), jnp.float32)
-    return out.at[:, :F].set(jnp.asarray(tabc, jnp.float32))
+    t = jnp.asarray(tabc, jnp.float32)
+    out = jnp.zeros((t.shape[0], Fp), jnp.float32)
+    return out.at[:, :F].set(t)
 
 
 def pack_xyzm(x, mass):

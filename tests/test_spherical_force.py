@@ -182,14 +182,15 @@ def test_backend_equivalence(setup):
 
 
 def test_pallas_backend_equivalence(setup):
-    """backend='pallas' (interpret mode on CPU) == 'matmul' backend."""
+    """backend='pallas' interp='hat' (interpret mode on CPU) == 'matmul'
+    backend (identical hat math)."""
     m, t, _, x, mass = setup
     x32 = x.astype(jnp.float32)
     m32 = mass.astype(jnp.float32)
     fm = SphereSL.from_tables(t, dtype=jnp.float32, backend="matmul",
                               numr_c=256)
     fp = SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas",
-                              numr_c=256)
+                              numr_c=256, pallas_interp="hat")
     # small N exercises the padding path too
     xs, ms = x32[:1500], m32[:1500]
     cm = fm.coefficients(xs, ms)
@@ -204,3 +205,30 @@ def test_pallas_backend_equivalence(setup):
                                rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(np.asarray(pp), np.asarray(pm),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_spline_backend_accuracy(setup):
+    """backend='pallas' interp='spline' (the default; prefiltered quadratic
+    B-spline at numr_cs=256 + tabulated d(pot)/dxi) tracks the exact f64
+    'gather' backend at least as well as the hat path at 512 nodes — the
+    O(h^3) interpolant buys accuracy AND halves the kernel work."""
+    m, t, _, x, mass = setup
+    fg = SphereSL.from_tables(t, dtype=jnp.float64, backend="gather")
+    fs = SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas")
+    assert fs._interp_eff == "spline"
+    x32, m32 = x.astype(jnp.float32), mass.astype(jnp.float32)
+    xs, ms = x32[:2048], m32[:2048]
+
+    cg = np.asarray(fg.coefficients(x[:2048], mass[:2048],
+                                    accum_dtype=jnp.float64))
+    cs = np.asarray(fs.coefficients(xs, ms))
+    scale = np.abs(cg).max()
+    assert np.abs(cs - cg).max() / scale < 5e-5
+
+    pts = xs[:300]
+    ag, pg = fg.acceleration(jnp.asarray(cg), x[:300])
+    asp, psp = fs.acceleration(jnp.asarray(cg, jnp.float32), pts)
+    np.testing.assert_allclose(np.asarray(asp), np.asarray(ag),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(psp), np.asarray(pg),
+                               rtol=2e-4, atol=1e-6)
