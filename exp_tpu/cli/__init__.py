@@ -5,7 +5,7 @@ umbrella: `python -m exp_tpu.cli <tool> ...`).  Coverage of the reference's
 utils/ inventory (SURVEY section 2.5):
 
   ICs:         gensph (utils/ICs/gensph), cubeics, gendisk (DiskHalo path),
-               shrinkics
+               shrinkics, modelfit, addring, forcetest
   PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp,
                psp2hdf5
   Analysis:    diskprof, haloprof, mssaprof, viewcoefs, h5compare, diskfreqs
@@ -19,4 +19,5 @@ TOOLS = [
     "diskprof", "haloprof", "slabprof", "mssaprof", "viewcoefs", "h5compare",
     "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
     "diskfreqs", "kldiv", "yamldiff",
+    "modelfit", "addring", "forcetest",
 ]

@@ -295,3 +295,53 @@ def test_snapconvert_and_vtk(tmp_path, monkeypatch):
     assert txt.startswith("# vtk DataFile")
     assert f"POINTS {n} float" in txt
     assert "SCALARS mass" in txt and "VECTORS velocity" in txt
+
+
+def test_modelfit_addring_forcetest(tmp_path, capsys):
+    """ICs toolbox: fit a profile to a realization, add a ring, and
+    measure BFE force errors vs the direct sum (utils/ICs ModelFit.cc /
+    addring.cc / force_test.cc)."""
+    from exp_tpu.cli.gensph import main as gensph
+    from exp_tpu.cli.ics_tools import modelfit, addring, forcetest
+
+    bods = str(tmp_path / "h.bods")
+    gensph(["-N", "8000", "-i", "hernquist", "-o", bods, "-s", "7"])
+    capsys.readouterr()
+
+    mfile = str(tmp_path / "fit.model")
+    modelfit([bods, "--family", "hernquist", "-o", mfile])
+    out = capsys.readouterr().out
+    # recover the Hernquist scale radius within ~30% from 8k particles
+    a_fit = float(out.split("a=")[1].split()[0])
+    assert 0.7 < a_fit < 1.3, out
+    assert os.path.exists(mfile)
+    from exp_tpu.basis.model import SphericalModelTable
+
+    mt = SphericalModelTable.from_file(mfile)
+    assert mt.total_mass > 0.3
+
+    ringed = str(tmp_path / "ring.bods")
+    addring([bods, "-o", ringed, "--nring", "500", "--radius", "1.0",
+             "--mring", "0.01"])
+    out = capsys.readouterr().out
+    assert "500 ring particles" in out
+    from exp_tpu.nbody.particles import read_ascii_bodies
+
+    ps = read_ascii_bodies(ringed)
+    assert ps.x.shape[0] == 8500
+    # ring rows orbit near R=1 with |v| ~ vc = sqrt(M(<1) + mring/2)
+    xr = np.asarray(ps.x)[-500:]
+    vr = np.asarray(ps.v)[-500:]
+    R = np.sqrt(xr[:, 0] ** 2 + xr[:, 1] ** 2)
+    assert abs(np.median(R) - 1.0) < 0.1
+    m_old = np.asarray(ps.mass)[:8000]
+    r_old = np.sqrt((np.asarray(ps.x)[:8000] ** 2).sum(axis=1))
+    vc = np.sqrt(m_old[r_old < 1.0].sum() + 0.005)
+    assert abs(np.median(np.linalg.norm(vr, axis=1)) - vc) / vc < 0.1
+
+    forcetest([bods, "--nsample", "200", "--lmax", "2", "--nmax", "8",
+               "--numr", "500"])
+    out = capsys.readouterr().out
+    p50 = float(out.split("p50 relative force error: ")[1].split()[0])
+    # BFE vs direct sum: median error set by sampling noise at 8k bodies
+    assert p50 < 0.1, out
