@@ -69,6 +69,14 @@ class FieldBasis:
                       "cartesian": ("vx", "vy", "vz")}[fields]
         self.force = force
         self.fields = tuple(fields)
+        self.custom = {}    # label -> vectorized fn(x, v) -> (N,)
+
+    def add_field(self, label, fn):
+        """Register a derived phase-space field: vectorized
+        fn(x (N,3), v (N,3)) -> (N,) (the reference's addPSFunction,
+        FieldBasis.cc:41)."""
+        self.custom[str(label)] = fn
+        self.fields = self.fields + (str(label),)
 
     def coefficients(self, x, v, mass, accum_dtype=jnp.float64):
         """Returns dict: 'dens' + each field name -> coefficient array."""
@@ -78,7 +86,11 @@ class FieldBasis:
         out = {"dens": self.force.coefficients(x, m,
                                                accum_dtype=accum_dtype)}
         for f in self.fields:
-            w = m * _field_value(f, x, v)
+            if f in self.custom:
+                w = m * jnp.asarray(np.asarray(self.custom[f](
+                    np.asarray(x), np.asarray(v))))
+            else:
+                w = m * _field_value(f, x, v)
             out[f] = self.force.coefficients(x, w, accum_dtype=accum_dtype)
         return out
 

@@ -157,6 +157,69 @@ class expMSSA:
             out._data[t] = flat[i].reshape(shape)
         return out
 
+    # -- Koopman/eDMD over the embedded channel space ----------------------
+
+    def koopman_modes(self, tol=1e-12):
+        """eDMD on the delay-embedded snapshot sequence
+        (expMSSA::getKoopmanModes, expMSSA.cc:1720-1860: the trajectory
+        matrix rows advance one sample per row, so DMD of X[:-1] -> X[1:]
+        truncated at s > tol*s_max estimates the Koopman operator on the
+        embedded channel space).
+
+        Returns (eigenvalues (r,) complex, modes (w*C, r) complex);
+        amplitudes for reconstruction are stored."""
+        X = self._X                              # (K, wC)
+        Y1, Y2 = X[:-1].T, X[1:].T               # (wC, K-1) snapshot cols
+        U, S, Vt = np.linalg.svd(Y1, full_matrices=False)
+        r = max(1, int(np.sum(S > tol * max(S[0], 1e-300))))
+        U, S, Vt = U[:, :r], S[:r], Vt[:r]
+        Atil = (U.T @ Y2 @ Vt.T) / S[None, :]
+        evals, W = np.linalg.eig(Atil)
+        Phi = (Y2 @ Vt.T / S[None, :]) @ W       # exact DMD modes (wC, r)
+        b = np.linalg.lstsq(Phi, Y1[:, 0], rcond=None)[0]
+        self._koopman = (evals, Phi, b)
+        return evals, Phi
+
+    def koopman_series(self, mode):
+        """Per-channel series of ONE Koopman mode: rank-1 dynamics
+        Re(b_m lambda_m^t phi_m) anti-diagonally averaged back from the
+        delay embedding (the real part halves a complex-conjugate pair —
+        sum the pair's modes for the full oscillation)."""
+        if not hasattr(self, "_koopman"):
+            self.koopman_modes()
+        evals, Phi, b = self._koopman
+        K = self._X.shape[0]
+        dyn = b[mode] * evals[mode] ** np.arange(K)
+        block = np.real(np.outer(dyn, Phi[:, mode]))     # (K, wC)
+        w = self.window
+        out = {}
+        for c, key in enumerate(self.keys):
+            s = np.zeros(self._T)
+            cnt = np.zeros(self._T)
+            blk = block[:, c * w:(c + 1) * w]
+            for j in range(w):
+                s[j:j + K] += blk[:, j]
+                cnt[j:j + K] += 1.0
+            out[key] = s / cnt
+        return out
+
+    def reconstruct_koopman(self, coefs, mode, name=None):
+        """Write one Koopman mode's reconstruction (plus the channel means)
+        into a copy of a Coefs container (expMSSA::getReconstructedKoopman)."""
+        rec = self.koopman_series(mode)
+        out = coefs.deepcopy()
+        times = out.times()
+        A = out.as_array()
+        flat = A.reshape(A.shape[0], -1)
+        for (nm, j), series in rec.items():
+            if name is not None and nm != name:
+                continue
+            flat[:, j] = series + self._mean[(nm, j)]
+        shape = self._shapes[name] if name is not None else self._shape
+        for i, t in enumerate(times):
+            out._data[t] = flat[i].reshape(shape)
+        return out
+
     def wcorr(self, ncomp=None):
         """w-correlation matrix between elementary reconstructions
         (expMSSA w-correlation diagnostics)."""

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+import yaml
 
 from exp_tpu.analysis.basis import Basis as _NativeBasis
 from .coefs import CoefStruct, Coefs
@@ -86,7 +87,9 @@ class Basis:
         """Project the reader's selected component
         (BiorthBasis.cc:4517-4582)."""
         mass, x, v = reader.Particles()
+        mass, x = self._apply_selector(mass, x, v)
         t = reader.CurrentTime() if time is None else float(time)
+        self._accumulate_covariance(mass, x)
         c = self._b.create_coefficients(x, mass, time=t, center=center)
         struct = CoefStruct(self._b.geometry, c, time=t,
                             center=center, name=self._b.name,
@@ -103,6 +106,9 @@ class Basis:
         if posvelrows or (pos.ndim == 2 and pos.shape[0] == 3
                           and pos.shape[1] != 3):
             pos = pos.T
+        mass = np.broadcast_to(np.asarray(mass, float), (pos.shape[0],))
+        mass, pos = self._apply_selector(mass, pos)
+        self._accumulate_covariance(mass, pos)
         c = self._b.create_coefficients(pos, mass, time=time, center=center)
         return CoefStruct(self._b.geometry, c, time=float(time),
                           center=center, name=self._b.name,
@@ -410,6 +416,385 @@ class Basis:
         _, _, acc = self._b.get_fields(c_mono, pts)
         return float(-acc[0, 0] * r ** 2)
 
+    # -- acceleration shorthand (BasisWrappers.cc:1548 getAccel) -----------
+
+    def getAccel(self, x, y=None, z=None):
+        """Cartesian acceleration at (x, y, z) (scalars or arrays) from
+        the current coefficients, minus the pseudo-acceleration when a
+        non-inertial frame is active (BiorthBasis.cc:4787)."""
+        if self._coefs is None:
+            raise RuntimeError("set_coefs first")
+        if y is None:
+            pts = np.atleast_2d(np.asarray(x, float))
+        else:
+            pts = np.stack([np.atleast_1d(np.asarray(x, float)),
+                            np.atleast_1d(np.asarray(y, float)),
+                            np.atleast_1d(np.asarray(z, float))], axis=-1)
+        _, _, acc = self._b.get_fields(np.asarray(self._coefs), pts)
+        acc = np.asarray(acc) - self.pseudo[None, :]
+        return acc[0] if acc.shape[0] == 1 else acc
+
+    # -- particle selection functor (BasisWrappers.cc:1132) ----------------
+
+    def setSelector(self, functor):
+        """Register a per-particle selection functor
+        bool = functor(mass, pos(3,), vel(3,)); applied in
+        createFromReader/createFromArray (Basis::setSelector)."""
+        self._selector = functor
+
+    def clrSelector(self):
+        self._selector = None
+
+    def _apply_selector(self, mass, pos, vel=None):
+        fn = getattr(self, "_selector", None)
+        if fn is None:
+            return mass, pos
+        v = np.zeros_like(pos) if vel is None else np.asarray(vel)
+        keep = np.fromiter(
+            (bool(fn(float(mass[i]), pos[i], v[i]))
+             for i in range(len(mass))), bool, count=len(mass))
+        return np.asarray(mass)[keep], np.asarray(pos)[keep]
+
+    # -- non-inertial (pseudo-acceleration) frame (BasisFactory.cc:286) ----
+
+    @property
+    def pseudo(self):
+        return getattr(self, "_pseudo", np.zeros(3))
+
+    def setInertial(self):
+        """Reset to inertial coordinates (Basis::setInertial)."""
+        self._naccel = 0
+        self._pseudo = np.zeros(3)
+
+    def setNonInertial(self, N, orient, pos=None):
+        """Load a center trajectory for pseudo-acceleration: `orient` is an
+        orient-log filename (EJOrient log: regressed center at columns
+        7:10) or a time array with `pos` (T, 3)
+        (Basis::setNonInertial, BasisFactory.cc:286-325)."""
+        if isinstance(orient, str):
+            a = np.loadtxt(orient, ndmin=2)
+            t = a[:, 0]
+            p = a[:, 7:10] if a.shape[1] >= 10 else a[:, 1:4]
+        else:
+            t = np.asarray(orient, float)
+            p = np.asarray(pos, float)
+        if len(t) < 3:
+            raise ValueError("setNonInertial: need >= 3 center samples")
+        self._naccel = max(3, int(N))
+        self._t_accel = t
+        self._p_accel = p
+        self._pseudo = np.zeros(3)
+
+    def setNonInertialAccel(self, time):
+        """Pseudo-acceleration at `time`: 2x the quadratic coefficient of a
+        least-squares fit of the center trajectory over ~N samples around
+        `time` (Basis::currentAccel, BasisFactory.cc:358-398)."""
+        n = getattr(self, "_naccel", 0)
+        if not n:
+            return self.pseudo
+        t, p = self._t_accel, self._p_accel
+        imax = min(len(t) - 1, np.searchsorted(t, time) + n // 2)
+        imin = max(imax - n, 0)
+        tt = t[imin:imax + 1] - time
+        A = np.stack([tt * tt, tt, np.ones_like(tt)], axis=-1)
+        coef, *_ = np.linalg.lstsq(A, p[imin:imax + 1], rcond=None)
+        self._pseudo = 2.0 * coef[0]
+        return self._pseudo
+
+    # -- coefficient covariance (OutSamp analogue; BasisWrappers.cc:1933) --
+
+    def enableCoefCovariance(self, use=True, sampT=100):
+        """Enable partitioned coefficient covariance accumulation: the
+        next createFromArray/createFromReader also projects sampT particle
+        partitions separately (Cylindrical/SphericalSL
+        enableCoefCovariance)."""
+        self._sampT = int(sampT) if use else 0
+        self._covar = None
+
+    def _accumulate_covariance(self, mass, pos):
+        sampT = getattr(self, "_sampT", 0)
+        if not sampT:
+            return
+        n = len(mass)
+        part = np.arange(n) % sampT
+        samples = []
+        for s in range(sampT):
+            sel = part == s
+            c = self._b.create_coefficients(pos[sel], mass[sel],
+                                            accum_dtype=np.float64)
+            samples.append(np.asarray(c).ravel())
+        self._covar = np.stack(samples)        # (sampT, ncoef)
+
+    def getCoefCovariance(self):
+        """(mean (ncoef,), covariance (ncoef, ncoef)) over the sampT
+        partition coefficient vectors (scaled to full-population sums)."""
+        if getattr(self, "_covar", None) is None:
+            raise RuntimeError("enableCoefCovariance + createFrom* first")
+        V = self._covar * self._covar.shape[0]   # per-partition -> total
+        mu = V.mean(axis=0)
+        d = V - mu
+        return mu, (d.T @ d) / max(1, V.shape[0] - 1)
+
+    def setCovarH5Compress(self, compress=5, chunkSize=1024 * 1024,
+                           shuffle=True, szip=False):
+        self._h5_compress = int(compress)
+
+    def writeCoefCovariance(self, cachefile, time=0.0):
+        """Write the partitioned coefficient vectors + covariance to HDF5
+        (Cylindrical::writeCoefCovariance)."""
+        import h5py
+
+        if getattr(self, "_covar", None) is None:
+            raise RuntimeError("enableCoefCovariance + createFrom* first")
+        mu, C = self.getCoefCovariance()
+        kw = {}
+        lvl = getattr(self, "_h5_compress", 0)
+        if lvl:
+            kw = dict(compression="gzip", compression_opts=min(lvl, 9))
+        with h5py.File(cachefile, "a") as f:
+            g = f.create_group(f"covariance/{float(time):.8e}")
+            g.attrs["sampT"] = self._covar.shape[0]
+            g.attrs["time"] = float(time)
+            g.create_dataset("samples", data=self._covar, **kw)
+            g.create_dataset("mean", data=mu, **kw)
+            g.create_dataset("covariance", data=C, **kw)
+
+    # -- cube wave-number indexing (BasisWrappers.cc:2655) -----------------
+
+    def index1D(self, nx, ny, nz):
+        """Flattened index of wave numbers (nx, ny, nz) in the packed cube
+        coefficient layout (Cube::index1D; signed k in -nmax..nmax)."""
+        f = self._b.force
+        sx, sy, sz = 2 * f.nmaxx + 1, 2 * f.nmaxy + 1, 2 * f.nmaxz + 1
+        ix, iy, iz = nx + f.nmaxx, ny + f.nmaxy, nz + f.nmaxz
+        if not (0 <= ix < sx and 0 <= iy < sy and 0 <= iz < sz):
+            raise ValueError("wave number out of range")
+        return (ix * sy + iy) * sz + iz
+
+    def invI3(self, I):
+        return self.index3D(I)
+
+    def index3D(self, I):
+        """Inverse of index1D: flat index -> (nx, ny, nz) (Cube::index3D)."""
+        f = self._b.force
+        sy, sz = 2 * f.nmaxy + 1, 2 * f.nmaxz + 1
+        iz = I % sz
+        iy = (I // sz) % sy
+        ix = I // (sy * sz)
+        return ix - f.nmaxx, iy - f.nmaxy, iz - f.nmaxz
+
+    # -- coefficients from a density function (BiorthBasis.cc:5230) -------
+
+    def makeFromFunction(self, func, params=None, time=0.0,
+                         potential=False):
+        """Coefficients from a density (or potential) function callback
+        rho = func(x, y, z, time) by Gauss-Legendre quadrature over the
+        basis domain (Spherical::makeFromFunction; params keys `knots`,
+        `rmapping`).  The quadrature nodes become weighted 'particles', so
+        the projection reuses the particle kernels."""
+        if potential:
+            raise NotImplementedError(
+                "makeFromFunction(potential=True): project the density "
+                "partner instead (the biorthogonal pair makes them "
+                "equivalent)")
+        w, pts = self._quadrature_nodes(params)
+        rho = np.asarray([func(p[0], p[1], p[2], time) for p in pts])
+        st = self.createFromArray(w * rho, pts, time=time)
+        return st
+
+    def computeQuadrature(self, func, params=None):
+        """Quadrature of func(x, y, z) over the basis domain
+        (Spherical::computeQuadrature)."""
+        w, pts = self._quadrature_nodes(params)
+        vals = np.asarray([func(p[0], p[1], p[2]) for p in pts])
+        return float(np.sum(w * vals))
+
+    def _quadrature_nodes(self, params=None):
+        """(weights, points (N, 3)) covering the basis domain: GL in the
+        mapped radius and cos(theta), uniform in phi (sphere), or GL in
+        (R, z) x uniform phi (cylinder)."""
+        params = dict(params or {})
+        knots = int(params.get("knots", 64))
+        g = self._b.geometry
+        f = self._b.force
+        if g == "sphere":
+            grid = f.grid
+            rmap = float(params.get("rmapping", grid.rmap))
+            from exp_tpu.ops import coords
+
+            xi, wx = np.polynomial.legendre.leggauss(knots)
+            ximin = float(coords.r_to_xi(grid.rmin + 1e-12, grid.cmap, rmap))
+            ximax = float(coords.r_to_xi(grid.rmax, grid.cmap, rmap))
+            xq = 0.5 * (ximax + ximin) + 0.5 * (ximax - ximin) * xi
+            wq = 0.5 * (ximax - ximin) * wx
+            r = np.asarray(coords.xi_to_r(xq, grid.cmap, rmap))
+            drdxi = 1.0 / np.asarray(coords.dxi_dr(xq, grid.cmap, rmap))
+            ct, wt = np.polynomial.legendre.leggauss(max(knots // 2, 8))
+            nphi = max(knots // 2, 8)
+            ph = 2 * np.pi * (np.arange(nphi) + 0.5) / nphi
+            wp = 2 * np.pi / nphi
+            R, CT, PH = np.meshgrid(r, ct, ph, indexing="ij")
+            W = (wq * r * r * drdxi)[:, None, None] \
+                * wt[None, :, None] * wp
+            ST = np.sqrt(1 - CT ** 2)
+            pts = np.stack([R * ST * np.cos(PH), R * ST * np.sin(PH),
+                            R * CT], axis=-1).reshape(-1, 3)
+            return np.broadcast_to(W, R.shape).reshape(-1).copy(), pts
+        if g == "cylinder":
+            Rmax = f.rmax_grid
+            zmax = float(np.sinh(f.ymin + f.dy * (f.numy - 1)) * f.hcyl)
+            xr, wr = np.polynomial.legendre.leggauss(knots)
+            R = 0.5 * Rmax * (xr + 1.0)
+            wR = 0.5 * Rmax * wr * R
+            xz, wz = np.polynomial.legendre.leggauss(max(knots // 2, 8))
+            z = zmax * xz
+            wZ = zmax * wz
+            nphi = max(knots // 2, 8)
+            ph = 2 * np.pi * (np.arange(nphi) + 0.5) / nphi
+            wp = 2 * np.pi / nphi
+            RR, ZZ, PH = np.meshgrid(R, z, ph, indexing="ij")
+            W = wR[:, None, None] * wZ[None, :, None] * wp
+            pts = np.stack([RR * np.cos(PH), RR * np.sin(PH), ZZ],
+                           axis=-1).reshape(-1, 3)
+            return np.broadcast_to(W, RR.shape).reshape(-1).copy(), pts
+        raise NotImplementedError(f"quadrature for geometry {g}")
+
+
+# ---------------------------------------------------------------------------
+# Field expansions over particle attributes (BasisWrappers.cc FieldBasis /
+# VelocityBasis; expui/FieldBasis.H:23-186)
+
+class FieldBasis:
+    """pyEXP.basis.FieldBasis: expand per-particle phase-space fields over
+    a harmonic x radial span conditioned on `modelname` (dof=3 sphere) or
+    a disk background (dof=2).  Accepts the reference's YAML keys
+    (FieldBasis.cc:27-39: modelname, dof, rmin/rmax/rmapping, ascl,
+    lmax/mmax/nmax)."""
+
+    _default_fields = ("vx", "vy", "vz")
+
+    def __init__(self, conf):
+        import jax.numpy as jnp
+        from exp_tpu.analysis.field_basis import FieldBasis as _Native
+
+        if isinstance(conf, str):
+            conf = yaml.safe_load(conf)
+        conf = conf or {}
+        p = dict(conf.get("parameters") or
+                 {k: v for k, v in conf.items() if k != "id"})
+        dof = int(p.get("dof", 3))
+        nmax = int(p.get("nmax", 10))
+        if dof == 3:
+            from exp_tpu.basis.slgrid import build_sph_sl_tables
+            from exp_tpu.cli._common import load_model
+            from exp_tpu.forces.spherical import SphereSL
+
+            model = load_model(p.get("modelname", "hernquist"),
+                               rmin=float(p.get("rmin", 1e-4)),
+                               rmax=float(p.get("rmax", 20.0)))
+            t = build_sph_sl_tables(
+                model, lmax=int(p.get("lmax", 4)), nmax=nmax,
+                numr=int(p.get("numr", 1000)), cmap=1,
+                rmap=float(p.get("rmapping", 1.0)))
+            force = SphereSL.from_tables(t, dtype=jnp.float64,
+                                         backend="gather")
+        elif dof == 2:
+            from exp_tpu.basis.flatdisk import build_flatdisk_tables
+            from exp_tpu.forces.cylinder import CylinderForce
+
+            t = build_flatdisk_tables(
+                mmax=int(p.get("mmax", 6)), nmax=nmax, model="expon",
+                acyl=float(p.get("ascl", 0.01)))
+            force = CylinderForce.from_tables(t, dtype=jnp.float64)
+        else:
+            raise ValueError(f"dof must be 2 or 3, got {dof}")
+        self._fb = _Native(force, self._default_fields)
+        self._accum = None
+        self.name = conf.get("name", "fieldbasis")
+
+    def addPSFunction(self, func, labels):
+        """Register a derived-field functor func(mass, pos(3,), vel(3,))
+        -> list of len(labels) values (FieldBasis::addPSFunction)."""
+        labels = list(labels)
+        probe = func(0.01, np.full(3, 0.01), np.full(3, 0.01))
+        if len(np.atleast_1d(probe)) != len(labels):
+            raise ValueError(
+                f"field dimension <{len(np.atleast_1d(probe))}> != label "
+                f"dimension <{len(labels)}> (FieldBasis.cc:49)")
+
+        def vec(k):
+            def fn(x, v):
+                return np.asarray(
+                    [np.atleast_1d(func(1.0, x[i], v[i]))[k]
+                     for i in range(x.shape[0])])
+            return fn
+
+        for k, lab in enumerate(labels):
+            self._fb.add_field(lab, vec(k))
+
+    # -- projection ---------------------------------------------------------
+
+    def createFromReader(self, reader, center=None):
+        m, x, v = reader.Particles()
+        x = np.asarray(x, float)
+        if center is not None:
+            x = x - np.asarray(center, float)[None, :]
+        return self._fb.coefficients(x, np.asarray(v, float),
+                                     np.asarray(m, float))
+
+    def initFromArray(self, center=None):
+        self._accum = ([], [], [])
+        self._center = (np.zeros(3) if center is None
+                        else np.asarray(center, float))
+
+    def addFromArray(self, mass, ps):
+        """ps: (N, 6) phase space rows [x y z u v w] (FieldBasis
+        addFromArray)."""
+        if self._accum is None:
+            raise RuntimeError("call initFromArray first")
+        ps = np.asarray(ps, float)
+        self._accum[0].append(np.broadcast_to(
+            np.asarray(mass, float), (ps.shape[0],)))
+        self._accum[1].append(ps[:, :3] - self._center[None, :])
+        self._accum[2].append(ps[:, 3:6])
+
+    def makeFromArray(self, time=0.0):
+        if self._accum is None:
+            raise RuntimeError("call initFromArray first")
+        m = np.concatenate(self._accum[0])
+        x = np.concatenate(self._accum[1])
+        v = np.concatenate(self._accum[2])
+        self._accum = None
+        return self._fb.coefficients(x, v, m)
+
+    # -- evaluation ---------------------------------------------------------
+
+    def getFields(self, coefs, x, y, z):
+        """Field estimates at one point or arrays of points: dict
+        label -> values."""
+        pts = np.stack([np.atleast_1d(np.asarray(x, float)),
+                        np.atleast_1d(np.asarray(y, float)),
+                        np.atleast_1d(np.asarray(z, float))], axis=-1)
+        out = self._fb.evaluate(coefs, pts)
+        if pts.shape[0] == 1:
+            out = {k: v[0] for k, v in out.items()}
+        return out
+
+    def getBasis(self, logxmin=-3.0, logxmax=0.5, numgrid=400):
+        """Underlying radial basis tables (FieldBasis::getBasis)."""
+        return Basis(_NativeBasis(self._fb.force)).getBasis(
+            logxmin, logxmax, numgrid)
+
+    def orthoCheck(self, knots=40):
+        return Basis(_NativeBasis(self._fb.force)).orthoCheck(knots)
+
+
+class VelocityBasis(FieldBasis):
+    """pyEXP.basis.VelocityBasis: FieldBasis preloaded with the velocity
+    field set (FieldBasis.H:186)."""
+
+    _default_fields = "spherical"
+
 
 # ---------------------------------------------------------------------------
 # Orbit integration (BasisWrappers.cc:3040-3160; BiorthBasis.cc:5056)
@@ -432,6 +817,11 @@ class AllTimeAccel(AccelFunc):
         b = basis.native if hasattr(basis, "native") else basis
         _, _, acc3 = b.get_fields(c, ps[:, :3])
         accel[:, :3] += acc3
+        if hasattr(basis, "setNonInertialAccel"):
+            # non-inertial frame: refresh + subtract the pseudo
+            # acceleration (BiorthBasis.cc:4787, 4888)
+            accel[:, :3] -= basis.setNonInertialAccel(time)[None, :] \
+                if getattr(basis, "_naccel", 0) else 0.0
         return accel
 
 

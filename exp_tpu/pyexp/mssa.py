@@ -33,6 +33,9 @@ class expMSSA:
                 keys[name] = [tuple(int(i) for i in k) for k in chans]
         self._m = _NativeMSSA(data, window, numpc, keys=keys or None)
         self._groups = None
+        # background snapshot for zerodata()/background() round trips
+        self._bg = {n: (c._c if hasattr(c, "_c") else c).deepcopy()
+                    for n, c in self._coefs.items()}
 
     # -- decomposition -------------------------------------------------------
 
@@ -41,6 +44,10 @@ class expMSSA:
 
     def getPC(self):
         return np.asarray(self._m.pcs())
+
+    def cumulative(self):
+        """Cumulatively summed eigenvalues (MSSAWrappers.cc:211)."""
+        return np.cumsum(np.asarray(self._m.eigenvalues()))
 
     def getU(self):
         """Left singular vectors (K, numpc)."""
@@ -104,6 +111,44 @@ class expMSSA:
             nat = coefs._c if hasattr(coefs, "_c") else coefs
             newnat = self._m.reconstruct_coefs(nat, groups=self._groups,
                                                name=name)
+            if hasattr(coefs, "_c"):
+                from .coefs import Coefs as _CompatCoefs
+
+                out[name] = _CompatCoefs(newnat)
+            else:
+                out[name] = newnat
+        return out
+
+    def background(self):
+        """Copy the background (original) coefficient data back into the
+        working Coefs — use after zerodata() so the non-analyzed channels
+        are included in the reconstruction (expMSSA::background,
+        CoefContainer.cc:81)."""
+        for name, coefs in self._coefs.items():
+            nat = coefs._c if hasattr(coefs, "_c") else coefs
+            bg = self._bg[name]
+            for t in nat.times():
+                nat._data[t] = bg._data[t].copy()
+            if hasattr(coefs, "_structs"):
+                for t, s in coefs._structs.items():
+                    s.coefs = nat._data.get(float(t), s.coefs)
+
+    # -- Koopman modes (eDMD over the embedded channels) ---------------------
+
+    def getKoopmanModes(self, tol=1e-12, window=0, debug=False):
+        """(eigenvalues, modes) from eDMD of the delay-embedded channels
+        (expMSSA::getKoopmanModes; `window` blending between serialized
+        channels is not needed here — channels are embedded independently)."""
+        ev, Phi = self._m.koopman_modes(tol)
+        return np.asarray(ev), np.asarray(Phi)
+
+    def getReconstructedKoopman(self, mode):
+        """dict name -> Coefs holding ONE Koopman mode's reconstruction
+        (expMSSA::getReconstructedKoopman)."""
+        out = {}
+        for name, coefs in self._coefs.items():
+            nat = coefs._c if hasattr(coefs, "_c") else coefs
+            newnat = self._m.reconstruct_koopman(nat, int(mode), name=name)
             if hasattr(coefs, "_c"):
                 from .coefs import Coefs as _CompatCoefs
 

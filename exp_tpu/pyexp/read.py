@@ -78,6 +78,22 @@ class ParticleReader:
         x, v, m = self._snap.GetParticles(self._type)
         return m, x, v
 
+    def NumFiles(self) -> int:
+        """Number of files backing the current snapshot (1 here: multiple
+        pieces are concatenated at createReader time)."""
+        return 1
+
+    def PrintSummary(self, verbose: bool = False):
+        """Print a summary of the snapshot (ParticleReaderWrappers.cc)."""
+        print(f"time = {self.CurrentTime()}")
+        for t in self.GetTypes():
+            x, v, m = self._snap.GetParticles(t)
+            line = f"  type {t!r}: N={len(m)}  Mtot={float(np.sum(m)):.6g}"
+            if verbose:
+                c = np.average(x, axis=0, weights=m)
+                line += f"  COM=({c[0]:.4g}, {c[1]:.4g}, {c[2]:.4g})"
+            print(line)
+
 
 def parseFileList(path: str, delimit: str = "") -> list:
     """Read a file listing snapshot files, grouped into time batches by a

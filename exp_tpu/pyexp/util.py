@@ -43,6 +43,43 @@ def particleIterator(reader, func):
         func(m[i], x[i, 0], x[i, 1], x[i, 2], v[i, 0], v[i, 1], v[i, 2], i)
 
 
+class KDdensity:
+    """k-d-tree kNN density estimator for a particle set
+    (expui/KDdensity.H; UtilWrappers.cc:248).  Accepts a ParticleReader
+    or a position array; `Ndens` is the kNN count."""
+
+    def __init__(self, reader, Ndens: int = 32):
+        from scipy.spatial import cKDTree
+
+        x, m = _particles(reader)
+        self._x = np.asarray(x, np.float64)
+        self._m = (np.ones(len(self._x)) if m is None
+                   else np.asarray(m, np.float64))
+        self._k = max(2, min(int(Ndens), len(self._x) - 1))
+        self._tree = cKDTree(self._x)
+
+    def _rho(self, pts, self_query=False):
+        k = self._k + (1 if self_query else 0)
+        d, idx = self._tree.query(np.atleast_2d(pts), k=k)
+        rk = d[:, -1]
+        vol = 4.0 / 3.0 * np.pi * np.maximum(rk, 1e-30) ** 3
+        # kNN mass density: sum of the k neighbor masses over the ball
+        msum = self._m[idx[:, (1 if self_query else 0):]].sum(axis=1)
+        return msum / vol
+
+    def getDensityAtPoint(self, x, y=None, z=None):
+        """Density estimate at (x, y, z) or at a position list."""
+        p = np.asarray(x, np.float64) if y is None \
+            else np.array([x, y, z], np.float64)
+        return float(self._rho(p.reshape(1, 3))[0])
+
+    def getDensityByIndex(self, i):
+        """Density estimate at particle index i (excluding the particle
+        itself from its neighbor ball)."""
+        return float(self._rho(self._x[int(i)].reshape(1, 3),
+                               self_query=True)[0])
+
+
 def getVersionInfo():
     return _u.getVersionInfo()
 

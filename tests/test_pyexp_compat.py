@@ -401,3 +401,156 @@ def test_ortho_and_basis_all_geometries():
     (G,) = cube.orthoCheck()
     assert G.shape == (125, 125)
     np.testing.assert_allclose(G, np.eye(125), atol=1e-12)
+
+
+def test_selector_and_accel(snapshot, basis):
+    """setSelector filters particles; getAccel returns the acceleration
+    columns (BasisWrappers.cc:1132, 1548)."""
+    path, x, v, mass = snapshot
+    st_all = basis.createFromArray(mass, x, time=0.0)
+    basis.setSelector(lambda m, p, vv: p[2] > 0)
+    st_up = basis.createFromArray(mass, x, time=0.0)
+    basis.clrSelector()
+    ref = pyEXP.basis.Basis.factory(YAML_SPHERE).createFromArray(
+        mass[x[:, 2] > 0], x[x[:, 2] > 0], time=0.0)
+    np.testing.assert_allclose(st_up.getCoefs(), ref.getCoefs(),
+                               rtol=1e-10, atol=1e-12)
+    assert np.abs(st_up.getCoefs() - st_all.getCoefs()).max() > 1e-6
+
+    basis.set_coefs(st_all)
+    a = basis.getAccel(0.5, 0.0, 0.0)
+    assert a.shape == (3,) and a[0] < 0  # inward pull
+    aa = basis.getAccel([0.5, 1.0], [0.0, 0.0], [0.0, 0.0])
+    assert aa.shape == (2, 3)
+
+
+def test_noninertial_pseudo_accel(snapshot, basis):
+    """setNonInertial + setNonInertialAccel: quadratic-LS pseudo
+    acceleration from a center trajectory (BasisFactory.cc:286-398)."""
+    t = np.linspace(0.0, 1.0, 21)
+    acc_true = np.array([0.3, -0.2, 0.1])
+    pos = 0.5 * acc_true[None, :] * t[:, None] ** 2
+    basis.setNonInertial(8, t, pos=pos)
+    ps = basis.setNonInertialAccel(0.5)
+    np.testing.assert_allclose(ps, acc_true, rtol=1e-6, atol=1e-9)
+    basis.setInertial()
+    assert np.all(basis.pseudo == 0.0)
+
+
+def test_coef_covariance(snapshot, basis, tmp_path):
+    """enableCoefCovariance / getCoefCovariance / writeCoefCovariance
+    (BasisWrappers.cc:1933, Cylindrical::writeCoefCovariance)."""
+    path, x, v, mass = snapshot
+    basis.enableCoefCovariance(True, sampT=8)
+    st = basis.createFromArray(mass, x, time=0.0)
+    mu, C = basis.getCoefCovariance()
+    full = st.getCoefs().ravel()
+    # partition mean scaled to totals ~ full-population coefficients
+    scale = np.abs(full).max()
+    assert np.abs(mu - full).max() / scale < 0.2
+    assert C.shape == (mu.size, mu.size)
+    # diagonal nonnegative
+    assert np.all(np.diag(C) >= -1e-12)
+    f = str(tmp_path / "covar.h5")
+    basis.writeCoefCovariance(f, time=0.0)
+    import h5py
+
+    with h5py.File(f) as h5:
+        g = h5["covariance"]
+        key = list(g)[0]
+        assert g[key]["samples"].shape[0] == 8
+    basis.enableCoefCovariance(False)
+
+
+def test_make_from_function(basis):
+    """makeFromFunction: quadrature projection of the analytic Hernquist
+    density reproduces the monopole of the sampled halo
+    (BiorthBasis.cc:5230)."""
+    def rho(x, y, z, t):
+        r = np.sqrt(x * x + y * y + z * z)
+        return 1.0 / (2 * np.pi * r * (1 + r) ** 3)
+
+    st = basis.makeFromFunction(rho, {"knots": 64}, time=0.0)
+    c = st.getCoefs()
+    # monopole dominates, sin block ~ 0
+    assert abs(c[0, 0, 0, 0]) > 30 * np.abs(c[0, 1:]).max()
+    # total mass via the quadrature helper: Hernquist M(<20) = (20/21)^2
+    Mtot = basis.computeQuadrature(lambda x, y, z: rho(x, y, z, 0.0),
+                                   {"knots": 64})
+    assert abs(Mtot - (20.0 / 21.0) ** 2) < 1e-3
+
+
+def test_koopman_modes_and_background(snapshot, basis):
+    """getKoopmanModes / getReconstructedKoopman / cumulative /
+    background (MSSAWrappers.cc:211, 338, 633)."""
+    path, x, v, mass = snapshot
+    coefs = None
+    rng = np.random.default_rng(2)
+    for i, t in enumerate(np.linspace(0.0, 1.0, 12)):
+        ph = 2 * np.pi * 0.9 * t
+        R = np.array([[np.cos(ph), -np.sin(ph), 0],
+                      [np.sin(ph), np.cos(ph), 0], [0, 0, 1.0]])
+        st = basis.createFromArray(mass, x @ R.T, time=t)
+        if coefs is None:
+            coefs = pyEXP.coefs.Coefs.makecoefs(st, "halo")
+        coefs.add(st)
+    mssa = pyEXP.mssa.expMSSA({"halo": (coefs, [])}, window=6, numpc=6)
+    cum = mssa.cumulative()
+    assert cum.shape[0] >= 2 and np.all(np.diff(cum) >= -1e-9)
+    ev, modes = mssa.getKoopmanModes(tol=1e-10)
+    assert ev.ndim == 1 and modes.shape[1] == ev.shape[0]
+    # rotating pattern -> leading eigenvalues near the unit circle
+    assert np.abs(np.abs(ev[0]) - 1.0) < 0.2
+    rec = mssa.getReconstructedKoopman(0)
+    assert "halo" in rec and rec["halo"].Times() == coefs.Times()
+
+    # zerodata + background restores the working data
+    orig = np.array(coefs.getAllCoefs())
+    coefs.zerodata()
+    assert np.abs(np.array(coefs.getAllCoefs())).max() == 0.0
+    mssa.background()
+    np.testing.assert_allclose(np.array(coefs.getAllCoefs()), orig)
+
+
+def test_kddensity_and_reader_summary(snapshot, capsys):
+    """util.KDdensity point/index density; reader NumFiles/PrintSummary
+    (UtilWrappers.cc:248, ParticleReaderWrappers.cc)."""
+    path, x, v, mass = snapshot
+    reader = pyEXP.read.ParticleReader.createReader("ascii", path)
+    assert reader.NumFiles() == 1
+    reader.PrintSummary(verbose=True)
+    out = capsys.readouterr().out
+    assert "N=3000" in out and "COM=" in out
+
+    kd = pyEXP.util.KDdensity(reader, Ndens=16)
+    rho_in = kd.getDensityAtPoint(0.3, 0.0, 0.0)
+    rho_out = kd.getDensityAtPoint([8.0, 0.0, 0.0])
+    assert rho_in > 30 * rho_out > 0
+    assert kd.getDensityByIndex(0) > 0
+
+
+def test_field_basis_compat(snapshot):
+    """pyEXP.basis.FieldBasis / VelocityBasis with addPSFunction
+    (BasisWrappers.cc FieldBasis; FieldBasis.cc:41)."""
+    path, x, v, mass = snapshot
+    fb = pyEXP.basis.VelocityBasis(
+        "{parameters: {modelname: hernquist, lmax: 2, nmax: 6, dof: 3}}")
+    fb.addPSFunction(lambda m, pos, vel: [float(vel @ vel)], ["v2"])
+    reader = pyEXP.read.ParticleReader.createReader("ascii", path)
+    coefs = fb.createFromReader(reader)
+    assert {"dens", "vr", "vt", "vp", "v2"} <= set(coefs)
+    out = fb.getFields(coefs, 0.5, 0.0, 0.0)
+    # isotropic equilibrium: mean radial velocity ~ 0, v2 > 0
+    assert abs(out["vr"]) < 0.2 * np.sqrt(out["v2"])
+    assert out["v2"] > 0
+    # incremental API matches one-shot
+    fb2 = pyEXP.basis.VelocityBasis(
+        "{parameters: {modelname: hernquist, lmax: 2, nmax: 6, dof: 3}}")
+    fb2.initFromArray()
+    ps6 = np.concatenate([x, v], axis=1)
+    fb2.addFromArray(mass, ps6)
+    c2 = fb2.makeFromArray()
+    np.testing.assert_allclose(c2["vr"], coefs["vr"], rtol=1e-8, atol=1e-12)
+    # tables + ortho
+    grams = fb.orthoCheck()
+    assert len(grams) == 3
