@@ -434,6 +434,12 @@ class Basis:
         acc = np.asarray(acc) - self.pseudo[None, :]
         return acc[0] if acc.shape[0] == 1 else acc
 
+    getAccelArray = getAccel
+
+    def __call__(self, x, y, z):
+        """Field evaluation at a point (BasisWrappers.cc:999)."""
+        return self.getFields(x, y, z)
+
     # -- particle selection functor (BasisWrappers.cc:1132) ----------------
 
     def setSelector(self, functor):

@@ -79,6 +79,16 @@ class CoefStruct:
         compatibility."""
         return self
 
+    def assign(self, mat, *dims):
+        """Assign a coefficient matrix (CoefWrappers.cc:961 SphStruct/
+        CylStruct::assign): `dims` are the angular/radial orders — e.g.
+        (lmax, nmax) sphere, (mmax, nmax) cylinder — used only to check
+        the data size against the declared orders."""
+        mat = np.asarray(mat)
+        if dims and mat.shape != self.coefs.shape:
+            mat = mat.reshape(self.coefs.shape)
+        self.coefs = mat
+
 
 class Coefs:
     """Time series of CoefStructs with the reference's camelCase surface
