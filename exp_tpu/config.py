@@ -28,7 +28,7 @@ _GLOBAL_KEYS = {
     "dynfracV", "dynfracA", "dynfracP", "dynfracS", "dynfracD",
     "infile", "ldlibdir", "outdir", "nthrds", "cuda", "allcouples",
     "restart", "nbalance", "dbthresh", "dtime_rel", "shiftlevl",
-    "compute_dtype", "accum_dtype", "fpe", "maxMindt",
+    "compute_dtype", "accum_dtype", "fpe", "maxMindt", "nrelevel",
 }
 
 _COMPONENT_KEYS = {"name", "parameters", "bodyfile", "force"}
@@ -66,6 +66,11 @@ class GlobalConfig:
     dynfracD: float = 1.0e32
     allcouples: bool = True
     shiftlevl: int = 0
+    #: re-level/re-bucket every N big steps (1 = every boundary, the
+    #: reference's per-substep adjust is already coarsened to boundaries
+    #: by the NoSwitch discipline; >1 trades level freshness for less
+    #: relevel overhead)
+    nrelevel: int = 1
     compute_dtype: str = "float32"
     accum_dtype: str = "float64"
     #: hard cap on bodies per component (reference global.H nbodmax);

@@ -108,16 +108,18 @@ class SphereSL:
     tabc_s: jax.Array = None
     tabd_s: jax.Array = None
     numr_cs: int = 256
-    #: pallas backend only.  'highest' (the default) is the right choice
-    #: here: unlike the MXU-bound cylinder kernels, these are VPU-bound
-    #: (Legendre/trig recurrences), so 'default' bf16 matmuls buy only
-    #: ~10-30% while costing 3e-3 coefficient error and a broken radial
-    #: derivative (the hat-difference dot cancels adjacent bf16-rounded
-    #: table entries -> O(1) force errors where the table is flat).
-    #: Measured v5e @1M lmax=4/nmax=10: coef 4.5 -> 4.1 ms, accel
-    #: 6.4 -> 4.3 ms, accel err 7.5e-1 max.  Kept as a knob for
-    #: experiments only.
-    pallas_precision: str = "highest"
+    #: pallas backend matmul precision.  With the spline tables (tabulated
+    #: derivative — no hat-difference cancellation) measured v5e @1M
+    #: lmax=4/nmax=10:
+    #:   'highest': coef 3.45 ms / accel 4.36 ms; baseline accuracy.
+    #:   'default': coef 2.68 / accel 3.53; coefficient error UNCHANGED
+    #:     (2.3e-5 — per-particle bf16 rounding averages out in the global
+    #:     sum) but per-particle force error p50 1.2e-3, p99 3.6e-3.
+    #:   'mixed' (the default): coef at bf16 'default' (free — sum error
+    #:     unchanged), accel at 'highest' (exact per-particle forces).
+    #: With the legacy 'hat' interp, 'default' additionally breaks the
+    #: hat-difference radial derivative — only 'highest' is safe there.
+    pallas_precision: str = "mixed"
     #: pallas radial interpolation: 'spline' (default; prefiltered
     #: quadratic B-spline at numr_cs nodes + tabulated d(pot)/dxi) or
     #: 'hat' (legacy: hats at numr_c nodes, hat-difference derivative)
@@ -257,18 +259,26 @@ class SphereSL:
         if ck is None or ak is None:
             interpret = _jax.default_backend() == "cpu"
             fac_np = np.asarray(self.fac, np.float32)
-            prec = (_jax.lax.Precision.DEFAULT
-                    if self.pallas_precision == "default"
-                    else _jax.lax.Precision.HIGHEST)
+            hi = _jax.lax.Precision.HIGHEST
+            lo = _jax.lax.Precision.DEFAULT
+            pp = self.pallas_precision
+            if self._interp_eff == "hat" and pp != "default":
+                # hat-difference derivative requires exact matmuls
+                coef_prec = accel_prec = hi
+            else:
+                coef_prec = lo if pp in ("default", "mixed") else hi
+                accel_prec = lo if pp == "default" else hi
             ck = pk.make_coef_kernel(self.lmax, self.nmax, nc,
                                      key[3], key[4], key[5], key[6],
                                      g.cmap, key[8], key[9], fac_np,
-                                     interpret=interpret, precision=prec,
+                                     interpret=interpret,
+                                     precision=coef_prec,
                                      interp=self._interp_eff)
             ak = pk.make_accel_kernel(self.lmax, self.nmax, nc,
                                       key[3], key[4], key[5], key[6],
                                       g.cmap, key[8], key[9], fac_np,
-                                      interpret=interpret, precision=prec,
+                                      interpret=interpret,
+                                      precision=accel_prec,
                                       interp=self._interp_eff)
             _PALLAS_CACHE[("coef",) + key] = ck
             _PALLAS_CACHE[("accel",) + key] = ak

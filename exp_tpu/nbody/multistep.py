@@ -505,17 +505,19 @@ class MultistepRunner:
         st, regs, coef, diag = self._init(st, t0, centers, extras, rots)
         return st, regs, coef, diag
 
-    def _init(self, st, t0=0.0, centers=None, extras=None, rots=None):
+    def _init(self, st, t0=0.0, centers=None, extras=None, rots=None,
+              prime_accel=True):
         centers = centers or self._zero_centers()
         rots = rots or self._eye_rots()
         extras = extras or self._default_extras(t0)
-        sig = (self._caps_sig(st), self._extras_sig(extras))
+        sig = (self._caps_sig(st), self._extras_sig(extras), prime_accel)
         if sig not in self._init_fns:
             self._init_fns[sig] = init_regs_fn(
                 self.forces, self.couples, self.M, self.mesh,
                 accum_dtype=self.accum_dtype, feats=self.feats,
                 externals=self.externals,
-                extras_sig=self._extras_sig(extras))
+                extras_sig=self._extras_sig(extras),
+                prime_accel=prime_accel)
         return self._init_fns[sig](st, jnp.float32(t0), centers, rots,
                                    extras)
 
@@ -661,7 +663,11 @@ class MultistepRunner:
                      for n, ps in flat.items()}
             self.caps = {n: lb.caps for n, lb in state.items()}
             st = {n: tuple(lb.buckets) for n, lb in state.items()}
-        st, regs, _, _ = self._init(st, t0, centers, extras, rots)
+        # rebuild only the per-new-level registers: acc/pot were computed
+        # at this same synchronized boundary by the closing kick and are
+        # carried through the rebucketing
+        st, regs, _, _ = self._init(st, t0, centers, extras, rots,
+                                    prime_accel=False)
         return st, regs
 
     def level_counts(self, st):
@@ -673,9 +679,17 @@ class MultistepRunner:
 
 def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
                  accum_dtype=jnp.float32, axis_name: str = "p",
-                 feats=None, externals=(), extras_sig=((), ())):
+                 feats=None, externals=(), extras_sig=((), ()),
+                 prime_accel=True):
     """Initial per-level registers + acceleration at t0 (begin_run prime),
-    honoring the same per-component features as the substeps."""
+    honoring the same per-component features as the substeps.
+
+    prime_accel=False skips the acceleration pass — the relevel path uses
+    it: rebucketing carries each particle's acc/pot (computed in the last
+    substep's closing kick at the same synchronized time), so only the
+    per-NEW-level coefficient registers need rebuilding.  At 1M particles
+    the acceleration pass costs more than the coefficient pass, so this
+    nearly halves the per-bigstep relevel overhead."""
     from jax.sharding import PartitionSpec as P
 
     names = list(forces)
@@ -717,6 +731,12 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
         out = {}
         diag = {}
         for n in names:
+            if not prime_accel:
+                bs = list(state[n])
+                out[n] = tuple(bs)
+                parts = [_diagnostics(b, axis_name=axis_name) for b in bs]
+                diag[n] = jax.tree_util.tree_map(lambda *xs: sum(xs), *parts)
+                continue
             bs = []
             for b in state[n]:
                 acc = jnp.zeros_like(b.x)

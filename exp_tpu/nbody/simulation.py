@@ -903,9 +903,11 @@ class Simulation:
                                              rots=rots)
             t1 = time.time()
             self.timers["Compute"] += t1 - t0
-            st, regs = r.relevel(st, regs, t0=self.time + self.dt,
-                                 centers=centers,
-                                 extras_fn=self._ms_extras_fn, rots=rots)
+            if (self.istep + 1) % max(1, self.config.glob.nrelevel) == 0:
+                st, regs = r.relevel(st, regs, t0=self.time + self.dt,
+                                     centers=centers,
+                                     extras_fn=self._ms_extras_fn,
+                                     rots=rots)
             t2 = time.time()
             self.timers["Relevel"] += t2 - t1
             self._ms_state, self._ms_regs = st, regs
