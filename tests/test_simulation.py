@@ -677,3 +677,24 @@ Output:
     with h5py.File(path, "r") as f:
         comp = f[[k for k in f.keys()][0]]
         assert comp["x"].dtype == np.float32
+
+
+def test_nrelevel_knob(rundir):
+    """Global.nrelevel: re-leveling every N big steps still conserves
+    energy and keeps all particles accounted for."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun",
+        "runtag: nrlrun\n  multistep: 2\n  nrelevel: 4\n"
+        "  dynfracV: 0.05\n  dynfracA: 0.05")
+    (rundir / "config_nrl.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_nrl.yml"))
+    assert sim.config.glob.nrelevel == 4
+    sim.run(9)
+    log = (rundir / "OUTLOG.nrlrun").read_text().splitlines()
+    rows = [r for r in log if not r.startswith("#") and "Time" not in r]
+    E = [float(r.split("|")[15]) for r in rows]
+    assert abs(E[-1] - E[0]) / abs(E[0]) < 5e-3
+    counts = sim._ms_runner.level_counts(sim._ms_state)["halo"]
+    assert sum(counts) == 3000
