@@ -73,8 +73,8 @@ class FieldBasis:
 
     def add_field(self, label, fn):
         """Register a derived phase-space field: vectorized
-        fn(x (N,3), v (N,3)) -> (N,) (the reference's addPSFunction,
-        FieldBasis.cc:41)."""
+        fn(x (N,3), v (N,3), mass (N,)) -> (N,) (the reference's
+        addPSFunction, FieldBasis.cc:41)."""
         self.custom[str(label)] = fn
         self.fields = self.fields + (str(label),)
 
@@ -88,7 +88,7 @@ class FieldBasis:
         for f in self.fields:
             if f in self.custom:
                 w = m * jnp.asarray(np.asarray(self.custom[f](
-                    np.asarray(x), np.asarray(v))))
+                    np.asarray(x), np.asarray(v), np.asarray(m))))
             else:
                 w = m * _field_value(f, x, v)
             out[f] = self.force.coefficients(x, w, accum_dtype=accum_dtype)

@@ -161,9 +161,12 @@ def addring(argv=None):
     ph = rng.uniform(0, 2 * np.pi, a.nring)
     xr = np.stack([R * np.cos(ph), R * np.sin(ph), z], axis=-1)
 
-    # circular speed from the enclosed mass of the blend (G = 1)
+    # circular speed from the enclosed mass of the blend (G = 1):
+    # sort + cumsum + searchsorted, O((N + nring) log N)
     r_old = np.sqrt((x * x).sum(axis=1))
-    Menc = np.array([m[r_old < Ri].sum() for Ri in R]) + 0.5 * a.mring
+    order = np.argsort(r_old)
+    csum = np.concatenate([[0.0], np.cumsum(m[order])])
+    Menc = csum[np.searchsorted(r_old[order], R)] + 0.5 * a.mring
     vc = np.sqrt(Menc / np.maximum(R, 1e-12))
     vr = np.stack([-vc * np.sin(ph), vc * np.cos(ph),
                    np.zeros(a.nring)], axis=-1)
@@ -222,11 +225,16 @@ def forcetest(argv=None):
     acc_b, _ = force.acceleration(coef, jnp.asarray(pts))
     acc_b = np.asarray(acc_b)
 
-    # direct softened sum (excluding self-interaction via the softening)
-    d = pts[:, None, :] - x[None, :, :]                 # (S, N, 3)
-    r2 = (d * d).sum(axis=2) + a.eps ** 2
-    w = m[None, :] * r2 ** -1.5
-    acc_d = -(d * w[:, :, None]).sum(axis=1)
+    # direct softened sum, chunked over source particles so memory stays
+    # O(nsample * chunk) regardless of snapshot size
+    acc_d = np.zeros_like(pts)
+    chunk = max(1, 10_000_000 // max(1, pts.shape[0]))
+    for i0 in range(0, x.shape[0], chunk):
+        xs_c = x[i0:i0 + chunk]
+        d = pts[:, None, :] - xs_c[None, :, :]          # (S, c, 3)
+        r2 = (d * d).sum(axis=2) + a.eps ** 2
+        w = m[None, i0:i0 + chunk] * r2 ** -1.5
+        acc_d -= (d * w[:, :, None]).sum(axis=1)
 
     nd = np.linalg.norm(acc_d, axis=1)
     err = np.linalg.norm(acc_b - acc_d, axis=1) / np.maximum(nd, 1e-30)

@@ -131,7 +131,7 @@ class SphereSL:
     def from_tables(cls, t: SphSLTables, scale: float = 1.0,
                     dtype=jnp.float32, backend: str = "matmul",
                     numr_c: int = 512, chunk: int = 65536,
-                    pallas_precision: str = "highest",
+                    pallas_precision: str = "mixed",
                     pallas_interp: str = "spline",
                     numr_cs: int = 256) -> "SphereSL":
         grid = SLGridSph.from_tables(t, dtype=dtype)

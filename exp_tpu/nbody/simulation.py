@@ -85,7 +85,7 @@ def build_force(fc, dtype, workdir=".", particles=None):
                                 cmap=cmap, rmap=rmap, cachename=cachename)
         return SphereSL.from_tables(
             t, scale=scale, dtype=dtype, backend=backend,
-            pallas_precision=str(p.pop("pallas_precision", "highest")),
+            pallas_precision=str(p.pop("pallas_precision", "mixed")),
             pallas_interp=str(p.pop("pallas_interp", "spline")),
             numr_cs=int(p.pop("numr_cs", 256)))
     elif fc.id == "noforce":

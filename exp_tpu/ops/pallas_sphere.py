@@ -146,14 +146,11 @@ def _spline_rows(xi, xmin, dxc, nc, B):
     kernels, ops/pallas_cylinder.py _w3/prefilter_x: support-3, O(h^3)
     interpolation error vs the hats' O(h^2) — so the coarse grid can be
     half the size for better accuracy AND half the matmul/VPU work)."""
+    from exp_tpu.ops.pallas_cylinder import _b2
+
     t = jnp.clip((xi - xmin) / dxc, 0.0, nc - 1.0)          # (1, B)
     j = jax.lax.broadcasted_iota(jnp.int32, (nc + 2, B), 0).astype(xi.dtype)
-    u = j - 1.0 - t                                         # ghost offset
-    au = jnp.abs(u)
-    inner = 0.75 - au * au
-    outer = 0.5 * (1.5 - au) * (1.5 - au)
-    return jnp.where(au <= 0.5, inner,
-                     jnp.where(au <= 1.5, outer, 0.0))
+    return _b2(j - 1.0 - t)                                 # ghost offset
 
 
 # ---------------------------------------------------------------------------

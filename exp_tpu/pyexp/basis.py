@@ -89,7 +89,7 @@ class Basis:
         mass, x, v = reader.Particles()
         mass, x = self._apply_selector(mass, x, v)
         t = reader.CurrentTime() if time is None else float(time)
-        self._accumulate_covariance(mass, x)
+        self._accumulate_covariance(mass, x, center)
         c = self._b.create_coefficients(x, mass, time=t, center=center)
         struct = CoefStruct(self._b.geometry, c, time=t,
                             center=center, name=self._b.name,
@@ -108,7 +108,7 @@ class Basis:
             pos = pos.T
         mass = np.broadcast_to(np.asarray(mass, float), (pos.shape[0],))
         mass, pos = self._apply_selector(mass, pos)
-        self._accumulate_covariance(mass, pos)
+        self._accumulate_covariance(mass, pos, center)
         c = self._b.create_coefficients(pos, mass, time=time, center=center)
         return CoefStruct(self._b.geometry, c, time=float(time),
                           center=center, name=self._b.name,
@@ -517,7 +517,7 @@ class Basis:
         self._sampT = int(sampT) if use else 0
         self._covar = None
 
-    def _accumulate_covariance(self, mass, pos):
+    def _accumulate_covariance(self, mass, pos, center=None):
         sampT = getattr(self, "_sampT", 0)
         if not sampT:
             return
@@ -527,6 +527,7 @@ class Basis:
         for s in range(sampT):
             sel = part == s
             c = self._b.create_coefficients(pos[sel], mass[sel],
+                                            center=center,
                                             accum_dtype=np.float64)
             samples.append(np.asarray(c).ravel())
         self._covar = np.stack(samples)        # (sampT, ncoef)
@@ -729,9 +730,9 @@ class FieldBasis:
                 f"dimension <{len(labels)}> (FieldBasis.cc:49)")
 
         def vec(k):
-            def fn(x, v):
+            def fn(x, v, m):
                 return np.asarray(
-                    [np.atleast_1d(func(1.0, x[i], v[i]))[k]
+                    [np.atleast_1d(func(float(m[i]), x[i], v[i]))[k]
                      for i in range(x.shape[0])])
             return fn
 

@@ -82,12 +82,20 @@ class CoefStruct:
     def assign(self, mat, *dims):
         """Assign a coefficient matrix (CoefWrappers.cc:961 SphStruct/
         CylStruct::assign): `dims` are the angular/radial orders — e.g.
-        (lmax, nmax) sphere, (mmax, nmax) cylinder — used only to check
-        the data size against the declared orders."""
+        (lmax, nmax) sphere, (mmax, nmax) cylinder — checked against both
+        the data size and this struct's storage."""
         mat = np.asarray(mat)
-        if dims and mat.shape != self.coefs.shape:
-            mat = mat.reshape(self.coefs.shape)
-        self.coefs = mat
+        if mat.size != self.coefs.size:
+            raise ValueError(
+                f"assign: data size {mat.size} != struct size "
+                f"{self.coefs.size} (geometry {self.geometry!r})")
+        if dims:
+            nmax = int(dims[-1])
+            if nmax and self.coefs.shape[-1] != nmax:
+                raise ValueError(
+                    f"assign: declared nmax {nmax} != struct radial order "
+                    f"{self.coefs.shape[-1]}")
+        self.coefs = mat.reshape(self.coefs.shape)
 
 
 class Coefs:

@@ -68,10 +68,12 @@ class KDdensity:
         return msum / vol
 
     def getDensityAtPoint(self, x, y=None, z=None):
-        """Density estimate at (x, y, z) or at a position list."""
-        p = np.asarray(x, np.float64) if y is None \
-            else np.array([x, y, z], np.float64)
-        return float(self._rho(p.reshape(1, 3))[0])
+        """Density estimate at (x, y, z), a position list, or an (N, 3)
+        array (returns an array for multiple points)."""
+        p = np.atleast_2d(np.asarray(x, np.float64)) if y is None \
+            else np.array([[x, y, z]], np.float64)
+        rho = self._rho(p.reshape(-1, 3))
+        return float(rho[0]) if rho.shape[0] == 1 else rho
 
     def getDensityByIndex(self, i):
         """Density estimate at particle index i (excluding the particle
