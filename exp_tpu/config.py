@@ -29,6 +29,7 @@ _GLOBAL_KEYS = {
     "infile", "ldlibdir", "outdir", "nthrds", "cuda", "allcouples",
     "restart", "nbalance", "dbthresh", "dtime_rel", "shiftlevl",
     "compute_dtype", "accum_dtype", "fpe", "maxMindt", "nrelevel",
+    "fused_bigstep",
 }
 
 _COMPONENT_KEYS = {"name", "parameters", "bodyfile", "force"}
@@ -71,6 +72,9 @@ class GlobalConfig:
     #: by the NoSwitch discipline; >1 trades level freshness for less
     #: relevel overhead)
     nrelevel: int = 1
+    #: chain the 2^multistep substeps into one compiled big step (fewer
+    #: dispatches per step; longer one-time compile)
+    fused_bigstep: bool = False
     compute_dtype: str = "float32"
     accum_dtype: str = "float64"
     #: hard cap on bodies per component (reference global.H nbodmax);

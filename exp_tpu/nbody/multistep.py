@@ -263,13 +263,19 @@ def flatten_buckets(lb: LevelBuckets) -> ParticleSystem:
 def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     ms: int, mesh, accum_dtype=jnp.float32,
                     axis_name: str = "p", externals=(), feats=None,
-                    wrappers=(), extras_sig=((), ())):
-    """One compiled SUBSTEP (fine step `ms` of the hierarchy).
+                    wrappers=(), extras_sig=((), ()), fuse_all=False):
+    """One compiled SUBSTEP (fine step `ms` of the hierarchy) — or, with
+    fuse_all=True, the whole 2^M-substep BIG step chained into one jit.
 
-    Compiling substeps separately and dispatching from the host keeps each
-    XLA graph small — the fully-unrolled 2^M-substep graph takes minutes to
-    compile for composite multi-force runs, and re-leveling (new bucket
-    capacities) would recompile all of it.
+    Compiling substeps separately (the default) keeps each XLA graph
+    small — the fully-unrolled 2^M-substep graph takes several times
+    longer to compile for composite multi-force runs, and re-leveling
+    (new bucket capacities) would recompile all of it.  The fused variant
+    trades that one-time compile for 2^M-1 fewer dispatch round-trips per
+    big step — a large win through a remote runtime (Global
+    `fused_bigstep`, MultistepRunner(fused=True)); `extras` is then a
+    tuple of per-substep extras (playback interpolated at each substep's
+    drift time).
 
     `feats` maps component name -> CompFeats; `wrappers` are position
     wrappers (PeriodicBC); `extras_sig` = (playback names, hall names)
@@ -286,13 +292,15 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
     names = list(forces)
     feats = feats or {n: CompFeats() for n in names}
     pb_names, hall_names = extras_sig
+    ms_list = tuple(range(Mstep)) if fuse_all else (ms,)
 
     def substep(state, regs, t0, centers, rots, extras):
         state = {n: list(bs) for n, bs in state.items()}
         regs = {n: [list(r[0]), list(r[1])] for n, r in regs.items()}
         dt = dtime / Mstep
 
-        for ms_ in (ms,):                             # single substep
+        for ms_ in ms_list:
+            ex = extras[ms_] if fuse_all else extras
             mfirst = mfirst_of(ms_, M)
             mdrft = ms_ + 1
             t_sub = t0 + dt * mdrft
@@ -339,7 +347,7 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
             coef_full = {}
             for n in names:
                 if n in pb_names:
-                    coef_full[n] = extras["playback"][n]
+                    coef_full[n] = ex["playback"][n]
                     continue
                 if feats[n].needs_sources:
                     coef_full[n] = jnp.zeros((1,), state[n][0].x.dtype)
@@ -353,7 +361,7 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                 if n in hall_names:
                     from exp_tpu.nbody.pca import apply_hall
 
-                    tot = _tmap(lambda v: apply_hall(v, extras["hall"][n]),
+                    tot = _tmap(lambda v: apply_hall(v, ex["hall"][n]),
                                 tot)
                 coef_full[n] = tot
 
@@ -410,6 +418,8 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
     rot_specs = {n: P() for n in names}
     extras_specs = {"playback": {n: P() for n in pb_names},
                     "hall": {n: P() for n in hall_names}}
+    if fuse_all:
+        extras_specs = tuple(extras_specs for _ in range(Mstep))
 
     return jax.jit(shard_map(
         substep, mesh,
@@ -429,7 +439,7 @@ class MultistepRunner:
     def __init__(self, forces: dict, couples: dict, dtime: float, M: int,
                  mesh, accum_dtype=jnp.float32, dynparams=None,
                  shiftlevl: int = 0, externals=(), feats=None, wrappers=(),
-                 cap_headroom: int = 1):
+                 cap_headroom: int = 1, fused: bool = False):
         self.externals = tuple(externals)
         self.forces = forces
         self.couples = couples
@@ -443,6 +453,9 @@ class MultistepRunner:
         self.wrappers = tuple(wrappers)
         self.quantum = int(mesh.devices.size)
         self.cap_headroom = int(cap_headroom)
+        #: chain all 2^M substeps into ONE jit (fewer dispatch round-trips
+        #: per big step at the cost of a longer one-time compile)
+        self.fused = bool(fused)
         self._fns = {}
         self._init_fns = {}
         self._assess_fns = {}
@@ -537,6 +550,20 @@ class MultistepRunner:
         sig = self._caps_sig(st)
         Mstep = 2 ** self.M
         dt = self.dtime / Mstep
+        if self.fused:
+            extras = tuple(extras_fn(t0 + dt * (ms + 1))
+                           for ms in range(Mstep))
+            esig = self._extras_sig(extras[0])
+            key = (sig, "fused", esig)
+            if key not in self._fns:
+                self._fns[key] = make_substep_fn(
+                    self.forces, self.couples, self.dtime, self.M, 0,
+                    self.mesh, accum_dtype=self.accum_dtype,
+                    externals=self.externals, feats=self.feats,
+                    wrappers=self.wrappers, extras_sig=esig,
+                    fuse_all=True)
+            return self._fns[key](st, regs, jnp.float32(t0), centers,
+                                  rots, extras)
         for ms in range(Mstep):
             extras = extras_fn(t0 + dt * (ms + 1))
             esig = self._extras_sig(extras)

@@ -509,7 +509,8 @@ class Simulation:
                 externals=getattr(self, "externals", ()),
                 dynparams={"dynfracV": g.dynfracV, "dynfracA": g.dynfracA,
                            "dynfracP": g.dynfracP, "dynfracD": g.dynfracD},
-                shiftlevl=g.shiftlevl, feats=feats, wrappers=self.wrappers)
+                shiftlevl=g.shiftlevl, feats=feats, wrappers=self.wrappers,
+                fused=g.fused_bigstep)
 
     # ------------------------------------------------------------------
     # jitted stepping

@@ -126,3 +126,38 @@ def test_adaptive_energy_conservation(setup):
                                 accum_dtype=jnp.float64)
     e0 = energies(d0)
     assert abs(e["Etot"] - e0["Etot"]) / abs(e0["Etot"]) < 5e-3
+
+
+def test_fused_bigstep_equivalence(setup):
+    """MultistepRunner(fused=True) chains the 2^M substeps into one jit;
+    the result must match the per-substep dispatch path exactly (same
+    bodies, same order)."""
+    force, x, v, mass, mesh = setup
+    M, dtime = 2, 0.01
+
+    def run(fused):
+        runner = MultistepRunner({"c": force}, {"c": ["c"]}, dtime, M,
+                                 mesh, accum_dtype=jnp.float64,
+                                 fused=fused)
+        ps = ParticleSystem.from_arrays(x, v, mass, dtype=jnp.float64)
+        st, regs, coef, diag = runner.init_state({"c": ps})
+        for _ in range(2):
+            st, regs, coef, diag = runner.bigstep(st, regs)
+            st, regs = runner.relevel(st, regs)
+        return st, coef
+
+    st_a, coef_a = run(False)
+    st_b, coef_b = run(True)
+    # ulp-level tolerance: the fused graph compiles the same math with
+    # different FMA/reassociation choices (measured maxdiff ~5e-17 on a
+    # handful of kick updates), not a semantic difference
+    for l in range(M + 1):
+        np.testing.assert_allclose(np.asarray(st_a["c"][l].x),
+                                   np.asarray(st_b["c"][l].x),
+                                   rtol=0, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(st_a["c"][l].v),
+                                   np.asarray(st_b["c"][l].v),
+                                   rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(coef_a["c"]),
+                               np.asarray(coef_b["c"]),
+                               rtol=1e-12, atol=1e-15)
