@@ -51,6 +51,11 @@ class Cube:
     nminy: int = 0
     nminz: int = 0
     backend: str = "einsum"  # 'einsum' (XLA) | 'pallas' (fused TPU kernels)
+    #: pallas matmul precision: 'mixed' (default; bf16 coefficient matmuls
+    #: — the per-particle rounding averages out in the k-sums — + exact
+    #: force matmuls), 'highest', or 'default' (bf16 everywhere,
+    #: ~0.3%% per-particle force error)
+    pallas_precision: str = "mixed"
 
     # mirrors the SphereSL coef-file metadata protocol
     @property
@@ -65,7 +70,8 @@ class Cube:
 
     @classmethod
     def create(cls, nmaxx=6, nmaxy=6, nmaxz=6, nminx=0, nminy=0, nminz=0,
-               dtype=jnp.float32, backend: str = "einsum") -> "Cube":
+               dtype=jnp.float32, backend: str = "einsum",
+               pallas_precision: str = "mixed") -> "Cube":
         kx = np.arange(-nmaxx, nmaxx + 1)
         ky = np.arange(-nmaxy, nmaxy + 1)
         kz = np.arange(-nmaxz, nmaxz + 1)
@@ -80,12 +86,13 @@ class Cube:
         return cls(norm=jnp.asarray(norm, dtype=dtype),
                    lap=jnp.asarray(lap, dtype=dtype),
                    nmaxx=nmaxx, nmaxy=nmaxy, nmaxz=nmaxz,
-                   nminx=nminx, nminy=nminy, nminz=nminz, backend=backend)
+                   nminx=nminx, nminy=nminy, nminz=nminz, backend=backend,
+                   pallas_precision=pallas_precision)
 
     def tree_flatten(self):
         return (self.norm, self.lap), (self.nmaxx, self.nmaxy, self.nmaxz,
                                        self.nminx, self.nminy, self.nminz,
-                                       self.backend)
+                                       self.backend, self.pallas_precision)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -114,13 +121,22 @@ class Cube:
     def _pallas_kernels(self):
         from exp_tpu.ops import pallas_cube as pk
 
-        key = (self.nmaxx, self.nmaxy, self.nmaxz)
+        import jax as _jax
+
+        key = (self.nmaxx, self.nmaxy, self.nmaxz, self.pallas_precision)
         ck = _PALLAS_CACHE.get(("coef",) + key)
         ak = _PALLAS_CACHE.get(("accel",) + key)
         if ck is None or ak is None:
             interp = jax.default_backend() == "cpu"
-            ck = pk.make_cube_coef_kernel(*key, interpret=interp)
-            ak = pk.make_cube_accel_kernel(*key, interpret=interp)
+            hi = _jax.lax.Precision.HIGHEST
+            lo = _jax.lax.Precision.DEFAULT
+            pp = self.pallas_precision
+            coef_prec = lo if pp in ("default", "mixed") else hi
+            accel_prec = lo if pp == "default" else hi
+            ck = pk.make_cube_coef_kernel(*key[:3], interpret=interp,
+                                          precision=coef_prec)
+            ak = pk.make_cube_accel_kernel(*key[:3], interpret=interp,
+                                           precision=accel_prec)
             _PALLAS_CACHE[("coef",) + key] = ck
             _PALLAS_CACHE[("accel",) + key] = ak
         return ck, ak

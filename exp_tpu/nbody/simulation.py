@@ -98,7 +98,8 @@ def build_force(fc, dtype, workdir=".", particles=None):
         return Cube.create(
             nmaxx=int(p.pop("nmaxx", 6)), nmaxy=int(p.pop("nmaxy", 6)),
             nmaxz=int(p.pop("nmaxz", 6)), dtype=dtype,
-            backend=str(p.pop("backend", "einsum")))
+            backend=str(p.pop("backend", "einsum")),
+            pallas_precision=str(p.pop("pallas_precision", "mixed")))
     elif fc.id == "cylinder":
         from exp_tpu.basis.empcyl import build_empcyl_tables
         from exp_tpu.forces.cylinder import CylinderForce

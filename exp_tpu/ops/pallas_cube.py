@@ -37,18 +37,18 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _dotT(a, b):
+def _dotT(a, b, prec=_PREC):
     """a (C, I) x b (J, I) -> (C, J): contract the last dims."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_PREC)
+                               precision=prec)
 
 
-def _dotTT(a, b):
+def _dotTT(a, b, prec=_PREC):
     """a (J, C) x b (J, I) -> (C, I): contract the first dims."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_PREC)
+                               precision=prec)
 
 
 def _axis_phases(u, nmax, sign, pad_to=None):
@@ -90,23 +90,25 @@ def _select_mats(ka, kb, ka_p, kb_p, cp):
     return P, Q
 
 
-def _dotNT(a, b):
+def _dotNT(a, b, prec=_PREC):
     """a (C, J) x b (J, I) -> (C, I): plain matmul."""
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_PREC)
+                               precision=prec)
 
 
-def _outer_complex(P, Q, ar, ai, br, bi):
+def _outer_complex(P, Q, ar, ai, br, bi, prec=_PREC):
     """Complex outer product via selection matmuls -> (cp, B) re/im."""
-    Ar, Ai = _dotNT(P, ar), _dotNT(P, ai)
-    Br, Bi = _dotNT(Q, br), _dotNT(Q, bi)
+    Ar, Ai = _dotNT(P, ar, prec), _dotNT(P, ai, prec)
+    Br, Bi = _dotNT(Q, br, prec), _dotNT(Q, bi, prec)
     return Ar * Br - Ai * Bi, Ar * Bi + Ai * Br
 
 
-def make_cube_coef_kernel(nmaxx, nmaxy, nmaxz, block=1024, interpret=False):
+def make_cube_coef_kernel(nmaxx, nmaxy, nmaxz, block=1024, interpret=False,
+                          precision=None):
     """Returns fn(xyzm8 (8, N)) -> complex64 (Kx, Ky, Kz) RAW phase sums
     sum_i m_i e^{-2 pi i k.x_i} (caller applies -norm)."""
+    prec = _PREC if precision is None else precision
     kx, ky, kz = 2 * nmaxx + 1, 2 * nmaxy + 1, 2 * nmaxz + 1
     C = kx * ky
     Cp = _round_up(C, 8)
@@ -124,11 +126,12 @@ def make_cube_coef_kernel(nmaxx, nmaxy, nmaxz, block=1024, interpret=False):
         exr, exi = _axis_phases(x - jnp.floor(x), nmaxx, -1.0, pad_to=kxp)
         eyr, eyi = _axis_phases(y - jnp.floor(y), nmaxy, -1.0, pad_to=kyp)
         ezr, ezi = _axis_phases(z - jnp.floor(z), nmaxz, -1.0, pad_to=kzp)
-        xyr, xyi = _outer_complex(pm_ref[:], qm_ref[:], exr, exi, eyr, eyi)
+        xyr, xyi = _outer_complex(pm_ref[:], qm_ref[:], exr, exi, eyr, eyi,
+                                  prec)
         zr = ezr * m
         zi = ezi * m
-        cre = _dotT(xyr, zr) - _dotT(xyi, zi)            # (Cp, kzp)
-        cim = _dotT(xyr, zi) + _dotT(xyi, zr)
+        cre = _dotT(xyr, zr, prec) - _dotT(xyi, zi, prec)   # (Cp, kzp)
+        cim = _dotT(xyr, zi, prec) + _dotT(xyi, zr, prec)
         out_ref[:] += jnp.concatenate([cre, cim], axis=0)
 
     def fn(xyzm8):
@@ -157,7 +160,8 @@ def make_cube_coef_kernel(nmaxx, nmaxy, nmaxz, block=1024, interpret=False):
     return fn
 
 
-def make_cube_accel_kernel(nmaxx, nmaxy, nmaxz, block=1024, interpret=False):
+def make_cube_accel_kernel(nmaxx, nmaxy, nmaxz, block=1024, interpret=False,
+                           precision=None):
     """Returns fn(xyzm8 (8, N), R_re (Cp, Sp), R_im (Cp, Sp)) -> (8, N)
     rows (ax, ay, az, pot, 0...).
 
@@ -172,6 +176,7 @@ def make_cube_accel_kernel(nmaxx, nmaxy, nmaxz, block=1024, interpret=False):
     Sp = _round_up(S, 8)
     kzv = (2.0 * math.pi * np.arange(-nmaxz, nmaxz + 1)).astype(np.float32)
     Pm, Qm = _select_mats(kx, ky, kxp, kyp, Cp)
+    prec = _PREC if precision is None else precision
 
     def kernel(xs_ref, rr_ref, ri_ref, pm_ref, qm_ref, out_ref):
         xs = xs_ref[:]
@@ -179,10 +184,11 @@ def make_cube_accel_kernel(nmaxx, nmaxy, nmaxz, block=1024, interpret=False):
         exr, exi = _axis_phases(x - jnp.floor(x), nmaxx, +1.0, pad_to=kxp)
         eyr, eyi = _axis_phases(y - jnp.floor(y), nmaxy, +1.0, pad_to=kyp)
         ezr, ezi = _axis_phases(z - jnp.floor(z), nmaxz, +1.0, pad_to=kzp)
-        xyr, xyi = _outer_complex(pm_ref[:], qm_ref[:], exr, exi, eyr, eyi)
+        xyr, xyi = _outer_complex(pm_ref[:], qm_ref[:], exr, exi, eyr, eyi,
+                                  prec)
         # P = R^T exy: (Sp, B) complex
-        pr = _dotTT(rr_ref[:], xyr) - _dotTT(ri_ref[:], xyi)
-        pi = _dotTT(rr_ref[:], xyi) + _dotTT(ri_ref[:], xyr)
+        pr = _dotTT(rr_ref[:], xyr, prec) - _dotTT(ri_ref[:], xyi, prec)
+        pi = _dotTT(rr_ref[:], xyi, prec) + _dotTT(ri_ref[:], xyr, prec)
 
         pot = jnp.zeros_like(x)
         ax = jnp.zeros_like(x)
