@@ -460,6 +460,7 @@ class MultistepRunner:
         self._init_fns = {}
         self._assess_fns = {}
         self._rebucket_fns = {}
+        self._relevel_fns = {}
         self._dt_fn = jax.jit(lambda ps: dtreq_fn(ps, **self.dyn))
         # per-component (offlo, offhi) counts from the last relevel: live
         # particles requesting finer-than-finest / coarser-than-dtime steps
@@ -612,7 +613,7 @@ class MultistepRunner:
                 over[n] = jnp.stack([offlo, offhi, nlive])
             return flat, levs, counts, nchanged, over
 
-        return jax.jit(assess)
+        return assess
 
     def _make_rebucket(self, caps):
         """Device-side rebucketing at FIXED capacities: a stable argsort by
@@ -645,29 +646,58 @@ class MultistepRunner:
                 st[n] = tuple(bs)
             return st
 
-        return jax.jit(rebucket)
+        return rebucket
+
+    def _make_relevel_fused(self, caps, esig):
+        """ONE jitted pass for the whole boundary relevel: assess +
+        device-side rebucket at the current capacities + register rebuild
+        (prime_accel=False).  Replaces the 3 dispatches + interleaved
+        device_get of the split path — through a remote runtime those
+        round-trips cost more than the relevel's compute (measured: ~300 ms
+        -> the compute's ~80 ms at 1M)."""
+        assess = self._make_assess()
+        rebucket = self._make_rebucket(caps)
+        init_sm = init_regs_sm(
+            self.forces, self.couples, self.M, self.mesh,
+            accum_dtype=self.accum_dtype, feats=self.feats,
+            externals=self.externals, extras_sig=esig, prime_accel=False)
+
+        def fused(st, t0, centers, rots, extras):
+            flat, levs, counts, nchanged, over = assess(st)
+            st2 = rebucket(flat, levs)
+            st3, regs3, _, _ = init_sm(st2, t0, centers, rots, extras)
+            return st3, regs3, counts, nchanged, over
+
+        return jax.jit(fused)
 
     def relevel(self, st, regs, t0=0.0, centers=None, extras_fn=None,
                 rots=None):
         """Boundary re-leveling (NoSwitch discipline); returns new (st, regs).
 
         Registers are rebuilt by the init pass at the synchronized time —
-        every level's L and N coincide there, so no tableau state is lost.
-        Fast path: when no level outgrew its padded capacity, the
-        rebucketing runs entirely on device (no host transfers beyond the
-        per-level counts).  Updates `self.overrun` with per-component
-        (offlo, offhi, nlive) counts for the sanity stop.
+        every level's L and N coincide there, so no tableau state is lost
+        (acc/pot were computed at this boundary by the closing kick and are
+        carried through the rebucketing).  Fast path: assess + rebucket +
+        register rebuild run as ONE device dispatch; the only transfer is
+        the per-level counts (with the overrun diagnostics for the sanity
+        stop).  When a level outgrew its padded capacity the optimistic
+        result is discarded and a host rebucketing grows the sticky pow2
+        capacities (downstream functions recompile for the new signature).
         """
         centers = centers or self._zero_centers()
         rots = rots or self._eye_rots()
         extras = (extras_fn or self._default_extras)(t0)
         sig = self._caps_sig(st)
-        assess = self._assess_fns.get(sig)
-        if assess is None:
-            assess = self._assess_fns[sig] = self._make_assess()
-        flat, levs, counts, nchanged, over = assess(st)
-        host = jax.device_get((counts, nchanged, over))
-        counts_h, nchanged_h, over_h = host
+        esig = self._extras_sig(extras)
+        key = (sig, esig)
+        fn = self._relevel_fns.get(key)
+        if fn is None:
+            fn = self._relevel_fns[key] = self._make_relevel_fused(
+                self.caps, esig)
+        st2, regs2, counts, nchanged, over = fn(st, jnp.float32(t0),
+                                                centers, rots, extras)
+        counts_h, nchanged_h, over_h = jax.device_get(
+            (counts, nchanged, over))
         self.overrun = {n: tuple(int(v) for v in o)
                         for n, o in over_h.items()}
         if int(nchanged_h) == 0:
@@ -675,24 +705,19 @@ class MultistepRunner:
         fits = all(int(c) <= self.caps[n][l]
                    for n, cs in counts_h.items() for l, c in enumerate(cs))
         if fits:
-            rb = self._rebucket_fns.get(sig)
-            if rb is None:
-                rb = self._rebucket_fns[sig] = self._make_rebucket(self.caps)
-            st = rb(flat, levs)
-        else:
-            # a level outgrew its bucket: host rebucketing grows the sticky
-            # pow2 capacities (downstream functions recompile for the new
-            # signature)
-            state = {n: bucketize(replace(ps, level=levs[n]), self.M,
-                                  self.quantum, caps=self.caps.get(n),
-                                  mesh=self.mesh,
-                                  headroom=self.cap_headroom)
-                     for n, ps in flat.items()}
-            self.caps = {n: lb.caps for n, lb in state.items()}
-            st = {n: tuple(lb.buckets) for n, lb in state.items()}
-        # rebuild only the per-new-level registers: acc/pot were computed
-        # at this same synchronized boundary by the closing kick and are
-        # carried through the rebucketing
+            return st2, regs2
+        # a level outgrew its bucket: redo on the host with grown caps
+        assess = self._assess_fns.get(sig)
+        if assess is None:
+            assess = self._assess_fns[sig] = jax.jit(self._make_assess())
+        flat, levs, _, _, _ = assess(st)
+        state = {n: bucketize(replace(ps, level=levs[n]), self.M,
+                              self.quantum, caps=self.caps.get(n),
+                              mesh=self.mesh,
+                              headroom=self.cap_headroom)
+                 for n, ps in flat.items()}
+        self.caps = {n: lb.caps for n, lb in state.items()}
+        st = {n: tuple(lb.buckets) for n, lb in state.items()}
         st, regs, _, _ = self._init(st, t0, centers, extras, rots,
                                     prime_accel=False)
         return st, regs
@@ -704,7 +729,7 @@ class MultistepRunner:
         return {n: [int(c) for c in cs] for n, cs in cts.items()}
 
 
-def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
+def init_regs_sm(forces: dict, couples: dict, M: int, mesh,
                  accum_dtype=jnp.float32, axis_name: str = "p",
                  feats=None, externals=(), extras_sig=((), ()),
                  prime_accel=True):
@@ -802,8 +827,14 @@ def init_regs_fn(forces: dict, couples: dict, M: int, mesh,
     rot_specs = {n: P() for n in names}
     extras_specs = {"playback": {n: P() for n in pb_names},
                     "hall": {n: P() for n in hall_names}}
-    return jax.jit(shard_map(
+    return shard_map(
         init, mesh,
         (state_specs, P(), center_specs, rot_specs, extras_specs),
         (state_specs, reg_specs, {n: P() for n in names},
-         {n: _diag_specs() for n in names})))
+         {n: _diag_specs() for n in names}))
+
+
+def init_regs_fn(*args, **kwargs):
+    """Jitted wrapper of init_regs_sm (the shard-mapped body is exposed
+    separately so the fused relevel can inline it in its own jit)."""
+    return jax.jit(init_regs_sm(*args, **kwargs))
