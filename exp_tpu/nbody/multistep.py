@@ -628,6 +628,13 @@ class MultistepRunner:
                 key = jnp.where(ps.mass > 0, levs[n], M + 1)
                 order = jnp.argsort(key)        # stable
                 ntot = key.shape[0]
+                # pack the 11 per-particle fields into one matrix so each
+                # bucket costs ONE row gather instead of five (TPU gathers
+                # are per-index-overhead-bound; 12 separate 1M-row gathers
+                # were most of the relevel's ~300 ms at 1M)
+                P = jnp.concatenate(
+                    [ps.x, ps.v, ps.acc, ps.mass[:, None], ps.pot[:, None]],
+                    axis=1)                     # (N, 11)
                 bs = []
                 for l in range(M + 1):
                     cap = caps[n][l]
@@ -635,13 +642,10 @@ class MultistepRunner:
                     nl = jnp.sum(key == l)
                     take = order[(start + jnp.arange(cap)) % ntot]
                     valid = jnp.arange(cap) < nl
-                    v3 = valid[:, None]
+                    G = jnp.where(valid[:, None], P[take], 0.0)
                     bs.append(ParticleSystem(
-                        x=jnp.where(v3, ps.x[take], 0.0),
-                        v=jnp.where(v3, ps.v[take], 0.0),
-                        mass=jnp.where(valid, ps.mass[take], 0.0),
-                        acc=jnp.where(v3, ps.acc[take], 0.0),
-                        pot=jnp.where(valid, ps.pot[take], 0.0),
+                        x=G[:, 0:3], v=G[:, 3:6], acc=G[:, 6:9],
+                        mass=G[:, 9], pot=G[:, 10],
                         level=jnp.full(cap, l, jnp.int32)))
                 st[n] = tuple(bs)
             return st
