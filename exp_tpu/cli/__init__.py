@@ -5,11 +5,12 @@ umbrella: `python -m exp_tpu.cli <tool> ...`).  Coverage of the reference's
 utils/ inventory (SURVEY section 2.5):
 
   ICs:         gensph (utils/ICs/gensph), cubeics, gendisk (DiskHalo path),
-               shrinkics, modelfit, addring, forcetest
+               shrinkics, modelfit, addring, forcetest, bonnerebert
   PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp,
-               psp2hdf5
+               psp2hdf5, psporbv
   Analysis:    diskprof, haloprof, mssaprof, viewcoefs, h5compare, diskfreqs
-  SL/basis:    slcheck, orthochk, cylcache, eofinfo
+  MSSA:        mssafilter (exp_halo_noise / exp_disk_noise)
+  SL/basis:    slcheck, orthochk, cylcache, eofinfo, slshift
 """
 
 TOOLS = [
@@ -20,4 +21,5 @@ TOOLS = [
     "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
     "diskfreqs", "kldiv", "yamldiff",
     "modelfit", "addring", "forcetest",
+    "psporbv", "bonnerebert", "mssafilter", "slshift",
 ]

@@ -1,0 +1,98 @@
+"""mssafilter — M-SSA noise filtering of a coefficient file
+(utils/MSSA/exp_halo_noise.cc, exp_disk_noise.cc): decompose the
+coefficient series with M-SSA, keep the leading eigentriples (by count
+`--npc` and/or the cumulative-variance cut `--evtol`,
+exp_halo_noise.cc:517-528), and write
+
+  <prefix>.recon       — the filtered (signal) coefficient series
+  <prefix>.recon_diff  — the residual (noise) series, original - recon
+
+both in the coefficient file format of the input (exp_halo_noise.cc:679-693
+writes EXP native format; here the HDF5 schema round-trips through
+exp_tpu.io.coefs).  `--zero` zeroes channels excluded from the analysis in
+the reconstruction (the reference's -z)."""
+
+import sys
+
+import numpy as np
+
+from exp_tpu.cli._common import make_parser
+
+
+def main(argv=None):
+    ap = make_parser("mssafilter", __doc__)
+    ap.add_argument("-d", "--datafile", required=True,
+                    help="coefficient file (HDF5 or EXP native)")
+    ap.add_argument("-o", "--output", default="noise",
+                    help="output file prefix")
+    ap.add_argument("-W", "--numW", type=int, default=10,
+                    help="embedding window")
+    ap.add_argument("-P", "--npc", type=int, default=99999,
+                    help="max eigenvectors kept")
+    ap.add_argument("-e", "--evtol", type=float, default=0.01,
+                    help="cumulative-variance tail cut: keep PCs until "
+                         "1 - cum/tot < evtol fails")
+    ap.add_argument("-t", "--tmin", type=float, default=-np.inf)
+    ap.add_argument("-T", "--tmax", type=float, default=np.inf)
+    ap.add_argument("-z", "--zero", action="store_true",
+                    help="zero channels outside the analysis window")
+    ap.add_argument("-E", "--ev", action="store_true",
+                    help="print eigenvalues and exit")
+    a = ap.parse_args(argv)
+
+    from exp_tpu.analysis.coefs import Coefs
+    from exp_tpu.analysis.mssa import expMSSA
+
+    coefs = Coefs.from_file(a.datafile)
+    times = np.asarray(coefs.times())
+    keep_t = (times >= a.tmin) & (times <= a.tmax)
+    if not keep_t.all():
+        sub = Coefs(coefs.geometry, coefs.name, coefs.meta)
+        for t in times[keep_t]:
+            sub.add(float(t), coefs(float(t)))
+        coefs = sub
+        times = times[keep_t]
+    if len(times) < 2 * a.numW:
+        print(f"mssafilter: only {len(times)} samples for window "
+              f"{a.numW}; need >= {2 * a.numW}")
+        return 1
+
+    m = expMSSA({"c": coefs}, window=a.numW, numpc=min(a.npc, a.numW))
+    ev = m.eigenvalues()
+    cum = np.cumsum(ev) / np.sum(ev)
+    if a.ev:
+        for j, (l, c) in enumerate(zip(ev, cum)):
+            print(f"{j:4d} {l:16.8e} {c:12.6f}")
+        return 0
+    # cumulative-variance cut (exp_halo_noise.cc:526-528)
+    ncomp = int(np.searchsorted(1.0 - cum < a.evtol, True)) + 1
+    ncomp = min(ncomp, a.npc, len(ev))
+    groups = [[j] for j in range(ncomp)]
+    print(f"mssafilter: keeping {ncomp}/{len(ev)} eigentriples "
+          f"(cumvar {cum[ncomp - 1]:.4f})")
+
+    recon = m.reconstruct_coefs(coefs, groups=groups, name="c")
+    diff = coefs.deepcopy()
+    for t in times:
+        diff._data[float(t)] = coefs(float(t)) - recon(float(t))
+    if a.zero:
+        # channels never entered the MSSA analysis keep their original
+        # values in reconstruct_coefs; --zero zeroes them instead
+        analyzed = {j for (_, j) in m.keys}
+        for t in times:
+            flat = recon(float(t)).reshape(-1).copy()
+            mask = np.ones(flat.size, bool)
+            mask[list(analyzed)] = False
+            flat[mask] = 0.0
+            recon._data[float(t)] = flat.reshape(coefs(float(t)).shape)
+
+    out1 = f"{a.output}.recon"
+    out2 = f"{a.output}.recon_diff"
+    recon.to_file(out1)
+    diff.to_file(out2)
+    print(f"mssafilter: wrote {out1} and {out2}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

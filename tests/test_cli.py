@@ -345,3 +345,140 @@ def test_modelfit_addring_forcetest(tmp_path, capsys):
     p50 = float(out.split("p50 relative force error: ")[1].split()[0])
     # BFE vs direct sum: median error set by sampling noise at 8k bodies
     assert p50 < 0.1, out
+
+
+def test_psporbv(workdir, capsys):
+    from exp_tpu.cli.gensph import main as gensph
+    from exp_tpu.cli.psporbv import main as psporbv
+
+    bods = str(workdir / "h.bods")
+    if not os.path.exists(bods):
+        gensph(["-N", "2000", "-i", "hernquist", "-o", bods, "-s", "3"])
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        assert psporbv(["-f", bods, "--type", "ascii", "-m", "hernquist",
+                        "-R", "2.0", "-k", "0.9", "-s", "t",
+                        "--nE", "24", "--nK", "12", "-N", "8"]) == 0
+    finally:
+        os.chdir(cwd)
+    out = capsys.readouterr().out
+    assert "orbits" in out
+    tab = np.loadtxt(workdir / "orbv.t")
+    assert tab.shape[1] == 19
+    r, E, kappa = tab[:, 0], tab[:, 1], tab[:, 2]
+    assert (kappa > 0).all() and (kappa < 0.9).all()
+    assert (E < 0).all()
+    # r inside [peri, apo] up to the (E, kappa)-grid interpolation error:
+    # columns 11/12 are r/r_apo and r/r_peri
+    assert (tab[:, 10] <= 1.05).all()
+    assert (tab[:, 11] >= 0.95).all()
+    # w1 in [0, 2 pi]
+    assert (tab[:, 12] >= 0).all() and (tab[:, 12] <= 2 * np.pi).all()
+    # frequencies positive, Omega_1 > Omega_2 for a Hernquist interior
+    assert (tab[:, 8] > 0).all() and (tab[:, 9] > 0).all()
+    assert os.path.exists(workdir / "orbv.t.histo")
+    # spot-check w1 and Omega_1 against the exact per-orbit machinery
+    from exp_tpu.analysis.orbit import SphericalOrbit
+    from exp_tpu.cli._common import load_model
+
+    model = load_model("hernquist")
+    for row in tab[:: max(1, len(tab) // 5)][:5]:
+        r, E, J, w1, vr = row[0], row[1], row[4], row[12], row[16]
+        orb = SphericalOrbit(model, E, J=J)
+        assert abs(orb.omega_r - row[8]) / orb.omega_r < 0.05
+        if orb.peri * 1.05 < r < orb.apo * 0.95:
+            w1x = orb.get_w1(r, vr)
+            assert abs(w1 - w1x) < 0.2, (w1, w1x)
+
+
+def test_bonnerebert(tmp_path, capsys):
+    from exp_tpu.cli.bonnerebert import main as bonnerebert
+
+    prof = str(tmp_path / "be.prof")
+    assert bonnerebert(["-N", "0", "--xmax", "40", "-o", prof]) == 0
+    tab = np.loadtxt(prof)
+    # columns: r, rho, M(r), m2 — density decreasing, mass increasing
+    assert (np.diff(tab[:, 1]) <= 1e-12).all()
+    assert (np.diff(tab[:, 2]) >= -1e-15).all()
+    # edge contrast: rho_c/rho_edge ~ the requested ratio (14)
+    assert abs(tab[0, 1] / tab[-1, 1] - 14.0) < 0.5
+
+    bods = str(tmp_path / "be.bods")
+    assert bonnerebert(["-N", "500", "--xmax", "40", "-o", bods]) == 0
+    with open(bods) as f:
+        header = f.readline().split()
+    assert header[0] == "500" and header[2] == "4"
+    data = np.loadtxt(bods, skiprows=1)
+    assert data.shape == (500, 11)
+    # radii inside the truncation radius (last profile row)
+    r = np.sqrt((data[:, 1:4] ** 2).sum(axis=1))
+    assert r.max() <= tab[-1, 0] * 1.01
+
+
+def test_mssafilter(tmp_path, capsys):
+    from exp_tpu.cli.mssafilter import main as mssafilter
+    from exp_tpu.analysis.coefs import Coefs
+
+    # signal (slow oscillation) + noise on a few channels
+    rng = np.random.default_rng(5)
+    c = Coefs(geometry="sphere", name="t", meta={"lmax": 1, "nmax": 3})
+    base = rng.normal(0, 1, (2, 2, 2, 3))
+    # zero the channels the packed file schema cannot carry (m > l and
+    # the sin part of m = 0) so the round trip is exact
+    for l in range(2):
+        base[:, l, l + 1:] = 0.0
+    base[1, :, 0] = 0.0
+    T = 48
+    for i in range(T):
+        sig = base * (1.0 + 0.5 * np.sin(2 * np.pi * i / 24.0))
+        noise = 0.01 * rng.normal(0, 1, base.shape)
+        for l in range(2):
+            noise[:, l, l + 1:] = 0.0
+        noise[1, :, 0] = 0.0
+        c.add(i * 0.1, sig + noise)
+    f1 = str(tmp_path / "c.h5")
+    c.to_file(f1)
+
+    pre = str(tmp_path / "nf")
+    assert mssafilter(["-d", f1, "-o", pre, "-W", "12",
+                       "-e", "0.05"]) == 0
+    out = capsys.readouterr().out
+    assert "keeping" in out
+    rec = Coefs.from_file(pre + ".recon")
+    dif = Coefs.from_file(pre + ".recon_diff")
+    A = c.as_array()
+    R = rec.as_array()
+    D = dif.as_array()
+    # recon + residual == original
+    assert np.allclose(R + D, A, atol=1e-10)
+    # the filter removes most of the noise: residual is small vs signal
+    assert np.abs(D).mean() < 0.1 * np.abs(A).mean()
+
+    # eigenvalue listing mode
+    assert mssafilter(["-d", f1, "-E", "-W", "12"]) == 0
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) > 3
+
+
+def test_slshift(tmp_path, capsys):
+    from exp_tpu.cli.slshift import main as slshift
+
+    pre = str(tmp_path / "sh")
+    assert slshift(["-i", "hernquist", "--offset", "0.2", "--lmax", "6",
+                    "--nmax", "10", "--numr", "600", "--nquad-r", "200",
+                    "--nquad-t", "120", "-o", pre]) == 0
+    out = capsys.readouterr().out
+    assert "rel err" in out
+    coefs = np.loadtxt(pre + ".coefs")
+    assert coefs.shape == (7, 11)
+    # the shifted monopole feeds l=1; higher odd l decay with (d/r)^l
+    pw = np.abs(coefs[:, 1:]).max(axis=1)
+    assert pw[1] > 0.05 * pw[0]
+    assert pw[1] > pw[3] > pw[5]
+    prof = np.loadtxt(pre + ".profile")
+    # on-axis reconstruction tracks the true shifted density away from
+    # the origin cusp
+    mask = np.abs(prof[:, 0]) > 0.2
+    rel = np.abs(prof[mask, 3]) / np.maximum(np.abs(prof[mask, 2]), 1e-30)
+    assert np.median(rel) < 0.2
