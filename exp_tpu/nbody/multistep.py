@@ -616,36 +616,53 @@ class MultistepRunner:
         return assess
 
     def _make_rebucket(self, caps):
-        """Device-side rebucketing at FIXED capacities: a stable argsort by
-        level (dead rows last) + one dynamic slice per level.  Replaces the
-        host bucketize round-trips (full pull + per-bucket uploads cost
-        ~2 s/bigstep through a remote runtime at 400k particles)."""
+        """Device-side rebucketing at FIXED capacities: ONE stable
+        `lax.sort` carrying the 11 per-particle field columns as value
+        operands (dead rows keyed last), then a contiguous
+        `dynamic_slice` per bucket.  Sort networks move the payload in
+        full vector lanes and the slices are plain DMA copies, so neither
+        pays the TPU per-index cost of gather/scatter.  Measured at 1M
+        particles on a v5e (assess+rebucket jit): sort+slice 28 ms vs
+        106 ms for stable-argsort + per-bucket row gathers (whose index
+        count scales with the PADDED capacities, 2-4x N at
+        cap_headroom=2) and 278 ms for a counting-sort row scatter —
+        all three bit-exact equivalent."""
         M = self.M
 
         def rebucket(flat, levs):
             st = {}
             for n, ps in flat.items():
-                key = jnp.where(ps.mass > 0, levs[n], M + 1)
-                order = jnp.argsort(key)        # stable
-                ntot = key.shape[0]
-                # pack the 11 per-particle fields into one matrix so each
-                # bucket costs ONE row gather instead of five (TPU gathers
-                # are per-index-overhead-bound; 12 separate 1M-row gathers
-                # were most of the relevel's ~300 ms at 1M)
-                P = jnp.concatenate(
-                    [ps.x, ps.v, ps.acc, ps.mass[:, None], ps.pot[:, None]],
-                    axis=1)                     # (N, 11)
+                key = jnp.where(ps.mass > 0, levs[n], M + 1).astype(
+                    jnp.int32)
+                cols = [ps.x[:, 0], ps.x[:, 1], ps.x[:, 2],
+                        ps.v[:, 0], ps.v[:, 1], ps.v[:, 2],
+                        ps.acc[:, 0], ps.acc[:, 1], ps.acc[:, 2],
+                        ps.mass, ps.pot]
+                sorted_ops = jax.lax.sort([key] + cols, num_keys=1,
+                                          is_stable=True)
+                scols = sorted_ops[1:]
+                # pad so a bucket's slice never runs off the end (starts
+                # are clamped by dynamic_slice; the valid mask zeroes any
+                # rows past the bucket's live count either way)
+                pad = jnp.zeros(max(caps[n]), scols[0].dtype)
+                scols = [jnp.concatenate([c, pad]) for c in scols]
+                counts = jnp.stack([jnp.sum(key == l) for l in range(M + 1)])
+                starts = jnp.concatenate(
+                    [jnp.zeros(1, jnp.int32),
+                     jnp.cumsum(counts).astype(jnp.int32)])
                 bs = []
                 for l in range(M + 1):
                     cap = caps[n][l]
-                    start = jnp.sum(key < l)
-                    nl = jnp.sum(key == l)
-                    take = order[(start + jnp.arange(cap)) % ntot]
-                    valid = jnp.arange(cap) < nl
-                    G = jnp.where(valid[:, None], P[take], 0.0)
+                    valid = jnp.arange(cap) < counts[l]
+                    G = [jnp.where(valid,
+                                   jax.lax.dynamic_slice_in_dim(
+                                       c, starts[l], cap), 0.0)
+                         for c in scols]
                     bs.append(ParticleSystem(
-                        x=G[:, 0:3], v=G[:, 3:6], acc=G[:, 6:9],
-                        mass=G[:, 9], pot=G[:, 10],
+                        x=jnp.stack(G[0:3], axis=1),
+                        v=jnp.stack(G[3:6], axis=1),
+                        acc=jnp.stack(G[6:9], axis=1),
+                        mass=G[9], pot=G[10],
                         level=jnp.full(cap, l, jnp.int32)))
                 st[n] = tuple(bs)
             return st
