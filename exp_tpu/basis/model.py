@@ -248,6 +248,37 @@ def add_disk_to_model(halo: SphericalModelTable, Mdisk: float,
                                         + f" + disk M={Mdisk} a={acyl}"))
 
 
+def add_sphere_to_model(halo: SphericalModelTable,
+                        other: SphericalModelTable,
+                        mass_scale: float = 1.0,
+                        include_density: bool = False
+                        ) -> SphericalModelTable:
+    """Composite of two spherical models (utils/ICs/AddSpheres.cc: halo +
+    bulge): add the scaled second model's enclosed mass and potential to
+    the halo's table so the halo DF (Eddington inversion of the result)
+    responds to the embedded sphere.
+
+    include_density=False keeps the halo density as the tracer profile
+    (sample the halo in the TOTAL potential — the gensph `--addsphere`
+    path); True also adds the scaled density (a full composite model)."""
+    r = halo.r
+    Mtot_o = float(other.mass[-1]) * mass_scale
+    Mo = mass_scale * np.interp(r, other.r, other.mass,
+                                left=0.0, right=float(other.mass[-1]))
+    pot_o = mass_scale * np.where(
+        r <= other.r[-1],
+        np.interp(r, other.r, other.pot),
+        -float(other.mass[-1]) / np.maximum(r, 1e-30))
+    rho = halo.rho.copy()
+    if include_density:
+        rho = rho + mass_scale * np.interp(r, other.r, other.rho,
+                                           left=float(other.rho[0]),
+                                           right=0.0)
+    return SphericalModelTable(r, rho, halo.mass + Mo, halo.pot + pot_o,
+                               comment=(halo.comment
+                                        + f" + sphere M={Mtot_o:.4g}"))
+
+
 def king_model(W0: float = 5.0, M: float = 1.0, rt: float = 1.0,
                numr: int = 2000) -> SphericalModelTable:
     """King (1966) lowered-isothermal model (reference include/king.H).

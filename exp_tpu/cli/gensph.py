@@ -20,6 +20,11 @@ def main(argv=None):
     ap.add_argument("--adddisk", default=None, metavar="MASS,ACYL",
                     help="embed an exponential disk: the halo DF responds "
                          "to the disk mass (AddDisk / DiskHalo path)")
+    ap.add_argument("--addsphere", default=None, metavar="MODEL",
+                    help="embed a second spherical model (file or builtin "
+                         "spec, e.g. plummer:a=0.1,M=0.2): the sampled "
+                         "component's DF responds to the total potential "
+                         "(utils/ICs/AddSpheres)")
     a = ap.parse_args(argv)
 
     from exp_tpu.ic.eddington import sample_spherical_model
@@ -32,6 +37,12 @@ def main(argv=None):
 
         md, ad = (float(s) for s in a.adddisk.split(","))
         model = add_disk_to_model(model, md, ad)
+        tracer_only = True
+    if a.addsphere:
+        from exp_tpu.basis.model import add_sphere_to_model
+
+        other = load_model(a.addsphere, rmin=a.rmin, rmax=a.rmax)
+        model = add_sphere_to_model(model, other)
         tracer_only = True
     x, v, m = sample_spherical_model(model, a.number, seed=a.seed,
                                      ra=a.ra, tracer_only=tracer_only)

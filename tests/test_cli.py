@@ -482,3 +482,42 @@ def test_slshift(tmp_path, capsys):
     mask = np.abs(prof[:, 0]) > 0.2
     rel = np.abs(prof[mask, 3]) / np.maximum(np.abs(prof[mask, 2]), 1e-30)
     assert np.median(rel) < 0.2
+
+
+def test_gensph_addsphere(tmp_path, capsys):
+    from exp_tpu.basis.model import (hernquist_model, plummer_model,
+                                     add_sphere_to_model)
+    from exp_tpu.cli.gensph import main as gensph
+
+    halo = hernquist_model(rmin=1e-3, rmax=20.0)
+    bulge = plummer_model(a=0.1, M=0.5, rmin=1e-3, rmax=20.0)
+    comp = add_sphere_to_model(halo, bulge)
+    # enclosed mass adds; tracer density unchanged
+    assert np.allclose(comp.rho, halo.rho)
+    assert abs(comp.mass[-1] - (halo.mass[-1] + bulge.mass[-1])) < 1e-6
+    # the ADDED potential tends to -Mb/r at the outer edge (the halo's
+    # own table carries the analytic untruncated convention, so test the
+    # bulge term in isolation)
+    r = comp.r[-1]
+    dpot = comp.pot[-1] - halo.pot[-1]
+    assert abs(dpot * r + bulge.mass[-1]) < 2e-2
+    # potential is strictly deeper everywhere
+    assert (comp.pot < halo.pot).all()
+    # full composite density variant
+    full = add_sphere_to_model(halo, bulge, include_density=True)
+    assert (full.rho > halo.rho).all()
+
+    bods = str(tmp_path / "hb.bods")
+    gensph(["-N", "4000", "-i", "hernquist", "-o", bods, "-s", "7",
+            "--addsphere", "plummer:a=0.1,M=0.5"])
+    out = capsys.readouterr().out
+    assert "4000 bodies" in out
+    data = np.loadtxt(bods, skiprows=1)
+    v2_emb = (data[:, 4:7] ** 2).sum(axis=1).mean()
+
+    gensph(["-N", "4000", "-i", "hernquist", "-o", bods, "-s", "7"])
+    capsys.readouterr()
+    data0 = np.loadtxt(bods, skiprows=1)
+    v2_0 = (data0[:, 4:7] ** 2).sum(axis=1).mean()
+    # the embedded sphere deepens the potential -> hotter tracer
+    assert v2_emb > v2_0 * 1.05
