@@ -167,7 +167,7 @@ class OutChkpt(Output):
             f.attrs["istep"] = sim.istep
             f.attrs["runtag"] = sim.runtag
             for n, c in sim.components.items():
-                ps = sim._state[n]
+                ps = sim.host_ps(n)
                 g = f.create_group(n)
                 for k in ("x", "v", "mass", "pot", "level"):
                     a = np.asarray(getattr(ps, k))
@@ -234,7 +234,7 @@ class OutPSN(Output):
 
         dump = PSPDump(time=sim.time)
         for n in sim.components:
-            ps = sim._state[n]
+            ps = sim.host_ps(n)
             live = np.asarray(ps.mass) > 0
             dump.components.append(PSPComponent(
                 name=n, info=f"name: {n}\n",
@@ -292,7 +292,7 @@ class OutHDF5(Output):
             g.attrs["Time"] = float(sim.time)
             g.attrs["step"] = int(istep)
             for n in sim.components:
-                ps = sim._state[n]
+                ps = sim.host_ps(n)
                 live = np.asarray(ps.mass) > 0
                 c = g.create_group(n)
                 c.create_dataset("mass",
@@ -400,7 +400,7 @@ class OrbTrace(Output):
                     f"{self.idx}" + chr(10))
 
     def write(self, sim, istep):
-        ps = sim._state[self.name]
+        ps = sim.host_ps(self.name)
         x = np.asarray(ps.x)[self.idx]
         v = np.asarray(ps.v)[self.idx]
         with open(self.path, "a") as f:
@@ -422,7 +422,7 @@ class OutDiag(Output):
             f.write("# time r_mid N mass KE PE_avg" + chr(10))
 
     def write(self, sim, istep):
-        ps = sim._state[self.name]
+        ps = sim.host_ps(self.name)
         m = np.asarray(ps.mass)
         live = m > 0
         x = np.asarray(ps.x)[live]
@@ -461,7 +461,7 @@ class OutFrac(Output):
                     f"{self.FRACS}" + chr(10))
 
     def write(self, sim, istep):
-        ps = sim._state[self.name]
+        ps = sim.host_ps(self.name)
         m = np.asarray(ps.mass)
         live = m > 0
         r = np.linalg.norm(np.asarray(ps.x)[live], axis=1)
@@ -490,7 +490,7 @@ class OutCalbr(Output):
                             # and potentials exist only after prime)
 
     def _energies(self, sim):
-        ps = sim._state[self.name]
+        ps = sim.host_ps(self.name)
         m = np.asarray(ps.mass)
         live = m > 0
         x = np.asarray(ps.x)[live]
@@ -538,4 +538,4 @@ class OutAscii(Output):
 
         path = os.path.join(sim.outdir,
                             f"{self.name}.{sim.runtag}.{istep:05d}.ascii")
-        write_ascii_bodies(path, sim._state[self.name])
+        write_ascii_bodies(path, sim.host_ps(self.name))

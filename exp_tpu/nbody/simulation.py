@@ -486,6 +486,8 @@ class Simulation:
         self._state = {n: c.ps for n, c in self.components.items()}
         self._coefs = None
         self._diag = None
+        self._host_cache = {}           # name -> host ParticleSystem
+        self._host_cache_step = {}      # name -> istep of the cached copy
 
         # multistep machinery (Global.multistep > 0)
         self.M = int(g.multistep)
@@ -1071,6 +1073,17 @@ class Simulation:
             self._state = {
                 n: flatten_buckets(LevelBuckets(list(bs), None))
                 for n, bs in self._ms_state.items()}
+
+    def host_ps(self, name):
+        """Host-materialized particle state for output writers: ONE
+        batched device_get per component per step, cached — writers due
+        at the same step (OutChkpt + OutPS + OutLog + ...) share the
+        copy instead of each paying a per-field device round-trip
+        (~10-30 ms apiece through a remote runtime)."""
+        if self._host_cache_step.get(name) != self.istep:
+            self._host_cache[name] = jax.device_get(self._state[name])
+            self._host_cache_step[name] = self.istep
+        return self._host_cache[name]
 
     # ------------------------------------------------------------------
     # outputs
