@@ -126,6 +126,13 @@ class SphereSL:
     #: quadratic B-spline at numr_cs nodes + tabulated d(pot)/dxi) or
     #: 'hat' (legacy: hats at numr_c nodes, hat-difference derivative)
     pallas_interp: str = "spline"
+    #: pallas angular evaluation: 'poly' — solid-harmonic monomial
+    #: matmuls on the MXU (ops/solidharm.py; no Legendre/dP recurrences,
+    #: no (1, B) per-harmonic assembly loop, pole-regular gradients),
+    #: 'recurrence' — the legacy recurrence kernels, 'auto' — fastest
+    #: measured mix (poly coefficient pass at lmax <= 6, recurrence
+    #: force pass; see _harmonics_eff)
+    pallas_harmonics: str = "auto"
 
     @classmethod
     def from_tables(cls, t: SphSLTables, scale: float = 1.0,
@@ -133,7 +140,8 @@ class SphereSL:
                     numr_c: int = 512, chunk: int = 65536,
                     pallas_precision: str = "mixed",
                     pallas_interp: str = "spline",
-                    numr_cs: int = 256) -> "SphereSL":
+                    numr_cs: int = 256,
+                    pallas_harmonics: str = "auto") -> "SphereSL":
         grid = SLGridSph.from_tables(t, dtype=dtype)
         # resample the (numr, L+1, nmax) table onto a coarse uniform xi grid
         import numpy as np
@@ -152,24 +160,26 @@ class SphereSL:
                    numr_c=nc, chunk=chunk,
                    tabc_s=tabc_s, tabd_s=tabd_s,
                    numr_cs=ncs, pallas_precision=pallas_precision,
-                   pallas_interp=pallas_interp)
+                   pallas_interp=pallas_interp,
+                   pallas_harmonics=pallas_harmonics)
 
     def tree_flatten(self):
         return (self.grid, self.fac, self.tabc, self.tabc_s, self.tabd_s), (
             self.lmax, self.nmax, self.scale, self.backend, self.numr_c,
             self.chunk, self.numr_cs, self.pallas_precision,
-            self.pallas_interp)
+            self.pallas_interp, self.pallas_harmonics)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         grid, fac, tabc, tabc_s, tabd_s = children
         (lmax, nmax, scale, backend, numr_c, chunk, numr_cs,
-         pallas_precision, pallas_interp) = aux
+         pallas_precision, pallas_interp, pallas_harmonics) = aux
         return cls(grid=grid, fac=fac, tabc=tabc, tabc_s=tabc_s,
                    tabd_s=tabd_s, lmax=lmax, nmax=nmax, scale=scale,
                    backend=backend, numr_c=numr_c, chunk=chunk,
                    numr_cs=numr_cs, pallas_precision=pallas_precision,
-                   pallas_interp=pallas_interp)
+                   pallas_interp=pallas_interp,
+                   pallas_harmonics=pallas_harmonics)
 
     @property
     def _interp_eff(self):
@@ -177,6 +187,19 @@ class SphereSL:
         forces — bessel/analytic — may carry only the hat table)."""
         return (self.pallas_interp
                 if self.tabc_s is not None else "hat")
+
+    def _harmonics_eff(self, kind="coef"):
+        """Angular evaluation per kernel.  'auto' picks what measured
+        fastest on v5e @1M: poly for the coefficient pass (the M @ mono
+        matmul beats the per-harmonic row loop by ~8% at lmax=4-6),
+        recurrence for the force pass (the 4x taller gradient-matrix
+        matmul gives the win back); poly only while the f32 monomial
+        representation holds (~lmax <= 6, losing ~a digit per extra l)."""
+        if self.pallas_harmonics == "auto":
+            if kind == "coef":
+                return "poly" if self.lmax <= 6 else "recurrence"
+            return "recurrence"
+        return self.pallas_harmonics
 
     # -- coarse-grid helpers (matmul backend) ---------------------------
 
@@ -252,10 +275,12 @@ class SphereSL:
         spline = self._interp_eff == "spline"
         nc = self.numr_cs if spline else self.numr_c
         dxc = (g.dxi * (g.numr - 1)) / (nc - 1)
+        harm_c = self._harmonics_eff("coef")
+        harm_a = self._harmonics_eff("accel")
         key = (self.lmax, self.nmax, nc, float(g.xmin),
                float(dxc), float(g.rmin), float(g.rmax),
                g.cmap, float(g.rmap), float(self.scale),
-               self.pallas_precision, self._interp_eff)
+               self.pallas_precision, self._interp_eff, harm_c, harm_a)
         ck = _PALLAS_CACHE.get(("coef",) + key)
         ak = _PALLAS_CACHE.get(("accel",) + key)
         if ck is None or ak is None:
@@ -270,18 +295,22 @@ class SphereSL:
             else:
                 coef_prec = lo if pp in ("default", "mixed") else hi
                 accel_prec = lo if pp == "default" else hi
-            ck = pk.make_coef_kernel(self.lmax, self.nmax, nc,
-                                     key[3], key[4], key[5], key[6],
-                                     g.cmap, key[8], key[9], fac_np,
-                                     interpret=interpret,
-                                     precision=coef_prec,
-                                     interp=self._interp_eff)
-            ak = pk.make_accel_kernel(self.lmax, self.nmax, nc,
-                                      key[3], key[4], key[5], key[6],
-                                      g.cmap, key[8], key[9], fac_np,
-                                      interpret=interpret,
-                                      precision=accel_prec,
-                                      interp=self._interp_eff)
+            mk_coef = (pk.make_coef_kernel_poly if harm_c == "poly"
+                       else pk.make_coef_kernel)
+            mk_accel = (pk.make_accel_kernel_poly if harm_a == "poly"
+                        else pk.make_accel_kernel)
+            ck = mk_coef(self.lmax, self.nmax, nc,
+                         key[3], key[4], key[5], key[6],
+                         g.cmap, key[8], key[9], fac_np,
+                         interpret=interpret,
+                         precision=coef_prec,
+                         interp=self._interp_eff)
+            ak = mk_accel(self.lmax, self.nmax, nc,
+                          key[3], key[4], key[5], key[6],
+                          g.cmap, key[8], key[9], fac_np,
+                          interpret=interpret,
+                          precision=accel_prec,
+                          interp=self._interp_eff)
             _PALLAS_CACHE[("coef",) + key] = ck
             _PALLAS_CACHE[("accel",) + key] = ak
         return ck, ak

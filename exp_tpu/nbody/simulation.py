@@ -87,7 +87,8 @@ def build_force(fc, dtype, workdir=".", particles=None):
             t, scale=scale, dtype=dtype, backend=backend,
             pallas_precision=str(p.pop("pallas_precision", "mixed")),
             pallas_interp=str(p.pop("pallas_interp", "spline")),
-            numr_cs=int(p.pop("numr_cs", 256)))
+            numr_cs=int(p.pop("numr_cs", 256)),
+            pallas_harmonics=str(p.pop("pallas_harmonics", "auto")))
     elif fc.id == "noforce":
         from exp_tpu.forces.noforce import NoForce
 

@@ -368,6 +368,243 @@ def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
     return fn
 
 
+# ---------------------------------------------------------------------------
+# poly-harmonic kernels: angular work on the MXU via solid-harmonic
+# monomial matrices (ops/solidharm.py)
+# ---------------------------------------------------------------------------
+
+def _mono_rows(lmax, ux, uy, uz, nmp):
+    """Monomial rows mono(u) (NMp, B) built degree-at-a-time with (1, B)
+    products (31 multiplies at lmax=4 — same cost class as the trig
+    recurrences they replace; the expensive per-harmonic work moves into
+    the single M @ mono matmul), zero-padded to the matrix lane tile."""
+    from exp_tpu.ops.solidharm import monomial_build_plan, monomial_exponents
+
+    exps = monomial_exponents(lmax)
+    u = [ux, uy, uz]
+    rows = [jnp.ones_like(ux), ux, uy, uz]
+    for dst, s_mono, s_u in monomial_build_plan(lmax):
+        for k in range(len(dst)):
+            rows.append(rows[s_mono[k]] * u[s_u[k]])
+    assert len(rows) == len(exps)
+    if nmp > len(rows):
+        rows.append(jnp.zeros((nmp - len(rows), ux.shape[1]), ux.dtype))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _poly_matrices(lmax, accel=False):
+    """Static f32 matrices for the poly kernels (passed to pallas_call as
+    operands — kernels may not capture array constants): value rows M
+    (C1, NMp) including the real-Ylm normalization; for accel the d/du_j
+    row sets stacked below as (4*C1, NMp).  The monomial axis is padded
+    to a lane tile."""
+    from exp_tpu.ops.solidharm import harmonic_and_gradient_matrices
+
+    prows = packed_rows(lmax)
+    C1 = _round_up(len(prows), 8)
+    M, Mx, My, Mz = harmonic_and_gradient_matrices(lmax, tuple(prows))
+    NM = M.shape[1]
+    NMp = _round_up(NM, 128)
+
+    def pad(a):
+        out = np.zeros((C1, NMp), np.float32)
+        out[:len(prows), :NM] = a
+        return out
+
+    if not accel:
+        return pad(M)
+    return np.concatenate([pad(M), pad(Mx), pad(My), pad(Mz)], axis=0)
+
+
+def make_coef_kernel_poly(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap,
+                          rmap, scale, fac_np, block=1024, interpret=False,
+                          precision=None, interp="hat"):
+    """Poly-harmonic coefficient kernel: identical contract to
+    make_coef_kernel, with the Legendre/trig recurrences and the (1, B)
+    per-harmonic row loop replaced by mono(u) + one (C1, NM) matmul.
+    fac_np is unused (the normalization is baked into the matrix) but
+    kept for signature parity."""
+    prows = packed_rows(lmax)
+    C1 = _round_up(len(prows), 8)
+    F = (lmax + 1) * nmax
+    Fp = _round_up(F, 128)
+    rows = numr_c + 2 if interp == "spline" else numr_c
+    prec = _PREC if precision is None else precision
+    Mp = _poly_matrices(lmax)                        # (C1, NMp)
+    NMp = Mp.shape[1]
+
+    def kernel(xs_ref, tab_ref, mp_ref, out_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        xs = xs_ref[:]
+        B = xs.shape[1]
+        x, y, z, m, r, rs, costh, cphi, sphi = _geometry(xs, cmap, rmap,
+                                                         scale)
+        xi = _ximap(rs, cmap, rmap)
+        w = jnp.where((rs >= rmin) & (rs <= rmax), m, 0.0)
+
+        rinv = 1.0 / r
+        mono = _mono_rows(lmax, x * rinv, y * rinv, z * rinv, NMp)
+        Y2 = _dotNT(mp_ref[:], mono, prec) * w       # (C1, B)
+
+        if interp == "spline":
+            Wt = _spline_rows(xi, xmin, dxc, numr_c, B)
+        else:
+            Wt, _ = _hat_rows(xi, xmin, dxc, numr_c, B)
+        YW = _dotT(Y2, Wt, prec)                     # (C1, rows)
+        out_ref[:] += jnp.dot(YW, tab_ref[:],
+                              preferred_element_type=jnp.float32,
+                              precision=_PREC)
+
+    def fn(xyzm8, tabc_padded):
+        n = xyzm8.shape[1]
+        grid = n // block
+        big = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((C1, Fp), jnp.float32),
+            in_specs=[
+                pl.BlockSpec((8, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, Fp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C1, NMp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((C1, Fp), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xyzm8, tabc_padded, jnp.asarray(Mp))
+        pr = np.asarray(prows)
+        sel = big[np.arange(len(prows))[:, None],
+                  (pr[:, 1] * nmax)[:, None] + np.arange(nmax)[None, :]]
+        out = jnp.zeros((2, lmax + 1, lmax + 1, nmax), jnp.float32)
+        out = out.at[pr[:, 0], pr[:, 1], pr[:, 2]].set(sel)
+        return -4.0 * math.pi * out
+
+    return fn
+
+
+def make_accel_kernel_poly(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap,
+                           rmap, scale, fac_np, block=1024, interpret=False,
+                           precision=None, interp="hat"):
+    """Poly-harmonic force kernel (same contract as make_accel_kernel).
+
+    Replaces the dP/dtheta recurrence (and its pole clamp — the
+    tangential polynomial gradient is regular at the poles) and the
+    25-iteration potl/potr/pott/potp assembly with:
+
+        [Y; Gx; Gy; Gz] = Mstack @ mono(u)            (one MXU matmul)
+        potl, T_j, R     = E5 @ [Y*g; G_j*g; Y*dg]    (one block-ones
+                                                       reduce matmul)
+        acc = -( u * R/scale^2 + (T - u (u.T)) / (r*scale) )
+
+    where g are the per-row radial values (coefficient-contracted table
+    interpolation, as before) and dg their d/d(rs).  All intermediates
+    are full (C1, B) tiles — no (1, B) sublane-wasting row loop."""
+    prows = packed_rows(lmax)
+    C1 = _round_up(len(prows), 8)
+    rows = numr_c + 2 if interp == "spline" else numr_c
+    twrows = 2 * C1 if interp == "spline" else C1
+    prec = _PREC if precision is None else precision
+    Mstack = _poly_matrices(lmax, accel=True)           # (4*C1, NMp)
+    NMp = Mstack.shape[1]
+    # static per-row l (packed order) for the continuation row builds
+    row_l = [l for cs, l, mm in prows] + [0] * (C1 - len(prows))
+
+    def kernel(xs_ref, tw_ref, mp_ref, out_ref):
+        xs = xs_ref[:]
+        B = xs.shape[1]
+        x, y, z, m, r, rs, costh, cphi, sphi = _geometry(xs, cmap, rmap,
+                                                         scale)
+        rb = rmax * scale
+        outside = r > rb
+        rs_c = jnp.minimum(rs, rmax)
+        xi = _ximap(rs_c, cmap, rmap)
+
+        if cmap == 1:
+            dxidr = 0.5 * (1.0 - xi) * (1.0 - xi) / rmap
+        else:
+            dxidr = jnp.ones_like(xi)
+
+        if interp == "spline":
+            Wt = _spline_rows(xi, xmin, dxc, numr_c, B)
+            pcd = _dotNT(tw_ref[:], Wt, prec)           # (2*C1, B)
+            pc = pcd[:C1]
+            dpc = pcd[C1:] * dxidr                      # table is d/dxi
+        else:
+            Wt, dWt = _hat_rows(xi, xmin, dxc, numr_c, B, deriv=True)
+            pc = _dotNT(tw_ref[:], Wt, prec)            # (C1, B)
+            dpc = _dotNT(tw_ref[:], dWt, prec) * dxidr
+
+        # vacuum multipole continuation rows: att_l = (rb/r)^(l+1) and
+        # the derivative companion (l+1) * att_l, both assembled per
+        # packed row from the lmax+1 distinct (1, B) values
+        base = jnp.where(outside, rb / r, 1.0)
+        attl = [base]
+        for l in range(1, lmax + 1):
+            attl.append(attl[-1] * base)
+        attC = jnp.concatenate([attl[l] for l in row_l], axis=0)
+        attD = jnp.concatenate([(l + 1.0) * attl[l] for l in row_l],
+                               axis=0)
+
+        g = pc * attC
+        # d/d(rs): in-table from the tabulated derivative; outside the
+        # analytic -(l+1)/rs continuation (rs unclamped, scaled radius —
+        # the /scale^2 below matches the in-table d/d(rs) convention)
+        dg = jnp.where(outside, -pc * attD / rs, dpc * attC)
+
+        rinv = 1.0 / r
+        ux, uy, uz = x * rinv, y * rinv, z * rinv
+        mono = _mono_rows(lmax, ux, uy, uz, NMp)
+        YG = _dotNT(mp_ref[:], mono, prec)               # (4*C1, B)
+        Y = YG[:C1]
+
+        def rsum(a):
+            return jnp.sum(a, axis=0, keepdims=True)
+
+        potl = rsum(Y * g)
+        Tx = rsum(YG[C1:2 * C1] * g)
+        Ty = rsum(YG[2 * C1:3 * C1] * g)
+        Tz = rsum(YG[3 * C1:] * g)
+        R = rsum(Y * dg)
+
+        uT = ux * Tx + uy * Ty + uz * Tz
+        s2inv = 1.0 / (scale * scale)
+        rsinv = rinv / scale
+        ax = -(ux * R * s2inv + (Tx - ux * uT) * rsinv)
+        ay = -(uy * R * s2inv + (Ty - uy * uT) * rsinv)
+        az = -(uz * R * s2inv + (Tz - uz * uT) * rsinv)
+        potl = potl / scale
+        zero = jnp.zeros_like(ax)
+        out_ref[:] = jnp.concatenate(
+            [ax, ay, az, potl, zero, zero, zero, zero], axis=0)
+
+    def fn(xyzm8, twT):
+        n = xyzm8.shape[1]
+        grid = n // block
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+            in_specs=[
+                pl.BlockSpec((8, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((twrows, rows), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * C1, NMp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xyzm8, twT, jnp.asarray(Mstack))
+
+    return fn
+
+
 def expand_coef_matrix(coef, lmax, nmax):
     """coef (2, L+1, L+1, nmax) -> Wc (Fp, C1): rows (l, n), columns in
     packed_rows order (matching the force kernel's pc rows)."""

@@ -207,6 +207,40 @@ def test_pallas_backend_equivalence(setup):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_pallas_poly_matches_recurrence(setup):
+    """pallas_harmonics='poly' (solid-harmonic monomial matmuls) matches
+    'recurrence' (Legendre/dP/trig row loops) on both passes — same radial
+    interpolation, only the angular evaluation differs."""
+    m, t, _, x, mass = setup
+    x32, m32 = x.astype(jnp.float32), mass.astype(jnp.float32)
+    fr = SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas",
+                              pallas_harmonics="recurrence")
+    fp = SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas",
+                              pallas_harmonics="poly")
+    assert fr._harmonics_eff("accel") == "recurrence"
+    assert fp._harmonics_eff("accel") == "poly"
+
+    xs, ms = x32[:2048], m32[:2048]
+    cr = fr.coefficients(xs, ms)
+    cp = fp.coefficients(xs, ms)
+    scale = float(jnp.abs(cr).max())
+    assert float(jnp.abs(cp - cr).max()) / scale < 5e-5
+
+    pts = xs[:300]
+    ar, pr_ = fr.acceleration(cr, pts)
+    ap, pp_ = fp.acceleration(cr, pts)
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ar),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pp_), np.asarray(pr_),
+                               rtol=1e-4, atol=1e-6)
+
+    # the auto default: poly coefficients at low l (measured faster),
+    # recurrence force pass; recurrence everywhere above the f32 cutoff
+    fauto = SphereSL.from_tables(t, backend="pallas")
+    assert fauto._harmonics_eff("coef") == "poly"
+    assert fauto._harmonics_eff("accel") == "recurrence"
+
+
 def test_pallas_spline_backend_accuracy(setup):
     """backend='pallas' interp='spline' (the default; prefiltered quadratic
     B-spline at numr_cs=256 + tabulated d(pot)/dxi) tracks the exact f64
