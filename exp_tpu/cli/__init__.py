@@ -8,7 +8,8 @@ utils/ inventory (SURVEY section 2.5):
                shrinkics, modelfit, addring, forcetest, bonnerebert
   PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp,
                psp2hdf5, psporbv
-  Analysis:    diskprof, haloprof, mssaprof, viewcoefs, h5compare, diskfreqs
+  Analysis:    diskprof (+--coef), haloprof, sphprof (coefficient-based
+               field profiles), mssaprof, viewcoefs, h5compare, diskfreqs
   MSSA:        mssafilter (exp_halo_noise / exp_disk_noise)
   SL/basis:    slcheck, orthochk, cylcache, eofinfo, slshift
 """
@@ -17,7 +18,8 @@ TOOLS = [
     "gensph", "cubeics", "gendisk", "genslab", "gendisk2d",
     "pspinfo", "pspstat", "psp2ascii", "ascii2psp", "snap2ascii", "diffpsp",
     "psp2hdf5", "shrinkics", "psphisto", "pspbox", "snapconvert", "snap2vtk",
-    "diskprof", "haloprof", "slabprof", "mssaprof", "viewcoefs", "h5compare",
+    "diskprof", "haloprof", "sphprof", "slabprof", "mssaprof", "viewcoefs",
+    "h5compare",
     "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
     "diskfreqs", "kldiv", "yamldiff",
     "modelfit", "addring", "forcetest",

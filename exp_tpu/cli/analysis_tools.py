@@ -43,7 +43,15 @@ def haloprof(argv=None):
 
 
 def diskprof(argv=None):
-    """diskprof — cylindrical disk profiles (Sigma, vc, sigma_z, z_rms)."""
+    """diskprof — cylindrical disk profiles (Sigma, vc, sigma_z, z_rms)
+    from particles; with --coef as the first argument, coefficient-based
+    field profiles instead (see diskprof_coef)."""
+    if argv is None:
+        import sys
+
+        argv = sys.argv[1:]
+    if argv and argv[0] == "--coef":
+        return diskprof_coef(argv[1:])
     ap = make_parser("diskprof", diskprof.__doc__)
     ap.add_argument("file")
     ap.add_argument("--type", default="ascii")
@@ -72,6 +80,181 @@ def diskprof(argv=None):
             f.write(f"{rc:.8g} {m[sel].sum()/area:.8g} "
                     f"{np.average(vphi[sel], weights=m[sel]):.8g} "
                     f"{sz:.8g} {zr:.8g}\n")
+    print(f"wrote {out}")
+
+
+def _basis_from_config_or_model(a, geometry, meta):
+    """Build an analysis Basis either from a YAML stanza file (--config,
+    the reference's usual route) or, for spheres, from a builtin/table
+    model with the coefficient file's own lmax/nmax."""
+    import yaml
+    from exp_tpu.analysis.basis import Basis
+
+    if a.config:
+        with open(a.config) as fh:
+            conf = yaml.safe_load(fh)
+        # accept either a bare force stanza or a Components-file entry
+        if "id" not in conf and "force" in conf:
+            conf = conf["force"]
+        return Basis.factory(conf)
+    if geometry != "sphere":
+        raise SystemExit("--config is required for non-sphere coefficient "
+                         "files (the EOF cache cannot be inferred)")
+    params = {"modelname": a.model,
+              "Lmax": int(meta.get("lmax", 4)),
+              "nmax": int(meta.get("nmax", 10)),
+              "scale": float(meta.get("scale", 1.0))}
+    if getattr(a, "basis_rmin", None) is not None:
+        params["rmin"] = a.basis_rmin
+    if getattr(a, "basis_rmax", None) is not None:
+        params["rmax"] = a.basis_rmax
+    return Basis.factory({"id": "sphereSL", "parameters": params})
+
+
+def _fib_sphere(n):
+    """n quasi-uniform unit vectors (Fibonacci lattice)."""
+    i = np.arange(n) + 0.5
+    z = 1.0 - 2.0 * i / n
+    phi = np.pi * (1 + 5 ** 0.5) * i
+    s = np.sqrt(1 - z * z)
+    return np.stack([s * np.cos(phi), s * np.sin(phi), z], axis=1)
+
+
+def sphprof(argv=None):
+    """sphprof — radial profiles of the BFE fields (density, potential,
+    radial force) reconstructed from a spherical coefficient file, with
+    optional harmonic truncation (utils/Analysis/sphprof.cc and
+    haloprof_coef.cc; haloprof here is the particle-histogram variant)."""
+    ap = make_parser("sphprof", sphprof.__doc__)
+    ap.add_argument("coeffile")
+    ap.add_argument("--config", default=None,
+                    help="YAML force stanza ({id, parameters}) for the "
+                         "basis; default builds sphereSL over --model with "
+                         "the file's lmax/nmax")
+    ap.add_argument("--model", default="hernquist",
+                    help="conditioning model (builtin or table file)")
+    ap.add_argument("--basis-rmin", type=float, default=None)
+    ap.add_argument("--basis-rmax", type=float, default=None)
+    ap.add_argument("--rmin", type=float, default=1e-3)
+    ap.add_argument("--rmax", type=float, default=2.0)
+    ap.add_argument("--nbins", type=int, default=60)
+    ap.add_argument("--time", type=float, default=None,
+                    help="snapshot time (nearest; default: last)")
+    ap.add_argument("--all-times", action="store_true",
+                    help="one profile block per stored time")
+    ap.add_argument("--lcut", type=int, default=None,
+                    help="drop harmonics with l > lcut")
+    ap.add_argument("--m0", action="store_true",
+                    help="keep only the axisymmetric m = 0 channels")
+    ap.add_argument("--theta", type=float, default=90.0,
+                    help="colatitude of the profile ray [deg]")
+    ap.add_argument("--phi", type=float, default=0.0,
+                    help="azimuth of the profile ray [deg]")
+    ap.add_argument("--avg", type=int, default=0, metavar="NANG",
+                    help="average over NANG quasi-uniform sphere "
+                         "directions instead of a single ray")
+    ap.add_argument("-o", "--output", default=None)
+    a = ap.parse_args(argv)
+    from exp_tpu.analysis.coefs import Coefs
+
+    c = Coefs.from_file(a.coeffile)
+    if c.geometry != "sphere":
+        raise SystemExit(f"{a.coeffile}: geometry {c.geometry!r}, "
+                         "expected 'sphere'")
+    basis = _basis_from_config_or_model(a, "sphere", c.meta)
+
+    ts = c.times()
+    sel_times = ts if a.all_times else \
+        [ts[-1] if a.time is None else
+         ts[int(np.argmin(np.abs(np.asarray(ts) - a.time)))]]
+
+    r = np.geomspace(a.rmin, a.rmax, a.nbins)
+    if a.avg:
+        dirs = _fib_sphere(a.avg)
+    else:
+        th, ph = np.radians(a.theta), np.radians(a.phi)
+        dirs = np.array([[np.sin(th) * np.cos(ph),
+                          np.sin(th) * np.sin(ph), np.cos(th)]])
+    pts = (r[:, None, None] * dirs[None, :, :]).reshape(-1, 3)
+
+    out = a.output or a.coeffile + ".sphprof"
+    with open(out, "w") as f:
+        f.write("# r dens pot F_r\n")
+        for t in sel_times:
+            coef = np.array(c.getCoefStruct(t))
+            if a.lcut is not None:
+                coef[:, a.lcut + 1:] = 0.0
+            if a.m0:
+                coef[:, :, 1:] = 0.0
+                coef[1] = 0.0
+            dens, pot, acc = basis.get_fields(coef, pts)
+            rhat = np.repeat(dirs[None], len(r), 0).reshape(-1, 3)
+            fr = np.sum(np.asarray(acc) * rhat, axis=1)
+            nd = dirs.shape[0]
+            dens = np.asarray(dens).reshape(len(r), nd).mean(1)
+            pot = np.asarray(pot).reshape(len(r), nd).mean(1)
+            fr = fr.reshape(len(r), nd).mean(1)
+            f.write(f"# time = {t:.8g}\n")
+            for k in range(len(r)):
+                f.write(f"{r[k]:.8g} {dens[k]:.8g} {pot[k]:.8g} "
+                        f"{fr[k]:.8g}\n")
+    print(f"wrote {out} ({len(sel_times)} time(s), {len(r)} radii)")
+
+
+def diskprof_coef(argv=None):
+    """diskprof --coef backend: midplane disk-field profiles (density,
+    potential, v_c) reconstructed from a cylinder coefficient file +
+    basis config (utils/Analysis/diskprof_coef.cc)."""
+    ap = make_parser("diskprof --coef", diskprof_coef.__doc__)
+    ap.add_argument("coeffile")
+    ap.add_argument("--config", required=True,
+                    help="YAML force stanza for the cylinder basis "
+                         "(must point at the EOF cache)")
+    ap.add_argument("--rmin", type=float, default=1e-3)
+    ap.add_argument("--rmax", type=float, default=1.0)
+    ap.add_argument("--nbins", type=int, default=60)
+    ap.add_argument("--time", type=float, default=None)
+    ap.add_argument("--mcut", type=int, default=None,
+                    help="drop azimuthal orders m > mcut")
+    ap.add_argument("--nphi", type=int, default=8,
+                    help="azimuths averaged per radius")
+    ap.add_argument("-o", "--output", default=None)
+    a = ap.parse_args(argv)
+    from exp_tpu.analysis.coefs import Coefs
+
+    c = Coefs.from_file(a.coeffile)
+    if c.geometry != "cylinder":
+        raise SystemExit(f"{a.coeffile}: geometry {c.geometry!r}, "
+                         "expected 'cylinder'")
+    basis = _basis_from_config_or_model(a, "cylinder", c.meta)
+
+    ts = c.times()
+    t = ts[-1] if a.time is None else \
+        ts[int(np.argmin(np.abs(np.asarray(ts) - a.time)))]
+    coef = np.array(c.getCoefStruct(t))
+    if a.mcut is not None:
+        coef[:, a.mcut + 1:] = 0.0
+
+    R = np.geomspace(a.rmin, a.rmax, a.nbins)
+    phis = np.linspace(0, 2 * np.pi, a.nphi, endpoint=False)
+    pts = np.stack([np.outer(R, np.cos(phis)).ravel(),
+                    np.outer(R, np.sin(phis)).ravel(),
+                    np.zeros(len(R) * a.nphi)], axis=1)
+    dens, pot, acc = basis.get_fields(coef, pts)
+    rhat = pts.copy()
+    rhat[:, 2] = 0.0
+    rhat /= np.maximum(np.linalg.norm(rhat, axis=1, keepdims=True), 1e-30)
+    fr = np.sum(np.asarray(acc) * rhat, axis=1).reshape(len(R), a.nphi)
+    dens = np.asarray(dens).reshape(len(R), a.nphi).mean(1)
+    pot = np.asarray(pot).reshape(len(R), a.nphi).mean(1)
+    vc = np.sqrt(np.maximum(-R * fr.mean(1), 0.0))
+
+    out = a.output or a.coeffile + ".diskprof"
+    with open(out, "w") as f:
+        f.write(f"# time = {t:.8g}\n# R dens_mid pot_mid vc\n")
+        for k in range(len(R)):
+            f.write(f"{R[k]:.8g} {dens[k]:.8g} {pot[k]:.8g} "
+                    f"{vc[k]:.8g}\n")
     print(f"wrote {out}")
 
 

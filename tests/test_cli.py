@@ -106,6 +106,52 @@ def test_profiles(workdir, capsys):
     assert os.path.exists(db + ".diskprof")
 
 
+def test_sphprof_coefficient_profiles(tmp_path, capsys):
+    """sphprof recovers the model density/force from a coefficient file
+    (the coefficient-based analogue of haloprof; sphprof.cc parity)."""
+    import yaml
+    from exp_tpu.analysis.basis import Basis
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.cli.analysis_tools import sphprof
+    from exp_tpu.ic.eddington import sample_spherical_model
+
+    stanza = {"id": "sphereSL",
+              "parameters": {"modelname": "hernquist", "Lmax": 2,
+                             "nmax": 6, "numr": 800, "rmin": 1e-3,
+                             "rmax": 20.0, "rmapping": 1.0}}
+    cfg = str(tmp_path / "basis.yml")
+    with open(cfg, "w") as fh:
+        yaml.safe_dump(stanza, fh)
+
+    m = hernquist_model(rmin=1e-3, rmax=20.0)
+    b = Basis.factory(stanza)
+    x, v, mass = sample_spherical_model(m, 20000, seed=7)
+    c = b.create_from_snapshots([(x, mass)], times=[0.0])
+    f = str(tmp_path / "sph.h5")
+    c.to_file(f)
+
+    out = str(tmp_path / "prof")
+    sphprof([f, "--config", cfg, "--rmin", "0.05", "--rmax", "2.0",
+             "--nbins", "16", "--avg", "12", "-o", out])
+    capsys.readouterr()
+    prof = np.loadtxt(out)
+    r, dens, pot, fr = prof.T
+    assert np.all(fr < 0)          # attractive radial force everywhere
+    assert np.all(np.diff(pot) > 0)  # potential rises outward
+    rho_true = np.array([float(m.get_density(ri)) for ri in r])
+    # N=20k, lmax=2 reconstruction: track the model within ~tens of %
+    assert np.abs(np.log(dens / rho_true)).max() < 0.5
+
+    # harmonic truncation to the monopole barely changes an equilibrium
+    # sample's density profile
+    out0 = str(tmp_path / "prof0")
+    sphprof([f, "--config", cfg, "--rmin", "0.05", "--rmax", "2.0",
+             "--nbins", "16", "--avg", "12", "--lcut", "0", "-o", out0])
+    capsys.readouterr()
+    dens0 = np.loadtxt(out0)[:, 1]
+    assert np.abs(np.log(dens0 / dens)).max() < 0.2
+
+
 def test_umbrella_dispatch(capsys, monkeypatch):
     import sys
     from exp_tpu.cli.__main__ import main
