@@ -160,7 +160,8 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2):
     couples = {"halo": ["halo", "disk"], "disk": ["halo", "disk"]}
     runner = MultistepRunner(forces, couples, 2e-3, M, mesh,
                              dynparams={"dynfracV": 0.01, "dynfracA": 0.03},
-                             cap_headroom=2)
+                             cap_headroom=2,
+                             fused=os.environ.get("BENCH_FUSED", "0") == "1")
     flat = {
         "halo": ParticleSystem.from_arrays(xh, vh, mh, dtype=jnp.float32),
         "disk": ParticleSystem.from_arrays(xd, vd, md, dtype=jnp.float32),

@@ -24,4 +24,5 @@ TOOLS = [
     "diskfreqs", "kldiv", "yamldiff",
     "modelfit", "addring", "forcetest",
     "psporbv", "bonnerebert", "mssafilter", "slshift",
+    "scalarprod", "pspinterp",
 ]

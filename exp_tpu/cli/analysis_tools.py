@@ -358,15 +358,24 @@ def slcheck(argv=None):
 
 def orthochk(argv=None):
     """orthochk — biorthogonality check of a built basis
-    (utils/SL/orthochk; the in-code orthoTest)."""
+    (utils/SL/orthochk + slabchk; the in-code orthoTest).  With
+    --geometry slab/cube/cylinder the check runs through the pyEXP
+    orthoCheck path (cylinder needs --config pointing at the EOF
+    cache)."""
     ap = make_parser("orthochk", orthochk.__doc__)
     ap.add_argument("-i", "--model", default="hernquist")
+    ap.add_argument("--geometry", default="sphere",
+                    choices=["sphere", "slab", "cube", "cylinder"])
+    ap.add_argument("--config", default=None,
+                    help="YAML force stanza (required for cylinder)")
     ap.add_argument("--lmax", type=int, default=2)
     ap.add_argument("--nmax", type=int, default=8)
     ap.add_argument("--numr", type=int, default=1000)
     ap.add_argument("--rmap", type=float, default=1.0)
     ap.add_argument("--tol", type=float, default=1e-3)
     a = ap.parse_args(argv)
+    if a.geometry != "sphere":
+        return _orthochk_pyexp(a)
     from exp_tpu.basis.slgrid import (build_sph_sl_tables,
                                       biorthogonality_matrix)
 
@@ -381,6 +390,81 @@ def orthochk(argv=None):
         print(f"l={l}: max|B+I| = {err:.3e}")
     print("PASS" if worst <= a.tol else "FAIL")
     return 0 if worst <= a.tol else 1
+
+
+def _orthochk_pyexp(a):
+    """Non-sphere orthochk backend over pyexp Basis.orthoCheck.  The
+    Gram matrices are ~ -I for the cylinder potential/density pair and
+    ~ +I for slab/cube (BiorthBasis.cc:4411 conventions)."""
+    import yaml
+    from exp_tpu.pyexp.basis import Basis as PBasis
+
+    if a.config:
+        with open(a.config) as fh:
+            conf = yaml.safe_load(fh)
+    elif a.geometry == "slab":
+        conf = {"id": "slabSL", "parameters":
+                {"nmaxx": 2, "nmaxy": 2, "nmax": a.nmax, "numz": 201}}
+    elif a.geometry == "cube":
+        conf = {"id": "cube", "parameters":
+                {"nmaxx": 2, "nmaxy": 2, "nmaxz": 2}}
+    else:
+        raise SystemExit("--config (with the EOF cache) is required for "
+                         "--geometry cylinder")
+    b = PBasis.factory(conf)
+    sign = -1.0 if a.geometry == "cylinder" else 1.0
+    worst = 0.0
+    for k, G in enumerate(b.orthoCheck()):
+        G = np.abs(np.asarray(G)) if a.geometry == "cube" else \
+            sign * np.asarray(G)
+        err = np.abs(G - np.eye(G.shape[0])).max()
+        worst = max(worst, err)
+        print(f"block {k}: max|G-I| = {err:.3e}")
+    print("PASS" if worst <= a.tol else "FAIL")
+    return 0 if worst <= a.tol else 1
+
+
+def scalarprod(argv=None):
+    """scalarprod — project a snapshot onto a basis and print the
+    per-channel inner products (utils/Analysis/scalarprod.cc: the
+    coefficient table straight from particles, no file round-trip)."""
+    ap = make_parser("scalarprod", scalarprod.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("--config", required=True,
+                    help="YAML force stanza ({id, parameters})")
+    ap.add_argument("--type", default=None)
+    ap.add_argument("--comp", default=None)
+    ap.add_argument("--center", action="store_true",
+                    help="subtract the mass-weighted center first")
+    a = ap.parse_args(argv)
+    import yaml
+    from exp_tpu.analysis.basis import Basis
+
+    with open(a.config) as fh:
+        basis = Basis.factory(yaml.safe_load(fh))
+    s = load_snapshot(a.file, a.type)
+    x, v, m = s.GetParticles(a.comp)
+    center = np.average(x, axis=0, weights=m) if a.center else None
+    coef = basis.create_coefficients(x, m, center=center)
+    geom = basis.geometry
+    print(f"geometry={geom} N={len(m)} M={m.sum():.6g}")
+    c = np.asarray(coef)
+    if geom == "sphere":
+        print("  l  m        n: amplitude (cos, sin)")
+        for l in range(c.shape[1]):
+            for mm in range(l + 1):
+                amps = np.hypot(c[0, l, mm], c[1, l, mm])
+                row = " ".join(f"{v:.4e}" for v in amps)
+                print(f"  {l}  {mm}  [{row}]")
+    elif geom == "cylinder":
+        print("  m        n: |amplitude|")
+        for mm in range(c.shape[1]):
+            amps = np.hypot(c[0, mm], c[1, mm])
+            row = " ".join(f"{v:.4e}" for v in amps)
+            print(f"  {mm}  [{row}]")
+    else:
+        print(f"total power: {float(np.sum(np.abs(c) ** 2)):.6e}")
+    return 0
 
 
 def cylcache(argv=None):
@@ -408,16 +492,39 @@ def cylcache(argv=None):
 
 
 def eofinfo(argv=None):
-    """eofinfo — inspect an EOF cache file (utils/ICs empinfo)."""
+    """eofinfo — inspect an EOF cache file (utils/ICs empinfo); --dump
+    writes the midplane basis functions U^m_n(R, z=0) to an ascii table
+    (utils/ICs empdump/eofpeek)."""
     ap = make_parser("eofinfo", eofinfo.__doc__)
     ap.add_argument("file")
+    ap.add_argument("--dump", action="store_true",
+                    help="write <file>.midplane with R, U^m_n(R, 0)")
+    ap.add_argument("--m", type=int, default=None,
+                    help="dump only this azimuthal order")
     a = ap.parse_args(argv)
     from exp_tpu.basis.empcyl import EmpCylTables
+    from exp_tpu.ops import coords
 
     t = EmpCylTables.read_cache(a.file)
     print(f"EOF cache: mmax={t.mmax} nmax={t.nmax} grid={t.numx}x{t.numy} "
           f"acyl={t.acyl} hcyl={t.hcyl} rcylmax={t.rcylmax}")
     print(f"even counts per m: {t.even_count.tolist()}")
+    if a.dump:
+        xg = t.xmin + t.dx * np.arange(t.numx)
+        Rg = np.asarray(coords.xi_to_r(xg, 1, t.acyl))
+        # z = 0 row: y = asinh(z/h) = 0
+        j0 = int(round((0.0 - t.ymin) / t.dy))
+        mids = range(t.mmax + 1) if a.m is None else [a.m]
+        out = a.file + ".midplane"
+        with open(out, "w") as f:
+            cols = " ".join(f"U_{mm}_{n}" for mm in mids
+                            for n in range(t.nmax))
+            f.write(f"# R {cols}\n")
+            for i in range(t.numx):
+                vals = " ".join(f"{t.pot[i, j0, mm, n]:.8g}"
+                                for mm in mids for n in range(t.nmax))
+                f.write(f"{Rg[i]:.8g} {vals}\n")
+        print(f"wrote {out}")
 
 
 def slabprof(argv=None):

@@ -138,6 +138,44 @@ def diffpsp(argv=None):
     return status
 
 
+def pspinterp(argv=None):
+    """pspinterp — phase-space dump interpolated between two PSP times
+    (utils/PhaseSpace/psp2interp.cc): particles matched by order, linear
+    in x and v, written as a new PSP at the requested time."""
+    ap = make_parser("pspinterp", pspinterp.__doc__)
+    ap.add_argument("file1")
+    ap.add_argument("file2")
+    ap.add_argument("-t", "--time", type=float, required=True)
+    ap.add_argument("-o", "--output", default=None)
+    a = ap.parse_args(argv)
+    from dataclasses import replace
+    from exp_tpu.io.psp import read_psp, write_psp
+
+    def last(f):
+        d = read_psp(f)
+        return d[-1] if isinstance(d, list) else d
+
+    d1, d2 = last(a.file1), last(a.file2)
+    if d2.time == d1.time:
+        raise SystemExit("dumps have the same time; nothing to interpolate")
+    w = (a.time - d1.time) / (d2.time - d1.time)
+    if not 0.0 <= w <= 1.0:
+        print(f"warning: t={a.time:g} extrapolates outside "
+              f"[{d1.time:g}, {d2.time:g}] (w={w:.3f})")
+    comps = []
+    for c1, c2 in zip(d1.components, d2.components):
+        n = min(len(c1.mass), len(c2.mass))
+        comps.append(replace(
+            c1, mass=c1.mass[:n],
+            x=(1 - w) * c1.x[:n] + w * c2.x[:n],
+            v=(1 - w) * c1.v[:n] + w * c2.v[:n],
+            pot=(1 - w) * c1.pot[:n] + w * c2.pot[:n]))
+    out = a.output or f"interp_{a.time:g}.psp"
+    write_psp(out, replace(d1, time=a.time, components=comps))
+    print(f"wrote {out} (w={w:.4f})")
+    return 0
+
+
 def psp2hdf5(argv=None):
     """psp2hdf5 — PSP dump(s) -> HDF5 snapshot series
     (utils/PhaseSpace/psp2hdf5): same layout as the OutHDF5 writer."""

@@ -152,6 +152,82 @@ def test_sphprof_coefficient_profiles(tmp_path, capsys):
     assert np.abs(np.log(dens0 / dens)).max() < 0.2
 
 
+def test_scalarprod_and_orthochk_geometries(workdir, tmp_path, capsys):
+    """scalarprod prints per-channel amplitudes; orthochk --geometry
+    slab/cube runs the pyexp orthoCheck path."""
+    import yaml
+    from exp_tpu.cli.analysis_tools import orthochk, scalarprod
+
+    stanza = {"id": "sphereSL",
+              "parameters": {"modelname": "hernquist", "Lmax": 1,
+                             "nmax": 4, "numr": 400, "rmin": 1e-3,
+                             "rmax": 20.0, "rmapping": 1.0}}
+    cfg = str(tmp_path / "b.yml")
+    with open(cfg, "w") as fh:
+        yaml.safe_dump(stanza, fh)
+    bods = str(workdir / "h.bods")
+    assert scalarprod([bods, "--type", "ascii", "--config", cfg,
+                       "--center"]) == 0
+    out = capsys.readouterr().out
+    assert "geometry=sphere" in out and "l  m" in out
+    # the monopole l=0 amplitudes dominate an equilibrium sample
+    lines = [ln for ln in out.splitlines() if ln.strip().startswith("0  0")]
+    assert lines
+
+    assert orthochk(["--geometry", "slab", "--nmax", "4",
+                     "--tol", "1e-2"]) == 0
+    assert "PASS" in capsys.readouterr().out
+    assert orthochk(["--geometry", "cube", "--tol", "1e-6"]) == 0
+    assert "PASS" in capsys.readouterr().out
+
+
+def test_pspinterp(workdir, tmp_path, capsys):
+    """pspinterp midpoint of two dumps == average of the dumps."""
+    from exp_tpu.cli.psptools import pspinterp
+    from exp_tpu.io.psp import PSPDump, PSPComponent, read_psp, write_psp
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(100, 3))
+    v = rng.normal(size=(100, 3))
+    m = np.full(100, 0.01)
+
+    def dump(path, t, shift):
+        c = PSPComponent(name="c", info="name: c\n", mass=m,
+                         x=x + shift, v=v, pot=np.zeros(100))
+        write_psp(path, PSPDump(time=t, components=[c]))
+
+    f1, f2 = str(tmp_path / "a.psp"), str(tmp_path / "b.psp")
+    dump(f1, 0.0, 0.0)
+    dump(f2, 1.0, 1.0)
+    out = str(tmp_path / "mid.psp")
+    assert pspinterp([f1, f2, "-t", "0.5", "-o", out]) == 0
+    d = read_psp(out)
+    d = d[-1] if isinstance(d, list) else d
+    assert abs(d.time - 0.5) < 1e-12
+    np.testing.assert_allclose(d.components[0].x, x + 0.5, atol=1e-6)
+
+
+def test_eofinfo_dump(tmp_path, capsys):
+    """eofinfo --dump writes finite midplane basis functions."""
+    import os
+    from exp_tpu.basis.empcyl import build_empcyl_tables
+    from exp_tpu.cli.analysis_tools import eofinfo
+
+    cache = str(tmp_path / "eof.h5")
+    build_empcyl_tables(mmax=1, nmax=4, lmaxfid=8, nmaxfid=6,
+                        acyl=0.01, hcyl=0.002, numx=48, numy=24,
+                        rnum=50, tnum=16, cachename=cache)
+    assert os.path.exists(cache)
+    eofinfo([cache, "--dump"])
+    out = capsys.readouterr().out
+    assert "EOF cache" in out
+    tab = np.loadtxt(cache + ".midplane")
+    assert tab.shape[1] == 1 + 2 * 4      # R + (mmax+1)*nmax columns
+    assert np.isfinite(tab).all()
+    # the m=0, n=0 potential function is largest near the disk center
+    assert np.abs(tab[:5, 1]).max() > np.abs(tab[-5:, 1]).max()
+
+
 def test_umbrella_dispatch(capsys, monkeypatch):
     import sys
     from exp_tpu.cli.__main__ import main
