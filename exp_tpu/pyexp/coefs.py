@@ -97,6 +97,11 @@ class CoefStruct:
                     f"{self.coefs.shape[-1]}")
         self.coefs = mat.reshape(self.coefs.shape)
 
+    # reference spellings: setMatrix on Sph/Cyl/Tbl structs, setTensor on
+    # Cube/Slab (CoefWrappers.cc:1580,1921) — same assign-with-checks
+    setMatrix = assign
+    setTensor = assign
+
 
 class Coefs:
     """Time series of CoefStructs with the reference's camelCase surface
@@ -175,6 +180,36 @@ class Coefs:
         if g == "cylinder" and A.ndim == 4:
             return np.stack([a[0] + 1j * a[1] for a in A], axis=-1)
         return np.moveaxis(A, 0, -1)
+
+    def setData(self, time, array):
+        """Enter/rewrite the flattened coefficient array at `time`
+        (Coefs::setData, CoefWrappers.cc:1153).  Accepts either the
+        packed complex per-time layout of getAllCoefs (sphere:
+        (l(l+1)/2+m, nmax); cylinder: (mmax+1, nmax)) or the native
+        real layout; the nearest stored time is replaced."""
+        ts = self.Times()
+        t = ts[int(np.argmin(np.abs(np.asarray(ts) - time)))]
+        cur = self._c._data[t]
+        arr = np.asarray(array)
+        if np.iscomplexobj(arr):
+            g = self._c.geometry
+            if g == "sphere":
+                from exp_tpu.io.coefs import unpack_sph_matrix
+
+                lmax = cur.shape[1] - 1
+                nmax = cur.shape[-1]
+                new = unpack_sph_matrix(arr.reshape(-1, nmax), lmax, nmax)
+            elif g == "cylinder":
+                arr = arr.reshape(cur.shape[1:])
+                new = np.stack([arr.real, arr.imag])
+            else:
+                raise ValueError(f"complex setData undefined for {g}")
+        else:
+            new = arr.reshape(cur.shape)
+        if new.shape != cur.shape:
+            raise ValueError(f"setData: shape {new.shape} != {cur.shape}")
+        self._c._data[t] = np.asarray(new, dtype=cur.dtype)
+        self._structs.pop(t, None)
 
     def setCoefs(self, struct: CoefStruct):
         """Replace/insert the struct's time slot."""

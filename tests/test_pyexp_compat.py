@@ -273,6 +273,31 @@ def test_get_all_coefs_packed_layout(snapshot, basis):
                                rtol=1e-12)
 
 
+def test_set_data_and_matrix_aliases(snapshot, basis):
+    """setData rewrites one time slot from the packed complex layout
+    (Coefs::setData); setMatrix/setTensor alias CoefStruct.assign."""
+    path, x, v, mass = snapshot
+    st = basis.createFromArray(mass, x, time=0.0)
+    coefs = pyEXP.coefs.Coefs.makecoefs(st, "halo")
+    coefs.add(st)
+
+    allc = coefs.getAllCoefs()            # (lm, n, 1) complex
+    coefs.setData(0.0, 2.0 * allc[:, :, 0])
+    allc2 = coefs.getAllCoefs()
+    np.testing.assert_allclose(allc2, 2.0 * allc, rtol=1e-12)
+
+    # real native layout round-trips too
+    raw = np.asarray(coefs.getCoefStruct(0.0).getCoefs())
+    coefs.setData(0.0, raw / 2.0)
+    np.testing.assert_allclose(coefs.getAllCoefs(), allc, rtol=1e-12)
+
+    st2 = st.deepcopy()
+    st2.setMatrix(np.asarray(st.getCoefs()) * 3.0)
+    np.testing.assert_allclose(np.asarray(st2.getCoefs()),
+                               3.0 * np.asarray(st.getCoefs()), rtol=1e-12)
+    assert st2.setTensor is not None
+
+
 def test_multi_name_mssa_and_edmd(snapshot, basis):
     """Two datasets with DIFFERENT coefficient shapes: per-name channel
     keys and reconstructions must not cross-contaminate."""
