@@ -5,7 +5,8 @@ umbrella: `python -m exp_tpu.cli <tool> ...`).  Coverage of the reference's
 utils/ inventory (SURVEY section 2.5):
 
   ICs:         gensph (utils/ICs/gensph), cubeics, gendisk (DiskHalo path),
-               shrinkics, modelfit, addring, forcetest, bonnerebert
+               shrinkics, modelfit, addring, addsphmod, forcetest,
+               bonnerebert
   PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp,
                psp2hdf5, psporbv
   Analysis:    diskprof (+--coef), haloprof, sphprof (coefficient-based
@@ -22,7 +23,7 @@ TOOLS = [
     "h5compare",
     "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
     "diskfreqs", "kldiv", "yamldiff",
-    "modelfit", "addring", "forcetest",
+    "modelfit", "addring", "addsphmod", "forcetest",
     "psporbv", "bonnerebert", "mssafilter", "slshift",
     "scalarprod", "pspinterp",
 ]

@@ -243,3 +243,37 @@ def forcetest(argv=None):
     print(f"mean: {err.mean():.4f}  (lmax={a.lmax} nmax={a.nmax} "
           f"N={x.shape[0]} sample={len(sel)})")
     return 0
+
+
+# ---------------------------------------------------------------------------
+# addsphmod
+# ---------------------------------------------------------------------------
+
+def addsphmod(argv=None):
+    """addsphmod — add two spherical model tables into one composite model
+    (utils/ICs/addsphmod.cc: AddSpheres combo(mod1, mod2, bmass) written
+    back out as a model table).  The second model's density, enclosed
+    mass, and potential are scaled by --bmass and added on the first
+    model's radial grid."""
+    ap = make_parser("addsphmod", addsphmod.__doc__)
+    ap.add_argument("model1", help="first model table (or builtin name)")
+    ap.add_argument("model2", help="second model table (or builtin name)")
+    ap.add_argument("--bmass", type=float, default=1.0,
+                    help="mass factor for the second model (addsphmod.cc "
+                         "--bmass)")
+    ap.add_argument("-o", "--output", default="new.model")
+    a = ap.parse_args(argv)
+
+    from exp_tpu.basis.model import add_sphere_to_model
+    from exp_tpu.cli._common import load_model
+
+    m1 = load_model(a.model1)
+    m2 = load_model(a.model2)
+    combo = add_sphere_to_model(m1, m2, mass_scale=a.bmass,
+                                include_density=True)
+    combo.to_file(a.output)
+    print(f"wrote {a.output}: M1={m1.mass[-1]:.6g} + "
+          f"{a.bmass} x M2={m2.mass[-1]:.6g} -> "
+          f"Mtot={combo.mass[-1]:.6g} over r in "
+          f"[{combo.r[0]:.4g}, {combo.r[-1]:.4g}]")
+    return 0

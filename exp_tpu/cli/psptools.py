@@ -232,11 +232,13 @@ def shrinkics(argv=None):
 
 def psphisto(argv=None):
     """psphisto — 1D mass-weighted histogram of a phase-space quantity
-    (utils/Analysis/psphisto.cc): field in {r, R, x, y, z, vr, vt, v2}."""
+    (utils/Analysis/psphisto.cc; pot/E cover utils/PhaseSpace/psp2histoE):
+    field in {r, R, x, y, z, vr, vt, v2, pot, E}."""
     ap = make_parser("psphisto", psphisto.__doc__)
     ap.add_argument("file")
     ap.add_argument("--field", default="r",
-                    choices=["r", "R", "x", "y", "z", "vr", "vt", "v2"])
+                    choices=["r", "R", "x", "y", "z", "vr", "vt", "v2",
+                             "pot", "E"])
     ap.add_argument("--comp", default=None)
     ap.add_argument("--nbins", type=int, default=40)
     ap.add_argument("--log", action="store_true")
@@ -258,6 +260,10 @@ def psphisto(argv=None):
             "vr": np.sum(x * v, axis=1) / rh,
             "v2": np.sum(v * v, axis=1)}
     vals["vt"] = np.sqrt(np.maximum(vals["v2"] - vals["vr"] ** 2, 0.0))
+    if a.field in ("pot", "E"):
+        pot = np.concatenate([c.pot for c in cs])
+        vals["pot"] = pot
+        vals["E"] = 0.5 * vals["v2"] + pot
     q = vals[a.field]
     if a.log:
         lo = max(q[q > 0].min(), 1e-12)

@@ -315,12 +315,40 @@ def test_psphisto_pspbox(workdir, capsys):
     mtot = read_psp(psp).components[0].mass.sum()
     np.testing.assert_allclose(tab[:, 1].sum(), mtot, rtol=1e-6)
 
+    # energy/potential fields (psp2histoE): mass is conserved per bin set
+    psphisto([psp, "--field", "E", "--nbins", "16"])
+    tabE = np.loadtxt(psp + ".histo.E")
+    assert tabE.shape == (16, 2)
+    np.testing.assert_allclose(tabE[:, 1].sum(), mtot, rtol=1e-6)
+
     pspbox([psp, "--radius", "1.0"])
     capsys.readouterr()
     pspinfo([psp + ".box"])
     out = capsys.readouterr().out
     n = int(out.split("ntot=")[1].split()[0])
     assert 0 < n < 2000
+
+
+def test_addsphmod(tmp_path, capsys):
+    """addsphmod: composite of two spherical model tables
+    (utils/ICs/addsphmod.cc AddSpheres)."""
+    from exp_tpu.basis.model import SphericalModelTable, hernquist_model
+    from exp_tpu.cli.ics_tools import addsphmod
+
+    m1 = hernquist_model(rmin=1e-3, rmax=20.0)
+    p1 = str(tmp_path / "one.model")
+    m1.to_file(p1)
+    out = str(tmp_path / "combo.model")
+    addsphmod([p1, "plummer", "--bmass", "0.5", "-o", out])
+    txt = capsys.readouterr().out
+    assert "wrote" in txt
+    combo = SphericalModelTable.from_file(out)
+    # total mass = M1 + bmass*M2(<rmax of m1's grid)
+    assert combo.mass[-1] > m1.mass[-1] + 0.3
+    # potential deepened everywhere by the added sphere
+    assert np.all(combo.pot <= m1.pot + 1e-12)
+    # density strictly increased at the center
+    assert combo.rho[0] > m1.rho[0]
 
 
 def test_kldiv(workdir, capsys):
