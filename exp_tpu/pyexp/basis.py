@@ -523,14 +523,18 @@ class Basis:
             return
         n = len(mass)
         part = np.arange(n) % sampT
-        samples = []
+        samples, counts, masses = [], [], []
         for s in range(sampT):
             sel = part == s
             c = self._b.create_coefficients(pos[sel], mass[sel],
                                             center=center,
                                             accum_dtype=np.float64)
             samples.append(np.asarray(c).ravel())
+            counts.append(int(sel.sum()))
+            masses.append(float(mass[sel].sum()))
         self._covar = np.stack(samples)        # (sampT, ncoef)
+        self._covar_counts = np.asarray(counts)
+        self._covar_masses = np.asarray(masses)
 
     def getCoefCovariance(self):
         """(mean (ncoef,), covariance (ncoef, ncoef)) over the sampT
@@ -559,10 +563,13 @@ class Basis:
         if lvl:
             kw = dict(compression="gzip", compression_opts=min(lvl, 9))
         with h5py.File(cachefile, "a") as f:
+            f.attrs["basisID"] = self.basisIDname()
             g = f.create_group(f"covariance/{float(time):.8e}")
             g.attrs["sampT"] = self._covar.shape[0]
             g.attrs["time"] = float(time)
             g.create_dataset("samples", data=self._covar, **kw)
+            g.create_dataset("counts", data=self._covar_counts)
+            g.create_dataset("masses", data=self._covar_masses)
             g.create_dataset("mean", data=mu, **kw)
             g.create_dataset("covariance", data=C, **kw)
 
@@ -882,3 +889,55 @@ def IntegrateOrbits(tinit, tfinal, h, ps, bfe, func, nout=0):
             times.append(t)
             out.append(ps.copy())
     return np.asarray(times), np.asarray(out, np.float32)
+
+
+class CovarianceReader:
+    """Read a coefficient-covariance database written by
+    Basis.writeCoefCovariance (the reference's SubsampleCovariance,
+    bound as pyEXP.basis.CovarianceReader, BasisWrappers.cc:3172-3242).
+
+    stride subsamples the stored partitions (every stride-th sample)."""
+
+    def __init__(self, filename: str, stride: int = 1):
+        import h5py
+
+        self.filename = str(filename)
+        self.stride = max(1, int(stride))
+        self._groups = {}
+        with h5py.File(self.filename, "r") as f:
+            self._basis_id = str(f.attrs.get("basisID", ""))
+            for key in f.get("covariance", {}):
+                g = f[f"covariance/{key}"]
+                self._groups[float(g.attrs["time"])] = key
+
+    def Times(self):
+        return sorted(self._groups)
+
+    def basisIDname(self):
+        return self._basis_id
+
+    def getCoefCovariance(self, time: float):
+        """(counts (T,), masses (T,), coefs (T, ncoef), covariance
+        (ncoef, ncoef)) for the stored time nearest `time`, with the
+        partitions subsampled by the reader's stride."""
+        import h5py
+
+        ts = self.Times()
+        if not ts:
+            raise KeyError("no covariance groups in file")
+        t = min(ts, key=lambda u: abs(u - time))
+        with h5py.File(self.filename, "r") as f:
+            g = f[f"covariance/{self._groups[t]}"]
+            sel = slice(None, None, self.stride)
+            samples = np.asarray(g["samples"])[sel]
+            counts = (np.asarray(g["counts"])[sel] if "counts" in g
+                      else np.zeros(samples.shape[0], int))
+            masses = (np.asarray(g["masses"])[sel] if "masses" in g
+                      else np.zeros(samples.shape[0]))
+            if self.stride == 1 and "covariance" in g:
+                C = np.asarray(g["covariance"])
+            else:
+                V = samples * samples.shape[0]
+                d = V - V.mean(axis=0)
+                C = (d.T @ d) / max(1, V.shape[0] - 1)
+        return counts, masses, samples, C

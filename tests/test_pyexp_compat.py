@@ -484,6 +484,20 @@ def test_coef_covariance(snapshot, basis, tmp_path):
         g = h5["covariance"]
         key = list(g)[0]
         assert g[key]["samples"].shape[0] == 8
+
+    # CovarianceReader (the reference's SubsampleCovariance binding,
+    # BasisWrappers.cc:3172-3242): times, ID, strided read-back
+    rdr = pyEXP.basis.CovarianceReader(f)
+    assert rdr.Times() == [0.0]
+    assert rdr.basisIDname() == basis.basisIDname() == "sphereSL"
+    counts, masses, coefs, C2 = rdr.getCoefCovariance(0.0)
+    assert coefs.shape[0] == 8 and counts.sum() == len(mass)
+    np.testing.assert_allclose(masses.sum(), mass.sum(), rtol=1e-12)
+    np.testing.assert_allclose(C2, C, rtol=1e-12, atol=1e-30)
+    r2 = pyEXP.basis.CovarianceReader(f, stride=2)
+    c2, m2, s2, _ = r2.getCoefCovariance(0.0)
+    assert s2.shape[0] == 4
+    np.testing.assert_allclose(s2, coefs[::2], rtol=1e-12)
     basis.enableCoefCovariance(False)
 
 
