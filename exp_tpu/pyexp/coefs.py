@@ -181,6 +181,25 @@ class Coefs:
             return np.stack([a[0] + 1j * a[1] for a in A], axis=-1)
         return np.moveaxis(A, 0, -1)
 
+    def getData(self, time):
+        """Packed complex coefficient array at the stored time nearest
+        `time` (Coefs::getData, bound as __call__ — CoefWrappers.cc:1132):
+        sphere (l(l+1)/2+m, nmax), cylinder (mmax+1, nmax); other
+        geometries return the native real layout."""
+        from exp_tpu.io.coefs import pack_sph_matrix
+
+        ts = self.Times()
+        t = ts[int(np.argmin(np.abs(np.asarray(ts) - time)))]
+        a = self._c._data[t]
+        g = self._c.geometry
+        if g == "sphere" and a.ndim == 4:
+            return pack_sph_matrix(a)
+        if g == "cylinder" and a.ndim == 3:
+            return a[0] + 1j * a[1]
+        return np.asarray(a)
+
+    __call__ = getData
+
     def setData(self, time, array):
         """Enter/rewrite the flattened coefficient array at `time`
         (Coefs::setData, CoefWrappers.cc:1153).  Accepts either the

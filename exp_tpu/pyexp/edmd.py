@@ -74,6 +74,43 @@ class Koopman:
                 out[name] = new
         return out
 
+    # reference spelling (EDMDWrappers.cc:213)
+    getReconstructed = getReconstructedKoopman
+
+    def channelDFT(self, dt=1.0):
+        """DFT of the selected data channels (Koopman::channelDFT,
+        expui/Koopman.cc:435-483): (freqs (nfreq,), power (nfreq, nchan)).
+        Unlike mSSA there is no meaningful PC-DFT counterpart."""
+        D = self._k.D[:self._k.nchan]          # (nchan, T), mean-removed
+        T = D.shape[1]
+        freq = 2.0 * np.pi * np.fft.rfftfreq(T, d=dt)
+        power = (np.abs(np.fft.rfft(D, axis=1)) ** 2 / T).T
+        return freq, power
+
+    def contrib(self):
+        """Contribution images (Koopman::contributions,
+        expui/Koopman.cc:210-287): time-averaged per-(mode, channel)
+        reconstruction power |Phi[n,j] amp[j] ev[j]^t|^2, returned as
+        (F, G) both (nev, nkeys) — F rows normalized per mode, G columns
+        per channel, both in sqrt (amplitude) units."""
+        Phi = self._k.modes                    # (nkeys, r) complex
+        lam = self._k.ev                       # (r,)
+        amp = self._k.amp                      # (r,)
+        T = self._k.D.shape[1]
+        t = np.arange(T)[:, None]
+        # mean over t of |lam^t|^2, per mode (geometric series, stable)
+        lam_pow = np.abs(lam[None, :] ** t) ** 2       # (T, r)
+        F = (np.abs(Phi) ** 2 * np.abs(amp) ** 2
+             * lam_pow.mean(axis=0)).T                 # (r, nkeys)
+        G = F.copy()
+        rown = F.sum(axis=1, keepdims=True)
+        F = np.sqrt(np.divide(F, rown, out=np.zeros_like(F),
+                              where=rown > 0))
+        coln = G.sum(axis=0, keepdims=True)
+        G = np.sqrt(np.divide(G, coln, out=np.zeros_like(G),
+                              where=coln > 0))
+        return F, G
+
     def saveState(self, prefix: str):
         np.savez(f"{prefix}_edmd.npz", ev=self._k.eigenvalues(),
                  modes=self._k.getModes())

@@ -166,6 +166,23 @@ def test_edmd_workflow(snapshot, basis):
     koop.reconstruct()
     rec = koop.getReconstructedKoopman()
     assert "halo" in rec
+    assert (koop.getReconstructed.__func__
+            is koop.getReconstructedKoopman.__func__)
+
+    # channelDFT (Koopman.cc:435): the driven 0.7 rad/step line dominates
+    freq, power = koop.channelDFT(dt=1.0)
+    assert power.shape == (len(freq), koop._k.nchan)
+    dom = freq[np.argmax(power.sum(axis=1))]
+    assert abs(dom - 0.7) < 2 * np.pi / 16
+
+    # contrib (Koopman.cc:210): amplitude images, rows/cols normalized
+    F, G = koop.contrib()
+    nev = len(koop.eigenvalues())
+    assert F.shape == G.shape == (nev, koop._k.nchan)
+    np.testing.assert_allclose((F ** 2).sum(axis=1),
+                               np.ones(nev), rtol=1e-8)
+    np.testing.assert_allclose((G ** 2).sum(axis=0),
+                               np.ones(koop._k.nchan), rtol=1e-8)
 
 
 def test_field_generator(snapshot, basis):
@@ -282,9 +299,13 @@ def test_set_data_and_matrix_aliases(snapshot, basis):
     coefs.add(st)
 
     allc = coefs.getAllCoefs()            # (lm, n, 1) complex
+    # getData/__call__ returns the same packed slice (CoefWrappers.cc:1132)
+    np.testing.assert_allclose(coefs(0.0), allc[:, :, 0], rtol=1e-14)
     coefs.setData(0.0, 2.0 * allc[:, :, 0])
     allc2 = coefs.getAllCoefs()
     np.testing.assert_allclose(allc2, 2.0 * allc, rtol=1e-12)
+    np.testing.assert_allclose(coefs.getData(0.0), 2.0 * allc[:, :, 0],
+                               rtol=1e-12)
 
     # real native layout round-trips too
     raw = np.asarray(coefs.getCoefStruct(0.0).getCoefs())
