@@ -152,6 +152,36 @@ def test_multistep_config_run(rundir):
     assert sum(counts) == 3000
 
 
+def test_multistep_checkpoint_restart(rundir):
+    """Restart a MULTISTEP run from an OutChkpt file: levels/coefficients
+    are derived state and rebuilt on resume (the reference restarts
+    multistep runs via `infile:`; Component.cc:3253)."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun",
+        "runtag: msck\n  multistep: 2\n  dynfracV: 0.05\n  dynfracA: 0.05")
+    (rundir / "config_msck.yml").write_text(txt)
+    from exp_tpu.nbody.output import restore_checkpoint
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_msck.yml"))
+    sim.run(10)
+    x10 = np.asarray(sim._state["halo"].x)
+
+    sim2 = Simulation.from_file(str(rundir / "config_msck.yml"))
+    restore_checkpoint(sim2, str(rundir / "OUT.msck.chkpt"))
+    assert sim2.istep == 10 and sim2._ms_state is None
+    np.testing.assert_allclose(np.asarray(sim2._state["halo"].x), x10,
+                               rtol=1e-12)
+    sim2.run(5)
+    # levels repopulated and energy still conserved after the resume
+    counts = sim2._ms_runner.level_counts(sim2._ms_state)["halo"]
+    assert sum(counts) == 3000
+    log = (rundir / "OUTLOG.msck").read_text().splitlines()
+    rows = [r for r in log if not r.startswith("#") and "Time" not in r]
+    E = [float(r.split("|")[15]) for r in rows]
+    assert abs(E[-1] - E[0]) / abs(E[0]) < 5e-3
+
+
 def test_wall_clock_stop_and_outmulti(rundir):
     """Wall-budget stop writes a checkpoint; OutMulti logs level counts."""
     txt = (rundir / "config.yml").read_text().replace(
