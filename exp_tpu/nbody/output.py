@@ -193,6 +193,10 @@ def restore_checkpoint(sim, path=None):
         if isinstance(d, list):
             d = d[-1]
         sim.time = float(d.time)
+        # PSP dumps carry no step counter; reconstruct it from the time so
+        # nint scheduling / nrelevel cadence match the HDF5-restart path
+        if sim.dt > 0:
+            sim.istep = int(round(sim.time / sim.dt))
         state = {}
         for c in d.components:
             if c.name not in sim.components:
@@ -203,7 +207,7 @@ def restore_checkpoint(sim, path=None):
             state[c.name] = ps.shard(sim.mesh)
         if state:
             sim._state.update(state)
-        sim._coefs = None
+        _reset_derived_state(sim)
         return sim
     with h5py.File(path, "r") as f:
         sim.time = float(f.attrs["time"])
@@ -216,8 +220,20 @@ def restore_checkpoint(sim, path=None):
                 dtype=sim.compute_dtype)
             state[n] = ps.shard(sim.mesh)
     sim._state = state
-    sim._coefs = None          # recomputed on prime() — coefficients are
-    return sim                 # derived state, not checkpointed (same as ref)
+    _reset_derived_state(sim)
+    return sim
+
+
+def _reset_derived_state(sim):
+    """Drop everything derived from the (replaced) particle state:
+    coefficients recompute on prime(), multistep buckets/registers rebuild
+    from the restored flat state on the next run (levels are derived, same
+    as the reference), and the host mirror cache is stale."""
+    sim._coefs = None
+    sim._ms_state = None
+    sim._ms_regs = None
+    sim._host_cache = {}
+    sim._host_cache_step = {}
 
 
 class OutPSN(Output):

@@ -563,8 +563,16 @@ class Basis:
         if lvl:
             kw = dict(compression="gzip", compression_opts=min(lvl, 9))
         with h5py.File(cachefile, "a") as f:
+            prev = str(f.attrs.get("basisID", ""))
+            if prev and prev != self.basisIDname():
+                raise ValueError(
+                    f"{cachefile} holds covariance for basis {prev!r}; "
+                    f"refusing to mix in {self.basisIDname()!r}")
             f.attrs["basisID"] = self.basisIDname()
-            g = f.create_group(f"covariance/{float(time):.8e}")
+            key = f"covariance/{float(time):.8e}"
+            if key in f:                      # rewrite-at-same-time
+                del f[key]
+            g = f.create_group(key)
             g.attrs["sampT"] = self._covar.shape[0]
             g.attrs["time"] = float(time)
             g.create_dataset("samples", data=self._covar, **kw)
@@ -929,6 +937,7 @@ class CovarianceReader:
         with h5py.File(self.filename, "r") as f:
             g = f[f"covariance/{self._groups[t]}"]
             sel = slice(None, None, self.stride)
+            sampT = int(g.attrs.get("sampT", g["samples"].shape[0]))
             samples = np.asarray(g["samples"])[sel]
             counts = (np.asarray(g["counts"])[sel] if "counts" in g
                       else np.zeros(samples.shape[0], int))
@@ -937,7 +946,10 @@ class CovarianceReader:
             if self.stride == 1 and "covariance" in g:
                 C = np.asarray(g["covariance"])
             else:
-                V = samples * samples.shape[0]
+                # each partition holds ~1/sampT of the population, so the
+                # population scaling is the STORED sampT, not the retained
+                # row count after striding
+                V = samples * sampT
                 d = V - V.mean(axis=0)
                 C = (d.T @ d) / max(1, V.shape[0] - 1)
         return counts, masses, samples, C

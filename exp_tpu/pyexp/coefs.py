@@ -14,6 +14,43 @@ import numpy as np
 from exp_tpu.analysis.coefs import Coefs as _NativeCoefs
 
 
+def _pack_complex(geometry, a):
+    """Native real layout -> the reference's packed complex layout
+    (sphere (l(l+1)/2+m, nmax), cylinder (mmax+1, nmax)); other
+    geometries return a copy of the native array."""
+    from exp_tpu.io.coefs import pack_sph_matrix
+
+    if geometry == "sphere" and a.ndim == 4:
+        return pack_sph_matrix(a)
+    if geometry == "cylinder" and a.ndim == 3:
+        return a[0] + 1j * a[1]
+    return np.array(a)
+
+
+def _complex_to_native(geometry, arr, shape):
+    """Packed complex layout -> native real layout with shape `shape`,
+    validating the packed dimensions against the target orders."""
+    arr = np.asarray(arr)
+    if geometry == "sphere":
+        from exp_tpu.io.coefs import unpack_sph_matrix
+
+        lmax, nmax = shape[1] - 1, shape[-1]
+        rows = (lmax + 1) * (lmax + 2) // 2
+        if arr.size != rows * nmax:
+            raise ValueError(
+                f"packed sphere data has {arr.size} elements; expected "
+                f"({rows}, {nmax}) for lmax={lmax}, nmax={nmax}")
+        return unpack_sph_matrix(arr.reshape(rows, nmax), lmax, nmax)
+    if geometry == "cylinder":
+        if arr.size != np.prod(shape[1:]):
+            raise ValueError(
+                f"packed cylinder data has {arr.size} elements; expected "
+                f"{tuple(shape[1:])}")
+        arr = arr.reshape(shape[1:])
+        return np.stack([arr.real, arr.imag])
+    raise ValueError(f"complex packed data undefined for {geometry!r}")
+
+
 class CoefStruct:
     """Single-time coefficient blob (CoefStruct.H:116).
 
@@ -83,19 +120,31 @@ class CoefStruct:
         """Assign a coefficient matrix (CoefWrappers.cc:961 SphStruct/
         CylStruct::assign): `dims` are the angular/radial orders — e.g.
         (lmax, nmax) sphere, (mmax, nmax) cylinder — checked against both
-        the data size and this struct's storage."""
+        the data size and this struct's storage.  Like the reference,
+        accepts the packed complex layout for sphere/cylinder structs
+        (CoefStruct.H:158/204 take Eigen::MatrixXcd) or the native real
+        layout.  Writes IN PLACE so a struct obtained from a Coefs
+        container edits the container's stored data too (the reference
+        structs share storage with their container)."""
         mat = np.asarray(mat)
-        if mat.size != self.coefs.size:
-            raise ValueError(
-                f"assign: data size {mat.size} != struct size "
-                f"{self.coefs.size} (geometry {self.geometry!r})")
         if dims:
             nmax = int(dims[-1])
             if nmax and self.coefs.shape[-1] != nmax:
                 raise ValueError(
                     f"assign: declared nmax {nmax} != struct radial order "
                     f"{self.coefs.shape[-1]}")
-        self.coefs = mat.reshape(self.coefs.shape)
+        if np.iscomplexobj(mat) and not np.iscomplexobj(self.coefs):
+            native = _complex_to_native(self.geometry, mat, self.coefs.shape)
+        else:
+            if mat.size != self.coefs.size:
+                raise ValueError(
+                    f"assign: data size {mat.size} != struct size "
+                    f"{self.coefs.size} (geometry {self.geometry!r})")
+            native = mat.reshape(self.coefs.shape)
+        try:
+            self.coefs[...] = native
+        except (ValueError, TypeError):     # read-only / dtype-incompatible
+            self.coefs = np.array(native)
 
     # reference spellings: setMatrix on Sph/Cyl/Tbl structs, setTensor on
     # Cube/Slab (CoefWrappers.cc:1580,1921) — same assign-with-checks
@@ -156,10 +205,25 @@ class Coefs:
     def setName(self, name):
         self._c.name = name
 
-    def getCoefStruct(self, time) -> CoefStruct:
+    def _nearest_time(self, time):
         ts = self.Times()
-        i = int(np.argmin(np.abs(np.asarray(ts) - time)))
-        t = ts[i]
+        if not ts:
+            raise KeyError("coefficient container is empty")
+        return ts[int(np.argmin(np.abs(np.asarray(ts) - time)))]
+
+    def _stored_time(self, time):
+        """The stored time matching `time` within rounding tolerance
+        (the reference's roundTime map lookup); KeyError when absent —
+        destructive operations must not guess a slot
+        (SphCoefs::setData, Coefficients.cc:698-705)."""
+        t = self._nearest_time(time)
+        if abs(t - time) > 1e-8 * max(1.0, abs(time)):
+            raise KeyError(
+                f"time {time} not in container (nearest stored: {t})")
+        return t
+
+    def getCoefStruct(self, time) -> CoefStruct:
+        t = self._nearest_time(time)
         if t not in self._structs:
             self._structs[t] = CoefStruct(self._c.geometry, self._c._data[t],
                                           time=t, name=self._c.name,
@@ -171,62 +235,38 @@ class Coefs:
         layouts: sphere -> complex (lm, nmax, T) with row l(l+1)/2+m
         (index with Basis.I), cylinder -> complex (mmax+1, nmax, T);
         other geometries return the native real layout with time last."""
-        from exp_tpu.io.coefs import pack_sph_matrix
-
-        A = self._c.as_array()
         g = self._c.geometry
-        if g == "sphere" and A.ndim == 5:
-            return np.stack([pack_sph_matrix(a) for a in A], axis=-1)
-        if g == "cylinder" and A.ndim == 4:
-            return np.stack([a[0] + 1j * a[1] for a in A], axis=-1)
-        return np.moveaxis(A, 0, -1)
+        return np.stack([_pack_complex(g, self._c._data[t])
+                         for t in self.Times()], axis=-1)
 
     def getData(self, time):
-        """Packed complex coefficient array at the stored time nearest
-        `time` (Coefs::getData, bound as __call__ — CoefWrappers.cc:1132):
-        sphere (l(l+1)/2+m, nmax), cylinder (mmax+1, nmax); other
-        geometries return the native real layout."""
-        from exp_tpu.io.coefs import pack_sph_matrix
-
-        ts = self.Times()
-        t = ts[int(np.argmin(np.abs(np.asarray(ts) - time)))]
-        a = self._c._data[t]
-        g = self._c.geometry
-        if g == "sphere" and a.ndim == 4:
-            return pack_sph_matrix(a)
-        if g == "cylinder" and a.ndim == 3:
-            return a[0] + 1j * a[1]
-        return np.asarray(a)
+        """Packed complex coefficient array (a copy) at the stored time
+        nearest `time` (Coefs::getData, bound as __call__ —
+        CoefWrappers.cc:1132): sphere (l(l+1)/2+m, nmax), cylinder
+        (mmax+1, nmax); other geometries the native real layout."""
+        t = self._nearest_time(time)
+        return _pack_complex(self._c.geometry, self._c._data[t])
 
     __call__ = getData
 
     def setData(self, time, array):
-        """Enter/rewrite the flattened coefficient array at `time`
-        (Coefs::setData, CoefWrappers.cc:1153).  Accepts either the
-        packed complex per-time layout of getAllCoefs (sphere:
+        """Rewrite the coefficient array at a STORED `time`
+        (Coefs::setData, CoefWrappers.cc:1153; KeyError when the time is
+        absent, matching SphCoefs::setData).  Accepts either the packed
+        complex per-time layout of getAllCoefs (sphere:
         (l(l+1)/2+m, nmax); cylinder: (mmax+1, nmax)) or the native
-        real layout; the nearest stored time is replaced."""
-        ts = self.Times()
-        t = ts[int(np.argmin(np.abs(np.asarray(ts) - time)))]
+        real layout."""
+        t = self._stored_time(time)
         cur = self._c._data[t]
         arr = np.asarray(array)
-        if np.iscomplexobj(arr):
-            g = self._c.geometry
-            if g == "sphere":
-                from exp_tpu.io.coefs import unpack_sph_matrix
-
-                lmax = cur.shape[1] - 1
-                nmax = cur.shape[-1]
-                new = unpack_sph_matrix(arr.reshape(-1, nmax), lmax, nmax)
-            elif g == "cylinder":
-                arr = arr.reshape(cur.shape[1:])
-                new = np.stack([arr.real, arr.imag])
-            else:
-                raise ValueError(f"complex setData undefined for {g}")
+        if np.iscomplexobj(arr) and not np.iscomplexobj(cur):
+            new = _complex_to_native(self._c.geometry, arr, cur.shape)
         else:
+            if arr.size != cur.size:
+                raise ValueError(
+                    f"setData: data size {arr.size} != stored size "
+                    f"{cur.size}")
             new = arr.reshape(cur.shape)
-        if new.shape != cur.shape:
-            raise ValueError(f"setData: shape {new.shape} != {cur.shape}")
         self._c._data[t] = np.asarray(new, dtype=cur.dtype)
         self._structs.pop(t, None)
 

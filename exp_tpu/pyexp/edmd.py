@@ -97,11 +97,18 @@ class Koopman:
         lam = self._k.ev                       # (r,)
         amp = self._k.amp                      # (r,)
         T = self._k.D.shape[1]
+        # per-mode weight w = |amp|^2 * mean_t |lam|^(2t), computed in log
+        # space and shifted by the max so a spurious |lam|>1 mode cannot
+        # overflow to inf/NaN (a common global factor cancels in both
+        # normalizations below)
+        logr = 2.0 * np.log(np.maximum(np.abs(lam), 1e-300))
         t = np.arange(T)[:, None]
-        # mean over t of |lam^t|^2, per mode (geometric series, stable)
-        lam_pow = np.abs(lam[None, :] ** t) ** 2       # (T, r)
-        F = (np.abs(Phi) ** 2 * np.abs(amp) ** 2
-             * lam_pow.mean(axis=0)).T                 # (r, nkeys)
+        tl = t * logr[None, :]                           # (T, r)
+        m = tl.max(axis=0)
+        logmean = m + np.log(np.exp(tl - m).sum(axis=0)) - np.log(T)
+        logw = 2.0 * np.log(np.maximum(np.abs(amp), 1e-300)) + logmean
+        w = np.exp(logw - logw.max())
+        F = (np.abs(Phi) ** 2 * w).T                     # (r, nkeys)
         G = F.copy()
         rown = F.sum(axis=1, keepdims=True)
         F = np.sqrt(np.divide(F, rown, out=np.zeros_like(F),

@@ -318,6 +318,27 @@ def test_set_data_and_matrix_aliases(snapshot, basis):
                                3.0 * np.asarray(st.getCoefs()), rtol=1e-12)
     assert st2.setTensor is not None
 
+    # setData on an absent time must raise, not guess a slot
+    # (SphCoefs::setData, Coefficients.cc:698-705)
+    with pytest.raises(KeyError):
+        coefs.setData(1.0, allc[:, :, 0])
+    # wrong packed dimensions must raise, not silently truncate
+    with pytest.raises(ValueError):
+        coefs.setData(0.0, np.zeros((3, 4), complex))
+
+    # struct edits propagate to the container (shared storage, like the
+    # reference's shared_ptr structs) — including packed complex input
+    live = coefs.getCoefStruct(0.0)
+    packed = coefs.getData(0.0)
+    live.setMatrix(0.5 * packed)
+    np.testing.assert_allclose(coefs.getData(0.0), 0.5 * packed,
+                               rtol=1e-12, atol=1e-30)
+    # getData returns a copy: mutating it must NOT touch the container
+    d = coefs.getData(0.0)
+    d *= 0.0
+    np.testing.assert_allclose(coefs.getData(0.0), 0.5 * packed,
+                               rtol=1e-12, atol=1e-30)
+
 
 def test_multi_name_mssa_and_edmd(snapshot, basis):
     """Two datasets with DIFFERENT coefficient shapes: per-name channel
@@ -516,9 +537,17 @@ def test_coef_covariance(snapshot, basis, tmp_path):
     np.testing.assert_allclose(masses.sum(), mass.sum(), rtol=1e-12)
     np.testing.assert_allclose(C2, C, rtol=1e-12, atol=1e-30)
     r2 = pyEXP.basis.CovarianceReader(f, stride=2)
-    c2, m2, s2, _ = r2.getCoefCovariance(0.0)
+    c2, m2, s2, Cs = r2.getCoefCovariance(0.0)
     assert s2.shape[0] == 4
     np.testing.assert_allclose(s2, coefs[::2], rtol=1e-12)
+    # strided covariance keeps the population scaling (x sampT, not x4)
+    V = s2 * 8
+    d = V - V.mean(axis=0)
+    np.testing.assert_allclose(Cs, d.T @ d / 3, rtol=1e-12, atol=1e-30)
+
+    # rewriting the same time slot replaces the group instead of raising
+    basis.writeCoefCovariance(f, time=0.0)
+    assert pyEXP.basis.CovarianceReader(f).Times() == [0.0]
     basis.enableCoefCovariance(False)
 
 

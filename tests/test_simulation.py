@@ -167,6 +167,12 @@ def test_multistep_checkpoint_restart(rundir):
     sim.run(10)
     x10 = np.asarray(sim._state["halo"].x)
 
+    # restoring into an ALREADY-STEPPED sim must also drop the stale
+    # multistep buckets so the restored flat state is what integrates
+    assert sim._ms_state is not None
+    restore_checkpoint(sim, str(rundir / "OUT.msck.chkpt"))
+    assert sim._ms_state is None and sim._ms_regs is None
+
     sim2 = Simulation.from_file(str(rundir / "config_msck.yml"))
     restore_checkpoint(sim2, str(rundir / "OUT.msck.chkpt"))
     assert sim2.istep == 10 and sim2._ms_state is None
