@@ -277,15 +277,16 @@ class SphereSL:
         dxc = (g.dxi * (g.numr - 1)) / (nc - 1)
         harm_c = self._harmonics_eff("coef")
         harm_a = self._harmonics_eff("accel")
+        fac_np = np.asarray(self.fac, np.float32)
         key = (self.lmax, self.nmax, nc, float(g.xmin),
                float(dxc), float(g.rmin), float(g.rmax),
                g.cmap, float(g.rmap), float(self.scale),
-               self.pallas_precision, self._interp_eff, harm_c, harm_a)
+               self.pallas_precision, self._interp_eff, harm_c, harm_a,
+               fac_np.tobytes())     # fac is baked into the kernels
         ck = _PALLAS_CACHE.get(("coef",) + key)
         ak = _PALLAS_CACHE.get(("accel",) + key)
         if ck is None or ak is None:
             interpret = _jax.default_backend() == "cpu"
-            fac_np = np.asarray(self.fac, np.float32)
             hi = _jax.lax.Precision.HIGHEST
             lo = _jax.lax.Precision.DEFAULT
             pp = self.pallas_precision

@@ -228,12 +228,17 @@ def _reset_derived_state(sim):
     """Drop everything derived from the (replaced) particle state:
     coefficients recompute on prime(), multistep buckets/registers rebuild
     from the restored flat state on the next run (levels are derived, same
-    as the reference), and the host mirror cache is stale."""
+    as the reference), the host mirror cache is stale, and writers that
+    difference against the previous output (OutCalbr) must not mix
+    pre-restore values with the restored state."""
     sim._coefs = None
     sim._ms_state = None
     sim._ms_regs = None
     sim._host_cache = {}
     sim._host_cache_step = {}
+    for o in getattr(sim, "outputs", []):
+        if isinstance(o, OutCalbr):
+            o._prev = None
 
 
 class OutPSN(Output):

@@ -765,10 +765,16 @@ class Simulation:
                 self.timers["Output"] += time.time() - t3
             # host-side operators (scatterMFP, generateRelaxation): applied
             # once per block, outside the jitted step
-            for op in self.operators:
-                for n in self._state:
-                    self._state[n] = op.apply(self._state[n], self.dt * kk,
-                                              self.istep, time=self.time)
+            if self.operators:
+                for op in self.operators:
+                    for n in self._state:
+                        self._state[n] = op.apply(self._state[n],
+                                                  self.dt * kk,
+                                                  self.istep, time=self.time)
+                # writers at this istep already cached the pre-operator
+                # state; a stop/SIGHUP checkpoint after this point must
+                # see the operator kicks
+                self._host_cache_step.clear()
             if self.verbose > 3:
                 self._print_timings()
             self._check_bad_values()

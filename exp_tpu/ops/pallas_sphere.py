@@ -382,7 +382,9 @@ def _mono_rows(lmax, ux, uy, uz, nmp):
 
     exps = monomial_exponents(lmax)
     u = [ux, uy, uz]
-    rows = [jnp.ones_like(ux), ux, uy, uz]
+    rows = [jnp.ones_like(ux)]
+    if lmax >= 1:
+        rows += [ux, uy, uz]
     for dst, s_mono, s_u in monomial_build_plan(lmax):
         for k in range(len(dst)):
             rows.append(rows[s_mono[k]] * u[s_u[k]])
@@ -392,17 +394,24 @@ def _mono_rows(lmax, ux, uy, uz, nmp):
     return jnp.concatenate(rows, axis=0)
 
 
-def _poly_matrices(lmax, accel=False):
+def _poly_matrices(lmax, accel=False, fac_np=None):
     """Static f32 matrices for the poly kernels (passed to pallas_call as
     operands — kernels may not capture array constants): value rows M
-    (C1, NMp) including the real-Ylm normalization; for accel the d/du_j
-    row sets stacked below as (4*C1, NMp).  The monomial axis is padded
-    to a lane tile."""
-    from exp_tpu.ops.solidharm import harmonic_and_gradient_matrices
+    (C1, NMp) including the real-Ylm normalization (rescaled to a custom
+    `fac_np` when it differs from the standard one — the matrices are
+    linear in fac); for accel the d/du_j row sets stacked below as
+    (4*C1, NMp).  The monomial axis is padded to a lane tile."""
+    from exp_tpu.ops.solidharm import (harmonic_and_gradient_matrices,
+                                       standard_fac)
 
     prows = packed_rows(lmax)
     C1 = _round_up(len(prows), 8)
     M, Mx, My, Mz = harmonic_and_gradient_matrices(lmax, tuple(prows))
+    if fac_np is not None:
+        fac_np = np.asarray(fac_np)
+        ratio = np.array([fac_np[l, m] / standard_fac(l, m)
+                          for (cs, l, m) in prows])[:, None]
+        M, Mx, My, Mz = M * ratio, Mx * ratio, My * ratio, Mz * ratio
     NM = M.shape[1]
     NMp = _round_up(NM, 128)
 
@@ -422,15 +431,15 @@ def make_coef_kernel_poly(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap,
     """Poly-harmonic coefficient kernel: identical contract to
     make_coef_kernel, with the Legendre/trig recurrences and the (1, B)
     per-harmonic row loop replaced by mono(u) + one (C1, NM) matmul.
-    fac_np is unused (the normalization is baked into the matrix) but
-    kept for signature parity."""
+    fac_np rescales the baked normalization when a force carries a
+    custom one."""
     prows = packed_rows(lmax)
     C1 = _round_up(len(prows), 8)
     F = (lmax + 1) * nmax
     Fp = _round_up(F, 128)
     rows = numr_c + 2 if interp == "spline" else numr_c
     prec = _PREC if precision is None else precision
-    Mp = _poly_matrices(lmax)                        # (C1, NMp)
+    Mp = _poly_matrices(lmax, fac_np=fac_np)        # (C1, NMp)
     NMp = Mp.shape[1]
 
     def kernel(xs_ref, tab_ref, mp_ref, out_ref):
@@ -447,7 +456,7 @@ def make_coef_kernel_poly(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap,
 
         rinv = 1.0 / r
         mono = _mono_rows(lmax, x * rinv, y * rinv, z * rinv, NMp)
-        Y2 = _dotNT(mp_ref[:], mono, prec) * w       # (C1, B)
+        Y2 = _dotNT(mp_ref[:], mono, _PREC) * w      # (C1, B)
 
         if interp == "spline":
             Wt = _spline_rows(xi, xmin, dxc, numr_c, B)
@@ -509,7 +518,8 @@ def make_accel_kernel_poly(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap,
     rows = numr_c + 2 if interp == "spline" else numr_c
     twrows = 2 * C1 if interp == "spline" else C1
     prec = _PREC if precision is None else precision
-    Mstack = _poly_matrices(lmax, accel=True)           # (4*C1, NMp)
+    Mstack = _poly_matrices(lmax, accel=True,
+                            fac_np=fac_np)            # (4*C1, NMp)
     NMp = Mstack.shape[1]
     # static per-row l (packed order) for the continuation row builds
     row_l = [l for cs, l, mm in prows] + [0] * (C1 - len(prows))
@@ -559,7 +569,7 @@ def make_accel_kernel_poly(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap,
         rinv = 1.0 / r
         ux, uy, uz = x * rinv, y * rinv, z * rinv
         mono = _mono_rows(lmax, ux, uy, uz, NMp)
-        YG = _dotNT(mp_ref[:], mono, prec)               # (4*C1, B)
+        YG = _dotNT(mp_ref[:], mono, _PREC)              # (4*C1, B)
         Y = YG[:C1]
 
         def rsum(a):

@@ -79,6 +79,15 @@ def _assoc_legendre(lmax, x):
     return p
 
 
+def standard_fac(l: int, m: int) -> float:
+    """The real-Ylm normalization baked into harmonic_matrix (the NumPy
+    twin of ops/special.real_ylm_norm, which returns device arrays — the
+    kernel makers must stay NumPy-pure)."""
+    v = math.sqrt((2 * l + 1) / (4 * math.pi)
+                  * math.factorial(l - m) / math.factorial(l + m))
+    return v * (math.sqrt(2) if m else 1.0)
+
+
 @lru_cache(maxsize=None)
 def harmonic_matrix(lmax: int, rows: tuple, with_fac: bool = True):
     """M (n_rows, n_mono) f64 with
@@ -102,9 +111,7 @@ def harmonic_matrix(lmax: int, rows: tuple, with_fac: bool = True):
     def fac(l, m):
         if not with_fac:
             return 1.0
-        v = math.sqrt((2 * l + 1) / (4 * math.pi)
-                      * math.factorial(l - m) / math.factorial(l + m))
-        return v * (math.sqrt(2) if m else 1.0)
+        return standard_fac(l, m)
 
     M = np.zeros((len(rows), len(exps)))
     for r, (cs, l, m) in enumerate(rows):

@@ -241,6 +241,32 @@ def test_pallas_poly_matches_recurrence(setup):
     assert fauto._harmonics_eff("accel") == "recurrence"
 
 
+def test_pallas_poly_lmax0_and_custom_fac(setup):
+    """Monopole-only (Lmax=0) configs run through the poly coefficient
+    path, and a custom real-Ylm normalization `fac` is honored by BOTH
+    harmonics paths (the kernel cache must not alias on fac)."""
+    import dataclasses
+
+    m, _, _, x, mass = setup
+    from exp_tpu.basis.slgrid import build_sph_sl_tables
+
+    t0 = build_sph_sl_tables(m, lmax=0, nmax=6, numr=400, cmap=1, rmap=1.0)
+    f0 = SphereSL.from_tables(t0, dtype=jnp.float32, backend="pallas")
+    assert f0._harmonics_eff("coef") == "poly"
+    xs, ms = x[:1024].astype(jnp.float32), mass[:1024].astype(jnp.float32)
+    c0 = f0.coefficients(xs, ms)
+    assert np.isfinite(np.asarray(c0)).all() and abs(c0[0, 0, 0, 0]) > 0
+
+    for harm in ("poly", "recurrence"):
+        f1 = SphereSL.from_tables(t0, dtype=jnp.float32, backend="pallas",
+                                  pallas_harmonics=harm)
+        f2 = dataclasses.replace(f1, fac=2.0 * f1.fac)
+        c1 = f1.coefficients(xs, ms)
+        c2 = f2.coefficients(xs, ms)
+        np.testing.assert_allclose(np.asarray(c2), 2.0 * np.asarray(c1),
+                                   rtol=1e-6, err_msg=harm)
+
+
 def test_pallas_spline_backend_accuracy(setup):
     """backend='pallas' interp='spline' (the default; prefiltered quadratic
     B-spline at numr_cs=256 + tabulated d(pot)/dxi) tracks the exact f64
