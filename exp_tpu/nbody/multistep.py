@@ -73,7 +73,6 @@ class CompFeats:
     rtrunc: float = 1.0e20
     com_system: bool = False
     needs_sources: bool = False
-    playback: bool = False
 
     def adb(self, t):
         """Adiabatic mass factor in [0, 1] (Component::Adiabatic)."""
@@ -95,6 +94,50 @@ def _project(force, feat: CompFeats, x, mass, t, center, axis_name,
                    < feat.rtrunc ** 2).astype(mw.dtype)
     return force.coefficients(xc, mw, axis_name=axis_name,
                               accum_dtype=accum_dtype)
+
+
+def _project_tc(force, feat: CompFeats, x, mass, t, center, axis_name,
+                accum_dtype):
+    """Two-center projection: positions stay raw (the force subtracts its
+    own centers internally), adiabatic ramp and the rtrunc cutoff about
+    the resolved inner center — matching the single-rate path
+    (simulation.py _system_step_body)."""
+    mw = mass * feat.adb(t)
+    if feat.rtrunc < 1.0e19:
+        xr = x - center[None, :]
+        mw = mw * (jnp.sum(xr * xr, axis=-1)
+                   < feat.rtrunc ** 2).astype(mw.dtype)
+    return force.coefficients(x, mw, axis_name=axis_name,
+                              accum_dtype=accum_dtype)
+
+
+def _accel_at(x, t, comp_couples, eff, tc, feats, coef_full, ctr, rots,
+              state, externals, axis_name):
+    """Acceleration/potential on positions `x` from the coupled
+    components' coefficient sets (or sources), plus external fields —
+    the shared assembly used by the substep closing kick and the init
+    prime."""
+    acc = jnp.zeros_like(x)
+    pot = jnp.zeros((x.shape[0],), x.dtype)
+    for a in comp_couples:
+        if feats[a].needs_sources:
+            aa, pp = eff[a].acceleration(_sources_of(state[a]), x,
+                                         axis_name=axis_name)
+        elif a in tc:
+            aa, pp = eff[a].acceleration(
+                _tmap(lambda v: v.astype(x.dtype), coef_full[a]), x)
+        else:
+            aa, pp = eff[a].acceleration(
+                _tmap(lambda v: v.astype(x.dtype), coef_full[a]),
+                (x - ctr[a][None, :]) @ rots[a].T)
+            aa = aa @ rots[a]
+        acc = acc + aa
+        pot = pot + pp
+    for ext in externals:
+        aa, pp = ext.acceleration(x, t)
+        acc = acc + aa
+        pot = pot + pp
+    return acc, pot
 
 
 def _com_centers(state, feats, centers, axis_name):
@@ -318,7 +361,9 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
 
             # -- effective expansion centers (instantaneous COM or given) -
             ctr = _com_centers(state, feats, centers, axis_name)
-            eff, tc = _eff_forces(forces, state, centers, axis_name)
+            # two-center inner = the COM-RESOLVED center (single-rate path
+            # overwrites centers[n] with the COM before the rebuild)
+            eff, tc = _eff_forces(forces, state, ctr, axis_name)
 
             # -- recompute coefficient registers for active levels --------
             for n in names:
@@ -333,9 +378,8 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     # fine substep
                     t_lvl = t0 + dt * (ms_ + mint[l])
                     if n in tc:     # two-center: centers applied internally
-                        cnew = f.coefficients(b.x, b.mass * feats[n].adb(
-                            t_lvl), axis_name=axis_name,
-                            accum_dtype=accum_dtype)
+                        cnew = _project_tc(f, feats[n], b.x, b.mass, t_lvl,
+                                           ctr[n], axis_name, accum_dtype)
                     else:
                         cnew = _project(f, feats[n], b.x, b.mass, t_lvl,
                                         ctr[n], axis_name, accum_dtype,
@@ -372,29 +416,9 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                         continue
                     b = state[n][l]
                     DT = dt * mint[l]
-                    acc = jnp.zeros_like(b.x)
-                    pot = jnp.zeros_like(b.mass)
-                    for a in couples[n]:
-                        if feats[a].needs_sources:
-                            aa, pp = eff[a].acceleration(
-                                _sources_of(state[a]), b.x,
-                                axis_name=axis_name)
-                        elif a in tc:
-                            aa, pp = eff[a].acceleration(
-                                _tmap(lambda v: v.astype(b.x.dtype),
-                                      coef_full[a]), b.x)
-                        else:
-                            aa, pp = eff[a].acceleration(
-                                _tmap(lambda v: v.astype(b.x.dtype),
-                                      coef_full[a]),
-                                (b.x - ctr[a][None, :]) @ rots[a].T)
-                            aa = aa @ rots[a]
-                        acc = acc + aa
-                        pot = pot + pp
-                    for ext in externals:
-                        aa, pp = ext.acceleration(b.x, t_sub)
-                        acc = acc + aa
-                        pot = pot + pp
+                    acc, pot = _accel_at(b.x, t_sub, couples[n], eff, tc,
+                                         feats, coef_full, ctr, rots,
+                                         state, externals, axis_name)
                     v_new = b.v + acc * (0.5 * DT)
                     state[n][l] = replace(b, v=v_new, acc=acc, pot=pot)
 
@@ -508,8 +532,11 @@ class MultistepRunner:
                  for n, bs in st.items()}
         for n, ps in flat2.items():
             dtr = self._dt_fn(ps)
-            lev = assign_levels(dtr, ps.level, self.dtime, self.M,
-                                self.shiftlevl)
+            # first assignment is UNclamped: shiftlevl limits step-to-step
+            # level changes, and there is no meaningful previous level yet
+            # (clamping to level 0 +- shiftlevl would start fast particles
+            # on far-too-coarse steps)
+            lev = assign_levels(dtr, ps.level, self.dtime, self.M, 0)
             flat2[n] = replace(ps, level=jnp.where(ps.mass > 0, lev, 0))
         state = {n: bucketize(ps, self.M, self.quantum, mesh=self.mesh,
                               headroom=self.cap_headroom)
@@ -543,8 +570,6 @@ class MultistepRunner:
         `extras_fn(t)` supplies playback coefficients interpolated at each
         substep's drift time (the reference interpolates playback per
         substep) and the current Hall factors."""
-        import jax.numpy as jnp
-
         centers = centers or self._zero_centers()
         rots = rots or self._eye_rots()
         extras_fn = extras_fn or self._default_extras
@@ -771,7 +796,7 @@ def init_regs_sm(forces: dict, couples: dict, M: int, mesh,
 
     def init(state, t0, centers, rots, extras):
         ctr = _com_centers(state, feats, centers, axis_name)
-        eff, tc = _eff_forces(forces, state, centers, axis_name)
+        eff, tc = _eff_forces(forces, state, ctr, axis_name)
         regs = {}
         coef_full = {}
         for n in names:
@@ -784,9 +809,8 @@ def init_regs_sm(forces: dict, couples: dict, M: int, mesh,
                                 else z)
                 continue
             if n in tc:
-                cs = [f.coefficients(b.x, b.mass * feats[n].adb(t0),
-                                     axis_name=axis_name,
-                                     accum_dtype=accum_dtype)
+                cs = [_project_tc(f, feats[n], b.x, b.mass, t0, ctr[n],
+                                  axis_name, accum_dtype)
                       for b in state[n]]
             else:
                 cs = [_project(f, feats[n], b.x, b.mass, t0, ctr[n],
@@ -812,28 +836,9 @@ def init_regs_sm(forces: dict, couples: dict, M: int, mesh,
                 continue
             bs = []
             for b in state[n]:
-                acc = jnp.zeros_like(b.x)
-                pot = jnp.zeros_like(b.mass)
-                for a in couples[n]:
-                    if feats[a].needs_sources:
-                        aa, pp = eff[a].acceleration(
-                            _sources_of(state[a]), b.x, axis_name=axis_name)
-                    elif a in tc:
-                        aa, pp = eff[a].acceleration(
-                            _tmap(lambda v: v.astype(b.x.dtype),
-                                  coef_full[a]), b.x)
-                    else:
-                        aa, pp = eff[a].acceleration(
-                            _tmap(lambda v: v.astype(b.x.dtype),
-                                  coef_full[a]),
-                            (b.x - ctr[a][None, :]) @ rots[a].T)
-                        aa = aa @ rots[a]
-                    acc = acc + aa
-                    pot = pot + pp
-                for ext in externals:
-                    aa, pp = ext.acceleration(b.x, t0)
-                    acc = acc + aa
-                    pot = pot + pp
+                acc, pot = _accel_at(b.x, t0, couples[n], eff, tc, feats,
+                                     coef_full, ctr, rots, state,
+                                     externals, axis_name)
                 bs.append(replace(b, acc=acc, pot=pot))
             out[n] = tuple(bs)
             parts = [_diagnostics(b, axis_name=axis_name) for b in bs]

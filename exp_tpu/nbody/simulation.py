@@ -504,8 +504,7 @@ class Simulation:
                     adiabatic=c.adiabatic, ton=c.ton, twid=c.twid,
                     rtrunc=c.rtrunc, com_system=c.com_system,
                     needs_sources=bool(getattr(c.force, "needs_sources",
-                                               False)),
-                    playback=c.playback is not None)
+                                               False)))
                 for n, c in self.components.items()}
             self._ms_runner = MultistepRunner(
                 forces, self.couples, self.dt, self.M, self.mesh,

@@ -87,8 +87,6 @@ def make_kdk_step(force, dt, mesh=None, axis_name: str = "p",
 
     from jax.sharding import PartitionSpec as P
 
-    pspec = jax.tree_util.tree_map(lambda _: P(axis_name), {"_": 0})["_"]
-
     def body(ps):
         return _step_body(force, dt, ps, axis_name=axis_name,
                           accum_dtype=accum_dtype)
@@ -140,7 +138,12 @@ def init_force_state(force, ps, mesh=None, axis_name: str = "p",
 
 
 def energies(diag):
-    """Scalar summary from a diag dict (host side)."""
+    """Scalar summary from a diag dict (host side).
+
+    "E" = KE + VC is the reference OUTLOG's total-energy column
+    (ektot + clausius, OutLog.cc:596) — a virial proxy that differs
+    from the true total whenever VC != PE; "Etot" = KE + PE is the
+    conserved total."""
     ke = float(diag["KE"]); pe = float(diag["PE"]); vc = float(diag["VC"])
     return {
         "KE": ke, "PE": pe, "VC": vc, "E": ke + vc,

@@ -136,6 +136,9 @@ def make_cube_coef_kernel(nmaxx, nmaxy, nmaxz, block=1024, interpret=False,
 
     def fn(xyzm8):
         n = xyzm8.shape[1]
+        assert n % block == 0, (
+            f"particle count {n} not a multiple of block {block}: pad "
+            f"first or the tail is dropped")
         grid = n // block
         big = pl.pallas_call(
             kernel,
@@ -211,6 +214,9 @@ def make_cube_accel_kernel(nmaxx, nmaxy, nmaxz, block=1024, interpret=False,
 
     def fn(xyzm8, R_re, R_im):
         n = xyzm8.shape[1]
+        assert n % block == 0, (
+            f"particle count {n} not a multiple of block {block}: pad "
+            f"first or the tail is dropped")
         grid = n // block
         return pl.pallas_call(
             kernel,

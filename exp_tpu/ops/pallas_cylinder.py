@@ -158,6 +158,9 @@ def make_cyl_coef_kernel(mmax, nmax, ncx, ncy, acyl, hcyl, xmin, dxc,
 
     def fn(xyzm8):
         n = xyzm8.shape[1]
+        assert n % block == 0, (
+            f"particle count {n} not a multiple of block {block}: pad "
+            f"first (CylinderForce._pad1024) or the tail is dropped")
         return pl.pallas_call(
             kernel,
             grid=(n // block,),
@@ -248,6 +251,9 @@ def make_cyl_accel_kernel(mmax, nmax, ncx, ncy, acyl, hcyl, xmin, dxc,
 
     def fn(xyzm8, Ct):
         n = xyzm8.shape[1]
+        assert n % block == 0, (
+            f"particle count {n} not a multiple of block {block}: pad "
+            f"first (CylinderForce._pad1024) or the tail is dropped")
         return pl.pallas_call(
             kernel,
             grid=(n // block,),

@@ -97,6 +97,9 @@ def make_slab_coef_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
 
     def fn(xyzm8):
         n = xyzm8.shape[1]
+        assert n % block == 0, (
+            f"particle count {n} not a multiple of block {block}: pad "
+            f"first or the tail is dropped")
         big = pl.pallas_call(
             kernel,
             grid=(n // block,),
@@ -166,6 +169,9 @@ def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
 
     def fn(xyzm8, Ct):
         n = xyzm8.shape[1]
+        assert n % block == 0, (
+            f"particle count {n} not a multiple of block {block}: pad "
+            f"first or the tail is dropped")
         return pl.pallas_call(
             kernel,
             grid=(n // block,),

@@ -203,6 +203,9 @@ def make_coef_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
 
     def fn(xyzm8, tabc_padded):
         n = xyzm8.shape[1]
+        assert n % block == 0, (
+            f"particle count {n} not a multiple of block {block}: pad "
+            f"first or the tail is dropped")
         grid = n // block
         big = pl.pallas_call(
             kernel,
@@ -349,6 +352,9 @@ def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
 
     def fn(xyzm8, twT):
         n = xyzm8.shape[1]
+        assert n % block == 0, (
+            f"particle count {n} not a multiple of block {block}: pad "
+            f"first or the tail is dropped")
         grid = n // block
         return pl.pallas_call(
             kernel,
@@ -469,6 +475,9 @@ def make_coef_kernel_poly(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap,
 
     def fn(xyzm8, tabc_padded):
         n = xyzm8.shape[1]
+        assert n % block == 0, (
+            f"particle count {n} not a multiple of block {block}: pad "
+            f"first or the tail is dropped")
         grid = n // block
         big = pl.pallas_call(
             kernel,
@@ -594,6 +603,9 @@ def make_accel_kernel_poly(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap,
 
     def fn(xyzm8, twT):
         n = xyzm8.shape[1]
+        assert n % block == 0, (
+            f"particle count {n} not a multiple of block {block}: pad "
+            f"first or the tail is dropped")
         grid = n // block
         return pl.pallas_call(
             kernel,

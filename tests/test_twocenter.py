@@ -122,3 +122,66 @@ Output:
     d = sim._diag["sys"]
     ke = float(np.asarray(d["KE"]))
     assert np.isfinite(ke) and ke > 0
+
+
+def test_twocenter_multistep_equals_flat(tmp_path):
+    """multistep(M=2, all pinned level 0) + twocenter + com + rtrunc must
+    reproduce flat stepping exactly: the register projection must apply
+    the same rtrunc mask and COM-resolved inner center as the single-rate
+    path (simulation.py _system_step_body)."""
+    from exp_tpu.nbody.simulation import Simulation
+
+    x, v, mass, _, _ = _host_satellite(seed=23)
+    write_ascii_bodies(tmp_path / "sys.bods", (x, v, mass))
+    m = hernquist_model(rmin=1e-4, rmax=30.0, numr=800)
+    m.to_file(tmp_path / "sys.model")
+
+    def cfg(tag, multistep):
+        glob = f"  multistep: {multistep}\n"
+        if multistep:
+            glob += ("  dynfracV: 1.0e30\n  dynfracA: 1.0e30\n"
+                     "  dynfracP: 1.0e30\n")
+        (tmp_path / f"{tag}.yml").write_text(f"""\
+Global:
+  dtime: 0.02
+  nsteps: 4
+  runtag: {tag}
+  compute_dtype: float64
+{glob}Components:
+  - name: sys
+    bodyfile: sys.bods
+    parameters: {{com: true, rtrunc: 8.0}}
+    force:
+      id: twocenter
+      parameters:
+        basis: sphereSL
+        cfac: 1.0
+        alpha: 1.0
+        parameters: {{numr: 600, Lmax: 2, nmax: 6, rmapping: 1.0,
+                      modelname: sys.model}}
+Output:
+  - id: outlog
+    parameters: {{nint: 4}}
+""")
+        return str(tmp_path / f"{tag}.yml")
+
+    sim_f = Simulation.from_file(cfg("tcf", 0), steps_per_block=1)
+    sim_f.prime()
+    sim_f.run()
+    sim_m = Simulation.from_file(cfg("tcm", 2))
+    sim_m.run()
+    counts = sim_m._ms_runner.level_counts(sim_m._ms_state)["sys"]
+    assert counts[0] == 8000, f"particles not pinned at level 0: {counts}"
+
+    def final(sim):
+        ps = sim._state["sys"]
+        live = np.asarray(ps.mass) > 0
+        xx = np.asarray(ps.x)[live]
+        vv = np.asarray(ps.v)[live]
+        order = np.lexsort(xx.T)
+        return xx[order], vv[order]
+
+    xf, vf = final(sim_f)
+    xm, vm = final(sim_m)
+    np.testing.assert_allclose(xm, xf, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(vm, vf, rtol=1e-6, atol=1e-9)
