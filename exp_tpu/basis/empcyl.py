@@ -116,7 +116,7 @@ class EmpCylTables:
 
         with h5py.File(path, "w") as f:
             f.attrs["type"] = "EmpCyl"
-            f.attrs["version"] = 1
+            f.attrs["version"] = 2
             for k in ("mmax", "nmax", "numx", "numy"):
                 f.attrs[k] = getattr(self, k)
             for k in ("acyl", "hcyl", "rcylmin", "rcylmax", "xmin", "xmax",
@@ -131,7 +131,7 @@ class EmpCylTables:
         import h5py
 
         with h5py.File(path, "r") as f:
-            if f.attrs.get("type") != "EmpCyl" or f.attrs.get("version") != 1:
+            if f.attrs.get("type") != "EmpCyl" or f.attrs.get("version") != 2:
                 raise ValueError(f"not an EmpCyl v1 cache: {path}")
             kw = {k: int(f.attrs[k]) for k in ("mmax", "nmax", "numx", "numy")}
             kw.update({k: float(f.attrs[k]) for k in
@@ -174,11 +174,16 @@ def disk_density_from_particles(x, mass, nR: int = 48, nz: int = 24,
     floor = rho_t[rho_t > 0].min() * 1e-3 if (rho_t > 0).any() else 1e-300
     lg = np.log(np.maximum(rho_t, floor))
     if smooth > 1:
+        # edge-padded boxcar (zero padding would bias the boundary bins)
         k = np.ones(smooth) / smooth
-        lg = np.apply_along_axis(
-            lambda a: np.convolve(a, k, mode="same"), 0, lg)
-        lg = np.apply_along_axis(
-            lambda a: np.convolve(a, k, mode="same"), 1, lg)
+        half = smooth // 2
+
+        def _boxcar(a):
+            ap = np.pad(a, half, mode="edge")
+            return np.convolve(ap, k, mode="same")[half:half + a.size]
+
+        lg = np.apply_along_axis(_boxcar, 0, lg)
+        lg = np.apply_along_axis(_boxcar, 1, lg)
 
     from scipy.interpolate import RegularGridInterpolator
 
@@ -214,12 +219,20 @@ def build_empcyl_tables(
         if density_key is None:
             density_key = "analytic"
     elif density_key is None:
-        density_key = "custom:" + hex(id(disk_density))
+        # content hash: sample the density on a fixed probe grid (id()
+        # keys can be reused by a different callable after GC, silently
+        # returning another density's cached tables)
+        Rp = np.geomspace(max(rcylmin * acyl, 1e-8), rcylmax * acyl, 32)
+        zp = np.linspace(-5.0 * hcyl, 5.0 * hcyl, 17)
+        probe = np.asarray(disk_density(Rp[:, None], zp[None, :]),
+                           np.float64)
+        density_key = "custom:" + hashlib.sha256(
+            probe.tobytes()).hexdigest()[:16]
 
     params = dict(mmax=mmax, nmax=nmax, ncylodd=ncylodd, lmaxfid=lmaxfid,
                   nmaxfid=nmaxfid, acyl=acyl, hcyl=hcyl, rcylmin=rcylmin,
                   rcylmax=rcylmax, numx=numx, numy=numy, rnum=rnum, tnum=tnum,
-                  sech2=sech2, density_key=density_key, version=1)
+                  sech2=sech2, density_key=density_key, version=2)
     key = hashlib.sha256(json.dumps(params, sort_keys=True).encode()
                          ).hexdigest()[:16]
     if cachename is not None:
@@ -339,7 +352,7 @@ def build_empcyl_tables(
         M = 0.5 * (M + M.T)
 
         # eigen per parity block, top counts
-        nodd = ncylodd if m <= mmax else 0
+        nodd = ncylodd
         neven = nmax - nodd
         evecs = []
         for parity, count in ((0, neven), (1, nodd)):
@@ -365,6 +378,12 @@ def build_empcyl_tables(
             for k in range(V.shape[1]):
                 blocks.append((w_[k], parity, V[:, k]))
         blocks.sort(key=lambda b: -b[0])
+        if len(blocks) < nmax:
+            raise ValueError(
+                f"EOF m={m}: only {len(blocks)} eigenfunctions available "
+                f"for nmax={nmax} (ncylodd={nodd}) — the fiducial basis "
+                f"l in [{m}, {lmaxfid}] has too few members of one vertical "
+                f"parity; raise lmaxfid or lower nmax/ncylodd")
         E = np.stack([b[2] for b in blocks], axis=1)      # (D, nmax)
         even_count[m] = sum(1 for b in blocks if b[1] == 0)
 

@@ -185,9 +185,14 @@ def model_from_particles(x, mass, numr: int = 800, rmin: float = None,
     vol = 4.0 * np.pi / 3.0 * np.diff(edges ** 3)
     rho = msh / vol
     if smooth > 1:                       # boxcar in log space
+        # edge-padded so the boundary bins average only REAL samples —
+        # mode="same" zero padding would bias the cusp/truncation bins
+        # toward log(rho)=0
         k = np.ones(smooth) / smooth
-        rho = np.exp(np.convolve(np.log(np.maximum(rho, rho[rho > 0].min()
-                                                   * 1e-3)), k, mode="same"))
+        lg = np.log(np.maximum(rho, rho[rho > 0].min() * 1e-3))
+        half = smooth // 2
+        lg_pad = np.pad(lg, half, mode="edge")
+        rho = np.exp(np.convolve(lg_pad, k, mode="same")[half:half + numr])
     rc = np.sqrt(edges[:-1] * edges[1:])
     good = rho > 0
     rho_i = np.interp(np.log(rc), np.log(rc[good]), np.log(rho[good]))

@@ -49,7 +49,7 @@ import jax.numpy as jnp
 from exp_tpu.ops import coords
 from exp_tpu.basis.model import SphericalModelTable
 
-CACHE_VERSION = 1
+CACHE_VERSION = 2   # v2: correct inner-Dirichlet flux coupling for l>0
 
 
 # ---------------------------------------------------------------------------
@@ -92,15 +92,27 @@ def _solve_sl_one_l(l: int, xi: np.ndarray, r: np.ndarray, rp: np.ndarray,
     # half-point pt values between consecutive retained nodes
     ph = 0.5 * (pt[idx[:-1]] + pt[idx[1:]])
 
-    # cell measures (half cells at the boundaries)
+    # cell measures (half cells at the boundary NODES of the reduced
+    # problem; under inner Dirichlet the first retained node is interior)
     cell = np.full(n, h)
-    cell[0] = cell[-1] = 0.5 * h
+    cell[-1] = 0.5 * h
+    if not dirichlet_inner:
+        cell[0] = 0.5 * h
 
     diag = np.zeros(n)
     diag[1:] += ph / h
     diag[:-1] += ph / h
     diag += qt[idx] * cell
     off = -ph / h
+
+    if dirichlet_inner:
+        # eliminated u(node0) = 0 (the reference's sledge cons[0]=1.0
+        # Dirichlet, SLGridMP2.cc): the first retained node keeps its
+        # left-face flux coupling to the zero boundary value — without it
+        # the reduced problem silently imposes Neumann at node 1 and the
+        # stored table jumps from ef[:,0]=0 to a finite value across the
+        # first cell
+        diag[0] += 0.5 * (pt[0] + pt[1]) / h
 
     # Robin terms: (p u')(a) = (A1/A2) u(a);  (p u')(b) = -(B1/B2) u(b)
     if not dirichlet_inner:

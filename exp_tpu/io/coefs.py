@@ -390,7 +390,7 @@ class TableCoefsFile:
             self._f = f
         else:
             f = h5py.File(path, "r")
-            if str(f.attrs["geometry"]) != self.geometry:
+            if _attr_str(f.attrs["geometry"]) != self.geometry:
                 raise ValueError(
                     f"not a {self.geometry} coefficient file: {path}")
             self.cols = int(f.attrs["cols"])
@@ -464,7 +464,7 @@ class _FldCoefsFile:
             self._f = f
         else:
             f = h5py.File(path, "r")
-            if f.attrs["geometry"] != self.geometry \
+            if _attr_str(f.attrs["geometry"]) != self.geometry \
                     or "fieldID" not in f.attrs:
                 raise ValueError(
                     f"not a {self.geometry} field coefficient file: {path}")
@@ -472,7 +472,7 @@ class _FldCoefsFile:
             self.angmax = int(f.attrs[self.ang_attr])
             self.nmax = int(f.attrs["nmax"])
             self.scale = float(f.attrs.get("scale", 1.0))
-            self.labels = [str(s) for s in f.attrs.get("labels", [])]
+            self.labels = [_attr_str(s) for s in f.attrs.get("labels", [])]
             self._f = f
 
     def append(self, time: float, coef, center=None):

@@ -95,14 +95,19 @@ def write_gadget_hdf5(path, snapshot: Snapshot):
     with h5py.File(path, "w") as f:
         h = f.create_group("Header")
         h.attrs["Time"] = snapshot.time
+        names = snapshot.GetTypes()
+        if len(names) > 5:
+            raise ValueError(
+                f"gadget HDF5 has 5 usable particle types; snapshot has "
+                f"{len(names)} components ({names})")
         npart = [0] * 6
-        for i, name in enumerate(snapshot.GetTypes()):
+        for i, name in enumerate(names):
             x, v, m = snapshot.GetParticles(name)
-            g = f.create_group(f"PartType{min(i + 1, 5)}")
+            g = f.create_group(f"PartType{i + 1}")
             g.create_dataset("Coordinates", data=x)
             g.create_dataset("Velocities", data=v)
             g.create_dataset("Masses", data=m)
-            npart[min(i + 1, 5)] = len(m)
+            npart[i + 1] = len(m)
         h.attrs["NumPart_ThisFile"] = np.array(npart, np.int64)
         h.attrs["NumPart_Total"] = np.array(npart, np.int64)
 
