@@ -58,25 +58,51 @@ class Coefs:
     def to_file(self, path):
         from exp_tpu.io import coefs as iocoefs
 
+        # geometry dims: prefer the meta attrs, else derive from the
+        # stored arrays (a container built purely via add() carries no
+        # meta — writing 0 dims would corrupt the file header)
+        a = self._data[self.times()[0]] if self._data else None
+
+        def dim(key, derive):
+            v = int(self.meta.get(key, 0))
+            if v == 0 and a is not None:
+                v = int(derive(a))
+            return v
+
         if self.geometry == "sphere":
             f = iocoefs.SphCoefsFile(path, "w", name=self.name,
-                                     lmax=int(self.meta.get("lmax", 0)),
-                                     nmax=int(self.meta.get("nmax", 0)),
+                                     lmax=dim("lmax",
+                                              lambda c: c.shape[1] - 1),
+                                     nmax=dim("nmax",
+                                              lambda c: c.shape[-1]),
                                      scale=float(self.meta.get("scale", 1.0)))
         elif self.geometry == "cylinder":
             f = iocoefs.CylCoefsFile(path, "w", name=self.name,
-                                     mmax=int(self.meta.get("mmax", 0)),
-                                     nmax=int(self.meta.get("nmax", 0)))
+                                     mmax=dim("mmax",
+                                              lambda c: c.shape[1] - 1),
+                                     nmax=dim("nmax",
+                                              lambda c: c.shape[-1]))
         elif self.geometry == "cube":
             f = iocoefs.CubeCoefsFile(path, "w", name=self.name,
-                                      nmaxx=int(self.meta.get("nmaxx", 0)),
-                                      nmaxy=int(self.meta.get("nmaxy", 0)),
-                                      nmaxz=int(self.meta.get("nmaxz", 0)))
+                                      nmaxx=dim("nmaxx",
+                                                lambda c: (c.shape[0] - 1)
+                                                // 2),
+                                      nmaxy=dim("nmaxy",
+                                                lambda c: (c.shape[1] - 1)
+                                                // 2),
+                                      nmaxz=dim("nmaxz",
+                                                lambda c: (c.shape[2] - 1)
+                                                // 2))
         elif self.geometry == "slab":
             f = iocoefs.SlabCoefsFile(path, "w", name=self.name,
-                                      nmaxx=int(self.meta.get("nmaxx", 0)),
-                                      nmaxy=int(self.meta.get("nmaxy", 0)),
-                                      nmaxz=int(self.meta.get("nmaxz", 0)))
+                                      nmaxx=dim("nmaxx",
+                                                lambda c: (c.shape[0] - 1)
+                                                // 2),
+                                      nmaxy=dim("nmaxy",
+                                                lambda c: (c.shape[1] - 1)
+                                                // 2),
+                                      nmaxz=dim("nmaxz",
+                                                lambda c: c.shape[2]))
         else:
             raise ValueError(f"unknown geometry {self.geometry}")
         for t in self.times():

@@ -30,14 +30,21 @@ def cross_validate(force, x, mass, ntest: int = 512, eps: float = 1e-3,
     acc_b = np.asarray(acc_b)
     pot_b = np.asarray(pot_b)
 
-    # direct sum excluding self-interaction
-    d = pts[:, None, :] - x[None, :, :]
-    r2 = (d ** 2).sum(-1) + eps * eps
-    self_mask = r2 < (0.5 * eps) ** 2 + eps * eps * 1.0000001
-    rinv = 1.0 / np.sqrt(r2)
-    w = np.where(self_mask, 0.0, mass[None, :])
-    pot_d = -(w * rinv).sum(1)
-    acc_d = -(w[:, :, None] * d * (rinv ** 3)[:, :, None]).sum(1)
+    # direct sum excluding self-interaction, chunked over sources so the
+    # (ntest, chunk, 3) displacement tensor stays ~MBs at any N
+    pot_d = np.zeros(len(pts))
+    acc_d = np.zeros((len(pts), 3))
+    chunk = max(1, 32_000_000 // max(len(pts), 1))
+    for s0 in range(0, len(x), chunk):
+        xs = x[s0:s0 + chunk]
+        ms = mass[s0:s0 + chunk]
+        d = pts[:, None, :] - xs[None, :, :]
+        r2 = (d ** 2).sum(-1) + eps * eps
+        self_mask = r2 < (0.5 * eps) ** 2 + eps * eps * 1.0000001
+        rinv = 1.0 / np.sqrt(r2)
+        w = np.where(self_mask, 0.0, ms[None, :])
+        pot_d -= (w * rinv).sum(1)
+        acc_d -= (w[:, :, None] * d * (rinv ** 3)[:, :, None]).sum(1)
 
     r = np.linalg.norm(pts, axis=1)
     scale = np.linalg.norm(acc_d, axis=1) + 1e-30

@@ -89,7 +89,9 @@ class FieldGenerator:
         paths = []
         for i, (t, fields) in enumerate(sorted(rendered.items())):
             p = os.path.join(outdir, f"{prefix}_{i:05d}.vtk")
-            write_vtk(p, fields, self.pmin, self.pmax)
+            kept = tuple(c for c in range(3)
+                         if self.grid[c] and self.grid[c] > 0)
+            write_vtk(p, fields, self.pmin, self.pmax, axes=kept)
             paths.append((t, p))
         pvd = os.path.join(outdir, f"{prefix}.pvd")
         write_pvd(pvd, paths)
@@ -110,17 +112,25 @@ class FieldGenerator:
         return H / dA
 
 
-def write_vtk(path, fields, pmin, pmax):
+def write_vtk(path, fields, pmin, pmax, axes=None):
     """Legacy-VTK STRUCTURED_POINTS writer (exputil VtkGrid analogue):
     each entry of `fields` (name -> 1/2/3-D array) becomes a scalar
-    point-data field; collapsed axes get a single plane."""
+    point-data field; collapsed axes get a single plane.
+
+    `axes`: the world-axis index of each array dimension (e.g. (1, 2)
+    for a y-z slice).  Default: the leading world axes — correct for 3-D
+    volumes and x-y slices, wrong for x-z / y-z slices, which must say
+    which axes survived."""
     names = list(fields)
     a0 = np.asarray(fields[names[0]])
-    shape = list(a0.shape) + [1] * (3 - a0.ndim)
+    if axes is None:
+        axes = tuple(range(a0.ndim))
     pmin = np.asarray(pmin, dtype=float)
     pmax = np.asarray(pmax, dtype=float)
-    spacing = [(pmax[c] - pmin[c]) / max(shape[c] - 1, 1) if c < len(shape)
-               else 1.0 for c in range(3)]
+    shape = [1, 1, 1]
+    for dim, world in zip(a0.shape, axes):
+        shape[world] = dim
+    spacing = [(pmax[c] - pmin[c]) / max(shape[c] - 1, 1) for c in range(3)]
     npts = int(np.prod(shape))
     with open(path, "w") as f:
         f.write("# vtk DataFile Version 3.0\n"

@@ -31,6 +31,7 @@ class expMSSA:
                  flip_sign: bool = True):
         self.window = int(window)
         self.numpc = int(numpc)
+        self.flip_sign = bool(flip_sign)
         self._series = {}       # (name, key) -> (T,) detrended series
         self._mean = {}
         self.names = list(data)
@@ -80,6 +81,14 @@ class expMSSA:
         self.S = S[:k]
         self.U = U[:, :k]           # (K, k) left vectors
         self.Vt = Vt[:k]            # (k, wC) right vectors
+        if self.flip_sign:
+            # deterministic per-triple sign: the largest-|PC| sample is
+            # positive (U and Vt flip together, so reconstructions are
+            # unchanged; only the displayed PC/EOF signs are)
+            for j in range(k):
+                if self.U[np.argmax(np.abs(self.U[:, j])), j] < 0:
+                    self.U[:, j] = -self.U[:, j]
+                    self.Vt[j] = -self.Vt[j]
         self.PC = self.U * self.S   # principal components (K, k)
         self._recon = None
 
@@ -143,6 +152,10 @@ class expMSSA:
 
         `name` restricts to that dataset's channels — REQUIRED for
         multi-name configs, where channel indices are per-dataset."""
+        if name is None and len(self.names) > 1:
+            raise ValueError(
+                "reconstruct_coefs: name= is required with multiple "
+                f"datasets {self.names} (channel indices are per-dataset)")
         rec = self.reconstructed(groups)
         out = coefs.deepcopy()
         times = out.times()

@@ -6,7 +6,24 @@ import argparse
 
 
 def make_parser(prog, desc):
-    return argparse.ArgumentParser(prog=f"exp_tpu {prog}", description=desc)
+    ap = argparse.ArgumentParser(prog=f"exp_tpu {prog}", description=desc)
+    # every tool accepts --cpu: force the CPU backend BEFORE first device
+    # use (an unreachable TPU runtime otherwise hangs jax initialization;
+    # env vars alone cannot override a site-registered plugin)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (skip any accelerator)")
+    orig_parse = ap.parse_args
+
+    def parse_args(argv=None, namespace=None):
+        a = orig_parse(argv, namespace)
+        if getattr(a, "cpu", False):
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        return a
+
+    ap.parse_args = parse_args
+    return ap
 
 
 def load_model(name_or_file, rmin=1e-4, rmax=20.0, numr=2000):

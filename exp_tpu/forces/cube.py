@@ -147,11 +147,9 @@ class Cube:
             from exp_tpu.ops import pallas_cube as pk
 
             ck, _ = self._pallas_kernels()
-            n = x.shape[0]
-            npad = (-n) % 1024
-            if npad:
-                x = jnp.concatenate([x, jnp.zeros((npad, 3), x.dtype)])
-                mass = jnp.concatenate([mass, jnp.zeros(npad, mass.dtype)])
+            from exp_tpu.ops.padding import pad_particles
+
+            x, mass, _ = pad_particles(x, mass)
             raw = ck(pk.pack_xyzm(x, mass))
             cd = self._cdtype(accum_dtype)
             return -raw.astype(cd) * self.norm.astype(cd)
@@ -181,10 +179,9 @@ class Cube:
             b = coef.astype(cd) * self.norm.astype(cd)
             Rr, Ri = pk.pack_force_matrix(b, self.nmaxx, self.nmaxy,
                                           self.nmaxz)
-            n = x.shape[0]
-            npad = (-n) % 1024
-            xp = x if not npad else jnp.concatenate(
-                [x, jnp.zeros((npad, 3), x.dtype)])
+            from exp_tpu.ops.padding import pad_particles
+
+            xp, _, n = pad_particles(x)
             out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], x.dtype)),
                      Rr, Ri)
             return (out[0:3, :n].T.astype(x.dtype),

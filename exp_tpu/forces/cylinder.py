@@ -185,13 +185,9 @@ class CylinderForce:
     # ------------------------------------------------------------------
 
     def _pad1024(self, x, mass=None):
-        n = x.shape[0]
-        npad = (-n) % 1024
-        if npad:
-            x = jnp.concatenate([x, jnp.zeros((npad, 3), x.dtype)])
-            if mass is not None:
-                mass = jnp.concatenate([mass, jnp.zeros(npad, mass.dtype)])
-        return x, mass, n
+        from exp_tpu.ops.padding import pad_particles
+
+        return pad_particles(x, mass)
 
     def coefficients_local(self, x, mass, accum_dtype=jnp.float32):
         if self.backend == "pallas":

@@ -59,9 +59,13 @@ class DirectForce:
             acc, pot = carry
             xs_c, ms_c = src
             d = xs_c[None, :, :] - x[:, None, :]           # (Nt, C, 3)
-            r2 = jnp.sum(d * d, axis=-1) + eps2
+            r2raw = jnp.sum(d * d, axis=-1)
+            r2 = r2raw + eps2
             rinv = jax.lax.rsqrt(r2)
-            mr = ms_c[None, :] * rinv
+            # skip self-pairs (d == 0 exactly): the reference's Direct
+            # skips i == j — without this every particle's potential is
+            # biased by -m_i/eps (acceleration is unaffected, d = 0)
+            mr = jnp.where(r2raw > 0.0, ms_c[None, :] * rinv, 0.0)
             pot = pot - jnp.sum(mr, axis=1)
             acc = acc + jnp.sum((mr * rinv * rinv)[..., None] * d, axis=1)
             return (acc, pot), None

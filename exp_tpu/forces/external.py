@@ -313,7 +313,9 @@ class GenerateRelaxation:
         if self._e0 is None:
             self._e0 = E
             return ps
-        rel = np.abs((E - self._e0) / np.minimum(self._e0, -1e-12))
+        # magnitude floor on the denominator: unbound particles (E0 > 0)
+        # must not divide by the -1e-12 clamp
+        rel = np.abs(E - self._e0) / np.maximum(np.abs(self._e0), 1e-12)
         w = m[live] / m[live].sum()
         with open(self.path, "a") as f:
             f.write(f"{time:.10g} {np.sum(w * rel):.6g} {rel.max():.6g}"

@@ -60,15 +60,11 @@ class ShellsForce:
         return jnp.cumsum(bins)
 
     def coefficients(self, x, mass, axis_name=None, accum_dtype=jnp.float32):
-        r = jnp.sqrt(jnp.sum(x * x, axis=-1)) + 1e-12
-        tb = self._radial_bin(r)
-        j = jnp.arange(self.nbins, dtype=x.dtype)
-        onehot = (jnp.floor(tb)[:, None] == j[None, :]).astype(x.dtype)
-        bins = jnp.einsum("ib,i->b", onehot, mass,
-                          preferred_element_type=accum_dtype)
+        c = self.coefficients_local(x, mass, accum_dtype=accum_dtype)
         if axis_name is not None:
-            bins = jax.lax.psum(bins, axis_name)
-        return jnp.cumsum(bins)
+            # psum and cumsum are both linear: psum(cumsum) == cumsum(psum)
+            c = jax.lax.psum(c, axis_name)
+        return c
 
     def acceleration(self, coef, x):
         """M(<r)/r^2 inward; potential by outside-in integration."""

@@ -252,11 +252,9 @@ class SphereSL:
             from exp_tpu.ops import pallas_sphere as pk
 
             ck, _ = self._pallas_kernels()
-            n = x.shape[0]
-            npad = (-n) % 1024
-            if npad:
-                x = jnp.concatenate([x, jnp.zeros((npad, 3), x.dtype)])
-                mass = jnp.concatenate([mass, jnp.zeros(npad, mass.dtype)])
+            from exp_tpu.ops.padding import pad_particles
+
+            x, mass, _ = pad_particles(x, mass)
             tab = (self.tabc_s if self._interp_eff == "spline"
                    else self.tabc)
             return ck(pk.pack_xyzm(x, mass), pk.pad_table(
@@ -414,9 +412,9 @@ class SphereSL:
             else:
                 twT = pk.contract_coef_table_jit(coef, self.tabc,
                                                  self.lmax, self.nmax)
-            npad = (-n) % 1024
-            xp = x if not npad else jnp.concatenate(
-                [x, jnp.ones((npad, 3), x.dtype)])
+            from exp_tpu.ops.padding import pad_particles
+
+            xp, _, _ = pad_particles(x, fill=1.0)
             out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], x.dtype)),
                      twT)
             return (out[0:3, :n].T.astype(x.dtype),
@@ -440,7 +438,11 @@ class SphereSL:
         # clamp to table range; outside rmax apply multipole continuation
         outside = r > g.rmax * self.scale
         r_eval = jnp.minimum(r, g.rmax * self.scale)
-        rs = r_eval / self.scale
+        # clamp below rmin too: the gather path's lerp would otherwise
+        # EXTRAPOLATE the radial tables off the inner edge (the matmul
+        # path's hat weights already clip, and the reference holds the
+        # boundary value, SLGridMP2.cc get_pot xi clamping)
+        rs = jnp.maximum(r_eval / self.scale, g.rmin)
 
         P, dP = dlegendre_lm(lmax, costh)            # (N, L+1, L+1)
         cosm, sinm = sincos_m(lmax, phi)             # (N, L+1)
