@@ -23,12 +23,16 @@ def sample_exponential_disk(n, acyl=0.01, hcyl=0.002, mass=1.0, seed=0):
 
 
 def disk_velocities(x, vc_of_R, acyl=0.01, sigma0=None, Q: float = 1.2,
-                    seed=0):
+                    seed=0, Mdisk=None):
     """Assign rotating velocities with epicyclic dispersions.
 
     Args:
       vc_of_R: callable R -> circular speed from the TOTAL potential.
-      sigma0: central radial dispersion; default from Toomre Q at R=2a.
+      sigma0: central radial dispersion.  Default: when Mdisk is given,
+        from Toomre Q at R = 2a (sigma_R = Q 3.36 G Sigma / kappa with
+        the exponential Sigma(R) = Mdisk e^{-R/a} / 2 pi a^2 and kappa
+        from the rotation curve); else the 0.3 max(vc) rule of thumb
+        (Q then has no effect).
     """
     rng = np.random.default_rng(seed + 1)
     R = np.hypot(x[:, 0], x[:, 1]) + 1e-12
@@ -36,7 +40,19 @@ def disk_velocities(x, vc_of_R, acyl=0.01, sigma0=None, Q: float = 1.2,
     vc = vc_of_R(R)
 
     # radial dispersion ~ exp(-R/2a) profile
-    if sigma0 is None:
+    if sigma0 is None and Mdisk is not None:
+        R0 = 2.0 * acyl
+        def _vc(r):
+            return float(np.ravel(vc_of_R(np.asarray([r])))[0])
+
+        vc0 = _vc(R0)
+        dv = (_vc(1.01 * R0) - _vc(0.99 * R0)) / (0.02 * R0)
+        kappa = np.sqrt(max(2.0 * vc0 / R0 * (vc0 / R0 + dv), 1e-30))
+        Sigma0 = Mdisk / (2.0 * np.pi * acyl ** 2) * np.exp(-R0 / acyl)
+        # target sigma_R AT R0, lifted back to the central amplitude of
+        # the exp(-R/2a) profile
+        sigma0 = Q * 3.36 * Sigma0 / kappa * np.exp(R0 / (2.0 * acyl))
+    elif sigma0 is None:
         sigma0 = 0.3 * np.max(vc)
     sigR = sigma0 * np.exp(-R / (2.0 * acyl))
     sigp = sigR / np.sqrt(2.0)            # epicyclic ratio (flat curve)

@@ -97,6 +97,14 @@ def eof_smoothing_matrix(coef_sub, tk_type: str = "Hall",
     C = np.einsum("t...i,t...j->...ij", dev, dev) / max(T - 1, 1) / T
     lam, Q = np.linalg.eigh(C)                      # (..., n), (..., n, n)
     mproj = np.einsum("...ij,...i->...j", Q, mean)  # Q^T mean
+    # order eigen-channels by DESCENDING signal power: eigh returns
+    # ascending noise eigenvalues, but the order-dependent policies
+    # (CumulativeCut's leading-channel cumsum, the always-kept channel 0)
+    # expect dominant-first
+    order = np.argsort(-(mproj ** 2), axis=-1)
+    lam = np.take_along_axis(lam, order, axis=-1)
+    mproj = np.take_along_axis(mproj, order, axis=-1)
+    Q = np.take_along_axis(Q, order[..., None, :], axis=-1)
     w = np.asarray(smoothing_weights(mproj, np.maximum(lam, 0.0),
                                      tk_type=tk_type, tksmooth=tksmooth,
                                      tkcum=tkcum))

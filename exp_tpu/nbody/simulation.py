@@ -417,16 +417,46 @@ class Simulation:
                 if c.ej_flags & 1:
                     self._rots[n] = c.orient.body
         self._hall = {}          # name -> smoothing factor array
+        #: frozen coefficient sets for `self_consistent: false` components
+        #: (captured from the initial projection at prime; injected through
+        #: the playback channel so the expansion never responds to the
+        #: live particles — the reference's fixed-potential component)
+        self._frozen = {}
+        for n, c in self.components.items():
+            if c.self_consistent:
+                continue
+            if getattr(c.force, "needs_sources", False) or \
+                    getattr(c.force, "needs_centers", False):
+                raise ConfigError(
+                    f"component {n}: self_consistent: false is only "
+                    f"supported for coefficient-based forces")
+        for n, c in self.components.items():
+            if c.npca > 0 and (getattr(c.force, "needs_sources", False)
+                               or getattr(c.force, "needs_centers", False)):
+                raise ConfigError(
+                    f"component {n}: npca smoothing needs an array-valued "
+                    f"coefficient basis (AxisymmetricBasis PCA)")
+            if (c.ej_flags & 1) and getattr(c.force, "needs_centers",
+                                            False):
+                raise ConfigError(
+                    f"component {n}: EJ AXIS tracking is not supported "
+                    f"with a twocenter force (the two-center blend is "
+                    f"evaluated in the inertial frame); use EJ: 2 "
+                    f"(CENTER) only")
 
-        # interaction couples: B feels A  (ComponentContainer.cc:309-424)
+        # interaction couples: an entry `a: b` means "b feels a", ONE-WAY
+        # (Interaction.l is "components whose particles will feel the force
+        # from c", ComponentContainer.H:27-35, .cc:410-440); list mutual
+        # pairs explicitly.  Deduped: a repeated/reciprocal entry must not
+        # double-apply gravity.
         names = list(self.components)
         self.couples: dict[str, list[str]] = {b: [b] for b in names}
         if config.interactions:
             for a, b in config.interactions:
                 if a not in names or b not in names:
                     raise ConfigError(f"Interaction {a}:{b}: unknown component")
-                self.couples[b].append(a)
-                self.couples[a].append(b)
+                if a not in self.couples[b]:
+                    self.couples[b].append(a)
         elif config.glob.allcouples:
             for b in names:
                 self.couples[b] = list(names)
@@ -699,8 +729,17 @@ class Simulation:
                                 {n: _diag_specs() for n in names})))
         self._state, self._coefs, self._diag = fn(self._state, cts, rts,
                                                   extras)
+        self._capture_frozen()
         for o in self.outputs:
             o.run(self, self.istep, force=True)
+
+    def _capture_frozen(self):
+        """Record the initial coefficients of `self_consistent: false`
+        components; every later block reads them back via the playback
+        channel instead of re-projecting the live particles."""
+        for n, c in self.components.items():
+            if not c.self_consistent and n not in self._frozen:
+                self._frozen[n] = np.asarray(self._coefs[n])
 
     def run(self, nsteps=None):
         """Main loop (expand.cc:422-424)."""
@@ -718,6 +757,14 @@ class Simulation:
             if self._check_stop():
                 break
             kk = min(k, nsteps - done)
+            # end blocks exactly on output-due steps: particle writers
+            # (OutPS/OutChkpt/...) read self._state, which only matches
+            # the labeled step at block end (coefs/diag are sliced per
+            # step; particle history is not kept)
+            dues = [o.nint - (self.istep % o.nint) for o in self.outputs
+                    if o.nint > 0]
+            if dues:
+                kk = min(kk, min(dues))
             extras = self._make_extras()
             sig = (kk, tuple(sorted(extras["playback"])),
                    tuple(sorted(extras["hall"])))
@@ -736,12 +783,6 @@ class Simulation:
             jax.block_until_ready(jax.tree_util.tree_leaves(self._state)[0])
             t1 = time.time()
             self.timers["Compute"] += t1 - t0
-            # EJ center/axis tracking (Orient): host-side update per block
-            self._update_orient()
-            t2 = time.time()
-            self.timers["Orient"] += t2 - t1
-            self._update_hall()
-            self.timers["Hall"] += time.time() - t2
             # advance counters; materialize per-step history slices ONLY for
             # steps where an output is due (each device slice is a separate
             # dispatch — per-step unpacking costs more than the physics)
@@ -751,6 +792,18 @@ class Simulation:
                 done += 1
                 due = [o for o in self.outputs
                        if o.nint > 0 and self.istep % o.nint == 0]
+                if j == kk - 1:
+                    # EJ center/axis tracking (Orient) + Hall refresh at
+                    # block end, AFTER the counters advance and BEFORE the
+                    # writes — the same order as the multistep path, so
+                    # the orient log and the npca cadence see the
+                    # post-block step/time
+                    t2 = time.time()
+                    self._update_orient()
+                    self.timers["Orient"] += time.time() - t2
+                    t2 = time.time()
+                    self._update_hall()
+                    self.timers["Hall"] += time.time() - t2
                 if due or j == kk - 1:
                     # one jitted gather + one transfer: per-array slicing
                     # costs a tunnel round-trip each (~10-30 ms apiece)
@@ -780,7 +833,7 @@ class Simulation:
             self._maybe_recompute_bases()
         return self._state
 
-    def _maybe_recompute_bases(self):
+    def _maybe_recompute_bases(self, multistep=False):
         """Adaptive basis recomputation (Sphere::make_model* — Sphere.H:156,
         Sphere.cc:203-354): for sphereSL components with `dtime > 0`, rebuild
         the SL basis from the binned particle distribution every dtime.
@@ -793,6 +846,8 @@ class Simulation:
                 continue
             from exp_tpu.basis.model import model_from_particles
 
+            if multistep:
+                self._sync_flat_state()
             ps = self._state[n]
             model = model_from_particles(np.asarray(ps.x),
                                          np.asarray(ps.mass))
@@ -809,6 +864,15 @@ class Simulation:
         if rebuilt:
             # step functions close over the old force tables — drop them
             self._step_fns = {}
+            if self._ms_runner is not None:
+                # the multistep runner's compiled substep/init/relevel
+                # closures captured the old force pytrees too
+                r = self._ms_runner
+                for n, c in self.components.items():
+                    r.forces[n] = c.force
+                r._fns.clear()
+                r._init_fns.clear()
+                r._relevel_fns = {}
 
     def _check_bad_values(self):
         """NaN guard (reference bad_values(), ComponentContainer.cc:1596;
@@ -859,6 +923,8 @@ class Simulation:
             if c.playback is not None:
                 pb[n] = jnp.asarray(c.playback.interpolate(t),
                                     self.compute_dtype)
+            elif n in self._frozen:
+                pb[n] = jnp.asarray(self._frozen[n], self.compute_dtype)
             if n in self._hall:
                 hall[n] = jnp.asarray(self._hall[n], self.compute_dtype)
         return {"playback": pb, "hall": hall}
@@ -898,6 +964,7 @@ class Simulation:
                 extras_fn=self._ms_extras_fn, rots=self._rot_arrays())
             self._ms_state, self._ms_regs = st, regs
             self._coefs, self._diag = coef, diag
+            self._capture_frozen()
             self._sync_flat_state()
             for o in self.outputs:
                 o.run(self, self.istep, force=True)
@@ -939,6 +1006,7 @@ class Simulation:
             self.timers["Output"] += time.time() - t2b
             self._ms_sanity_check()
             self._check_bad_values()
+            self._maybe_recompute_bases(multistep=True)
             if self.verbose > 3:
                 self._print_timings()
         self._sync_flat_state()
@@ -966,6 +1034,8 @@ class Simulation:
                 pb[n] = jnp.asarray(c.playback.interpolate(
                     self.time + self.dt if t is None else t),
                     self.compute_dtype)
+            elif n in self._frozen:
+                pb[n] = jnp.asarray(self._frozen[n], self.compute_dtype)
             if n in self._hall:
                 hall[n] = jnp.asarray(self._hall[n], self.compute_dtype)
         return {"playback": pb, "hall": hall}
@@ -1002,8 +1072,26 @@ class Simulation:
                 if multistep:
                     self._sync_flat_state()
                 ps = self._state[n]
-                cs = subsample_coefficients(c.force, ps.x, ps.mass,
-                                            nsamples=c.nsamples)
+                # project in the SAME frame/weighting as the stepping path
+                # (_project_and_accel): center + body rotation, adiabatic
+                # ramp, rtrunc cutoff — otherwise the subsample variance
+                # describes a different coefficient set than the one the
+                # Hall weights are applied to
+                x = np.asarray(ps.x)
+                m = np.asarray(ps.mass)
+                center = np.asarray(self._centers[n], x.dtype)
+                if c.com_system:
+                    live = m > 0
+                    center = ((m[live, None] * x[live]).sum(0)
+                              / max(m[live].sum(), 1e-300)).astype(x.dtype)
+                xc = (x - center) @ np.asarray(self._rots[n], x.dtype).T
+                mw = m * float(c.adb(self.time))
+                if c.rtrunc < 1.0e19:
+                    mw = mw * ((xc * xc).sum(-1) < c.rtrunc ** 2)
+                cs = subsample_coefficients(c.force, jnp.asarray(xc),
+                                            jnp.asarray(mw),
+                                            nsamples=c.nsamples,
+                                            accum_dtype=self.accum_dtype)
                 if c.pcaeof:
                     self._hall[n] = np.asarray(
                         eof_smoothing_matrix(np.asarray(cs),

@@ -152,6 +152,61 @@ def test_multistep_config_run(rundir):
     assert sum(counts) == 3000
 
 
+def test_self_consistent_false_freezes_coefficients(rundir):
+    """self_consistent: false (the reference's fixed-potential component):
+    the expansion is captured at prime and never responds to the live
+    particles, while a self-consistent run's coefficients drift."""
+    from exp_tpu.nbody.simulation import Simulation
+
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: frz").replace(
+        "        numr: 800", "        numr: 800\n"
+        "        self_consistent: false")
+    (rundir / "config_frz.yml").write_text(txt)
+    sim = Simulation.from_file(str(rundir / "config_frz.yml"))
+    sim.prime()
+    c0 = np.asarray(sim._coefs["halo"]).copy()
+    sim.run(3)
+    c3 = np.asarray(sim._coefs["halo"]).copy()
+    sim.run(3)
+    # frozen to the prime-time projection (up to the compute-dtype cast
+    # of the stored constant), and EXACTLY constant step to step
+    np.testing.assert_allclose(c3, c0, rtol=1e-6, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(sim._coefs["halo"]), c3)
+    # per-particle energies in the static field stay finite and sane
+    assert np.isfinite(np.asarray(sim._state["halo"].x)).all()
+
+    sim2 = Simulation.from_file(str(rundir / "config.yml"))
+    sim2.prime()
+    c2 = np.asarray(sim2._coefs["halo"]).copy()
+    sim2.run(6)
+    assert np.abs(np.asarray(sim2._coefs["halo"]) - c2).max() > 0
+
+
+def test_interaction_one_way_and_dedup(rundir):
+    """Interaction `a: b` means 'b feels a' ONE-WAY (Interaction.l,
+    ComponentContainer.H:27-35); reciprocal/duplicate entries dedupe."""
+    from exp_tpu.config import RunConfig
+    from exp_tpu.nbody.simulation import Simulation
+
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: iact\n  allcouples: false")
+    txt = txt.replace("Components:", """\
+Interaction:
+  - halo: halo2
+  - halo: halo2
+Components:
+  - name: halo2
+    bodyfile: halo.bods
+    force:
+      id: noforce
+""")
+    (rundir / "config_iact.yml").write_text(txt)
+    sim = Simulation.from_file(str(rundir / "config_iact.yml"))
+    assert sim.couples["halo2"] == ["halo2", "halo"]   # feels halo, once
+    assert sim.couples["halo"] == ["halo"]             # one-way
+
+
 def test_multistep_checkpoint_restart(rundir):
     """Restart a MULTISTEP run from an OutChkpt file: levels/coefficients
     are derived state and rebuilt on resume (the reference restarts
