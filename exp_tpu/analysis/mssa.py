@@ -233,20 +233,23 @@ class expMSSA:
             out._data[t] = flat[i].reshape(shape)
         return out
 
-    def wcorr(self, ncomp=None):
+    def wcorr(self, ncomp=None, channels=None):
         """w-correlation matrix between elementary reconstructions
-        (expMSSA w-correlation diagnostics)."""
+        (expMSSA w-correlation diagnostics).
+
+        channels: optional list of channel positions (indices into
+        self.keys) to restrict the elementary series to — per-channel /
+        per-dataset w-correlation; default sums over all channels."""
         k = self.S.size if ncomp is None else min(ncomp, self.S.size)
         w = self.window
         T = self._T
         # weights: how often each time index appears in the Hankel matrix
         wt = np.minimum(np.minimum(np.arange(1, T + 1), w),
                         np.minimum(T - np.arange(T), T - w + 1)).astype(float)
-        # use the first channel's elementary series (standard practice is to
-        # average; we sum over channels)
+        chans = range(self.nkeys) if channels is None else channels
         series = np.zeros((k, T))
         for c in range(k):
-            for ci in range(self.nkeys):
+            for ci in chans:
                 series[c] += self._elementary(c, ci)
         W = np.zeros((k, k))
         for a in range(k):

@@ -60,6 +60,12 @@ class SphericalOrbit:
 
         lo = m.rmin * 1.0001
         hi = m.rmax * 0.9999
+        # circular limit (kappa -> 1): veff2(rc) is a roundoff residual of
+        # either sign; brentq would fail (or give peri == apo and 1/0
+        # frequencies) — handle it explicitly via the epicyclic limit
+        if f(rc) <= 1e-10 * (self.J / rc) ** 2:
+            self.peri = self.apo = rc
+            return
         self.peri = brentq(f, lo, rc) if f(lo) < 0 else lo
         self.apo = brentq(f, rc, hi) if f(hi) < 0 else hi
 
@@ -68,6 +74,22 @@ class SphericalOrbit:
     def _frequencies(self):
         """Radial period and apsidal angle by Gauss–Chebyshev quadrature
         with the sqrt turning-point singularities absorbed."""
+        m = self.model
+        if self.apo - self.peri <= 1e-8 * max(self.peri, 1e-30):
+            # epicyclic (near-circular) limit: omega_r = kappa from the
+            # potential curvature, omega_phi from the circular speed
+            r0 = 0.5 * (self.apo + self.peri)
+            dp = float(m.get_dpot(r0))
+            h = 1e-4 * r0
+            d2p = (float(m.get_dpot(r0 + h))
+                   - float(m.get_dpot(r0 - h))) / (2.0 * h)
+            kap = np.sqrt(max(d2p + 3.0 * dp / r0, 1e-30))
+            self.omega_r = kap
+            self.Tr = 2.0 * np.pi / kap
+            self.omega_phi = self.J / r0 ** 2
+            self.dphi = np.pi * self.omega_phi / kap
+            self.Jr = 0.0
+            return
         n = self._nquad
         # r = (apo+peri)/2 + (apo-peri)/2 * sin(theta): removes both roots
         th, w = np.polynomial.chebyshev.chebgauss(n)

@@ -17,25 +17,33 @@ def centerOfMass(x, mass=None):
     return np.average(x, axis=0, weights=m)
 
 
-def getDensityCenter(x, mass=None, k: int = 32, Ndens: int = 0):
+def getDensityCenter(x, mass=None, k: int = 32, Nsort: int = 0,
+                     subsample: int = 0):
     """Density-weighted center: kNN density estimate per particle, center =
     sum(rho_i x_i)/sum(rho_i) (the reference's getDensityCenter,
-    expui/Centering.cc with KDdensity)."""
+    expui/Centering.cc with KDdensity).
+
+    Nsort > 0 restricts the average to the Nsort DENSEST particles (the
+    reference's Nsort cusp-tracking selection); subsample > 0 randomly
+    thins the input first (a speed knob, not in the reference)."""
     from scipy.spatial import cKDTree
 
     x = np.asarray(x, dtype=np.float64)
     m = np.ones(len(x)) if mass is None else np.asarray(mass, dtype=np.float64)
     n = len(x)
-    if Ndens and n > Ndens:
-        idx = np.random.default_rng(0).choice(n, Ndens, replace=False)
+    if subsample and n > subsample:
+        idx = np.random.default_rng(0).choice(n, subsample, replace=False)
         x, m = x[idx], m[idx]
-        n = Ndens
+        n = subsample
     k = min(k, n - 1)
     tree = cKDTree(x)
     d, _ = tree.query(x, k=k + 1)
     rk = d[:, -1]
     vol = 4.0 / 3.0 * np.pi * np.maximum(rk, 1e-30) ** 3
     rho = k * m / vol
+    if Nsort and Nsort < n:
+        keep = np.argpartition(rho, -Nsort)[-Nsort:]
+        x, rho, m = x[keep], rho[keep], m[keep]
     w = rho * m
     return np.average(x, axis=0, weights=w)
 

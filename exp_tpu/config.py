@@ -211,5 +211,6 @@ class RunConfig:
                 "Global": todict(self.glob),
                 "Components": [todict(c) for c in self.components],
                 "Output": [todict(o) for o in self.outputs],
+                "External": list(self.external),
                 "Interaction": [{a: b} for a, b in self.interactions],
             }, f, sort_keys=False)

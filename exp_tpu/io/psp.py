@@ -125,8 +125,14 @@ def read_psp(path, dump_index=None):
                 rsize = 8
                 indexing = False
                 off -= 8             # old headers had no magic
+            if off + 16 > n:         # truncated mid-header (live file)
+                ok = False
+                break
             nbod, niatr, ndatr, ninfo = np.frombuffer(data, np.int32, 4, off)
             off += 16
+            if off + int(ninfo) > n:
+                ok = False
+                break
             info = data[off:off + ninfo].split(b"\x00")[0].decode(
                 errors="replace")
             off += ninfo
@@ -167,12 +173,16 @@ def read_psp(path, dump_index=None):
                 indexing = False
             else:
                 # ambiguous (or corrupt): fall back to mass sanity
+                nprobe = min(int(nbod), 4)
+                if off + with_idx * nprobe > n:   # truncated mid-stanza
+                    ok = False
+                    break
                 rec_i = np.frombuffer(
                     data, _component_record_dtype(rsize, niatr, ndatr, True),
-                    min(nbod, 4), off)
+                    nprobe, off)
                 rec_n = np.frombuffer(
                     data, _component_record_dtype(rsize, niatr, ndatr, False),
-                    min(nbod, 4), off)
+                    nprobe, off)
 
                 def sane(mm):
                     return bool(np.all(np.isfinite(mm)) and np.all(mm >= 0)
@@ -181,6 +191,9 @@ def read_psp(path, dump_index=None):
                             and sane(rec_i["mass"])
                             and not sane(rec_n["mass"]))
             dt = _component_record_dtype(rsize, niatr, ndatr, indexing)
+            if off + dt.itemsize * int(nbod) > n:  # truncated payload
+                ok = False
+                break
             rec = np.frombuffer(data, dt, nbod, off)
             off += dt.itemsize * nbod
             name = "comp"

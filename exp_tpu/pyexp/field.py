@@ -103,9 +103,14 @@ class FieldGenerator:
         lo = self._fg.pmin[axis]
         hi = self._fg.pmax[axis]
         if log:
+            # |v| in log10 bins; the box bounds give only the upper edge
+            # (a symmetric box would otherwise collapse the range to a
+            # point), the lower edge comes from the data's smallest
+            # positive |v|
             v = np.log10(np.maximum(np.abs(v), 1e-30))
-            lo, hi = (np.log10(max(abs(lo), 1e-30)),
-                      np.log10(max(abs(hi), 1e-30)))
+            hi = np.log10(max(abs(lo), abs(hi), 1e-30))
+            pos = v[v > -29.0]
+            lo = float(pos.min()) if pos.size else hi - 6.0
         H, edges = np.histogram(v, bins=int(nbins), range=(lo, hi),
                                 weights=np.asarray(m))
         return H, edges
@@ -132,12 +137,16 @@ class FieldGenerator:
             return fields
         pts, shape = self._fg._mesh()
         zs = np.linspace(-self._colheight * h, self._colheight * h, 17)
+        # scan along the COLLAPSED axis (grid[c] == 0) — hard-coding z
+        # would clobber a gridded coordinate for x-z / y-z slices
+        scan_ax = next((c_ for c_ in range(3)
+                        if not self._fg.grid[c_]), 2)
         c = coefs
         best = None
         bestz = None
         for z in zs:
             p = pts.copy()
-            p[:, 2] = z
+            p[:, scan_ax] = z
             f = self._fg._fields_at(basis, c, p)
             d = f["dens"]
             if best is None:

@@ -75,6 +75,17 @@ class expMSSA:
     def getRCkeys(self):
         return self.getAllKeys()
 
+    def _flat_key(self, key):
+        """Accept either the (name, multi-index...) tuples this surface
+        hands out (getAllKeys) or the native (name, flat_index) keys, and
+        return the native key."""
+        key = tuple(key)
+        name, idx = key[0], key[1:]
+        if len(idx) == 1 and (name, int(idx[0])) in self._m._series:
+            return (name, int(idx[0]))
+        return (name, int(np.ravel_multi_index(
+            [int(i) for i in idx], self._m._shapes[name])))
+
     # -- DFT diagnostics -----------------------------------------------------
 
     def pcDFT(self, dt=1.0):
@@ -84,7 +95,7 @@ class expMSSA:
         return self._m.channelDFT(dt)
 
     def singleDFT(self, key, dt=1.0):
-        return self._m.singleDFT(key, dt)
+        return self._m.singleDFT(self._flat_key(key), dt)
 
     # -- grouping / reconstruction -------------------------------------------
 
@@ -100,7 +111,9 @@ class expMSSA:
         for `key`."""
         rec = self._m.reconstructed(groups=self._groups)
         if key is not None:
-            return np.asarray(rec[key] if key in rec else rec[tuple(key)])
+            key = tuple(key)
+            return np.asarray(rec[key] if key in rec
+                              else rec[self._flat_key(key)])
         return {k: np.asarray(v) for k, v in rec.items()}
 
     def getReconstructed(self):
@@ -160,13 +173,25 @@ class expMSSA:
     # -- w-correlation -------------------------------------------------------
 
     def wCorr(self, name=None, key=None):
+        """w-correlation matrix: all channels, one dataset's channels
+        (`name`), or one channel (`name` + per-dataset `key`)."""
+        if name is not None and key is not None:
+            fk = self._flat_key((name,) + tuple(np.atleast_1d(key)))
+            return np.asarray(self._m.wcorr(
+                channels=[self._m.keys.index(fk)]))
+        if name is not None:
+            chans = [i for i, (nm, _) in enumerate(self._m.keys)
+                     if nm == name]
+            return np.asarray(self._m.wcorr(channels=chans))
         return np.asarray(self._m.wcorr())
 
     def wCorrAll(self):
         return np.asarray(self._m.wcorr())
 
     def wCorrKey(self, key):
-        return np.asarray(self._m.wcorr())
+        """w-correlation restricted to one channel key (name, index...)."""
+        fk = self._flat_key(key)
+        return np.asarray(self._m.wcorr(channels=[self._m.keys.index(fk)]))
 
     def wcorrPNG(self, prefix="wcorr"):
         """Render the w-correlation matrix to <prefix>.png."""
@@ -196,7 +221,8 @@ class expMSSA:
                 for i, (c, d) in enumerate(zip(ids, dists))}
 
     def kmeansChannel(self, key, clusters=4, stride=1):
-        ids, dists, tol = self._m.kmeans(clusters, stride=stride, key=key)
+        ids, dists, tol = self._m.kmeans(clusters, stride=stride,
+                                         key=self._flat_key(key))
         return {int(i): (int(c), float(d))
                 for i, (c, d) in enumerate(zip(ids, dists))}
 

@@ -23,7 +23,7 @@ def getDensityCenter(reader, stride=1, Nsort=0, Ndens=32):
         x = x[::stride]
         m = None if m is None else m[::stride]
     return np.asarray(_u.getDensityCenter(x, m, k=max(2, int(Ndens)),
-                                          Ndens=int(Nsort)))
+                                          Nsort=int(Nsort)))
 
 
 def getCenterOfMass(reader):

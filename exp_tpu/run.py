@@ -48,10 +48,18 @@ def main(argv=None):
     sim.install_signal_handlers()
 
     if sim.config.glob.infile:
-        chk = os.path.join(sim.workdir, sim.config.glob.infile)
-        if os.path.exists(chk):
-            print(f"[exp_tpu] restoring from {chk}")
-            restore_checkpoint(sim, chk)
+        # checkpoints are written to outdir; accept a workdir-relative
+        # path too (absolute paths pass through os.path.join unchanged)
+        chk = os.path.join(sim.outdir, sim.config.glob.infile)
+        if not os.path.exists(chk):
+            alt = os.path.join(sim.workdir, sim.config.glob.infile)
+            chk = alt if os.path.exists(alt) else chk
+        if not os.path.exists(chk):
+            raise FileNotFoundError(
+                f"infile restart checkpoint not found: {chk} — refusing "
+                f"to silently start a fresh run over the old outputs")
+        print(f"[exp_tpu] restoring from {chk}")
+        restore_checkpoint(sim, chk)
 
     t0 = time.time()
     sim.prime()
@@ -63,7 +71,7 @@ def main(argv=None):
     sim.run(args.nsteps)
     dtw = time.time() - t0
     n = sum(c.ps.n for c in sim.components.values())
-    nst = args.nsteps or sim.nsteps
+    nst = sim.nsteps if args.nsteps is None else args.nsteps
     print(f"[exp_tpu] {nst} steps in {dtw:.2f}s "
           f"({n*nst/max(dtw,1e-9):.3g} particle-steps/s)")
 

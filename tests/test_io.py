@@ -444,3 +444,22 @@ def test_bytes_string_attrs(tmp_path):
     cf.close()
     c = Coefs.from_file(str(p))
     assert c.name == "dark halo"
+
+
+def test_psp_truncated_tail_keeps_complete_dumps(tmp_path):
+    """Reading a live (partially-written) OUT file returns the complete
+    dumps instead of raising on the truncated tail."""
+    p = tmp_path / "OUT.live"
+    write_psp(str(p), _dump(seed=1))
+    d2 = _dump(seed=2)
+    d2.time = 2.5
+    write_psp(str(p), d2, append=True)
+    raw = p.read_bytes()
+    for cut in (len(raw) - 37, len(raw) - len(raw) // 3):
+        q = tmp_path / f"OUT.cut{cut}"
+        q.write_bytes(raw[:cut])
+        d = read_psp(str(q))
+        d = d if isinstance(d, list) else [d]
+        assert len(d) >= 1 and d[0].time == 1.25
+        np.testing.assert_allclose(d[0].components[0].mass,
+                                   _dump(seed=1).components[0].mass)

@@ -122,3 +122,20 @@ def test_find_orb_roundtrip():
     assert res["energy"] == pytest.approx(-0.35, abs=1e-6)
     assert res["kappa"] == pytest.approx(0.5, abs=1e-6)
     assert res["radial_period"] == pytest.approx(o.Tr, rel=1e-6)
+
+
+def test_circular_orbit_epicyclic_limit():
+    """kappa = 1 (circular): frequencies come from the epicyclic limit
+    instead of a 0/0 turning-point quadrature (FindOrb circular limit)."""
+    m = hernquist_model(rmin=1e-4, rmax=100.0, numr=3000)
+    o = SphericalOrbit(m, E=-0.3, kappa=1.0)
+    assert o.peri == pytest.approx(o.apo)
+    wr, wp = o.frequencies()
+    assert np.isfinite(wr) and np.isfinite(wp) and wr > 0 and wp > 0
+    # epicyclic consistency against a nearly-circular orbit
+    o2 = SphericalOrbit(m, E=-0.3, kappa=0.999)
+    wr2, wp2 = o2.frequencies()
+    assert wr == pytest.approx(wr2, rel=0.05)
+    assert wp == pytest.approx(wp2, rel=0.05)
+    # spherical potentials: kappa_epi between Omega and 2 Omega
+    assert wp < wr < 2.0 * wp + 1e-12
