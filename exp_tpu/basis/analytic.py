@@ -27,11 +27,11 @@ def _pair_tables(phi_fn, lmax, nmax, rmin, rmax, numr):
     """Common machinery: tabulate phi_fn(l, n, r), build density partners
     via the radial Poisson operator, normalize to int Phi_j D_k dV = -1."""
     # fine grid for derivatives, log-spaced
+    from exp_tpu.basis.flatdisk import _trapz_w
+
     rf = np.geomspace(rmin, rmax, 8 * numr)
     r = np.geomspace(rmin, rmax, numr)
-    w = np.gradient(rf)
-    w[0] *= 0.5
-    w[-1] *= 0.5
+    w = _trapz_w(rf)
     pot = np.zeros((numr, lmax + 1, nmax))
     dens = np.zeros_like(pot)
     for l in range(lmax + 1):
@@ -59,9 +59,7 @@ def _pair_tables(phi_fn, lmax, nmax, rmin, rmax, numr):
         Dc = np.stack([np.interp(r, rf, D[:, n]) for n in range(nmax)], -1)
         # apply the correction on the OUTPUT grid so the tables the runtime
         # (and orthochk) see are exactly discretely biorthogonal
-        wc = np.gradient(r)
-        wc[0] *= 0.5
-        wc[-1] *= 0.5
+        wc = _trapz_w(r)
         Bc = np.einsum("rn,rm,r->nm", Uc, Dc, r ** 2 * wc)
         Dc = Dc @ (-np.linalg.inv(Bc))
         pot[:, l, :] = Uc
@@ -119,6 +117,17 @@ def make_analytic_force(kind: str, lmax: int, nmax: int, rmin=1e-3,
         for n in range(nmax):
             potx[:, l, n] = np.interp(rx, r, pot[:, l, n])
             densx[:, l, n] = np.interp(rx, r, dens[:, l, n])
+    # re-apply the exact discrete-biorthogonality correction ON THIS grid:
+    # the resample would otherwise re-introduce interpolation-level
+    # off-diagonals in the tables the runtime (and orthoCheck) use
+    rp = 1.0 / np.asarray(coords.dxi_dr(xi, cmap, rmap))
+    wxi = np.full(numr, xi[1] - xi[0])
+    wxi[0] *= 0.5
+    wxi[-1] *= 0.5
+    meas = rx ** 2 * rp * wxi
+    for l in range(lmax + 1):
+        B = np.einsum("rn,rm,r->nm", potx[:, l], densx[:, l], meas)
+        densx[:, l] = densx[:, l] @ (-np.linalg.inv(B))
     grid = SLGridSph.from_raw(potx, densx, rmin=rmin, rmax=rmax, cmap=cmap,
                               rmap=rmap, dtype=dtype)
     nc = min(512, numr)

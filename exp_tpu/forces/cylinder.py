@@ -327,4 +327,8 @@ class CylinderForce:
         M1, nn = self.mmax + 1, self.nmax
         dc = (D * coef[0].reshape(-1)[None, :]).reshape(-1, M1, nn).sum(2)
         ds = (D * coef[1].reshape(-1)[None, :]).reshape(-1, M1, nn).sum(2)
-        return jnp.sum(dc * cosm + ds * sinm, axis=1) / (4.0 * math.pi)
+        dens = jnp.sum(dc * cosm + ds * sinm, axis=1) / (4.0 * math.pi)
+        # vacuum outside the table sphere — the clipped lookup would
+        # plateau at the boundary cell's basis density
+        r = jnp.sqrt(R * R + z * z)
+        return jnp.where(r > self.rmax_grid, 0.0, dens)

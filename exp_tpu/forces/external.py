@@ -84,7 +84,11 @@ class UserHalo(ExternalField):
     def potential(self, x, t):
         r = jnp.sqrt(jnp.sum(x * x, axis=-1)) + 1e-12
         lr = jnp.clip(jnp.log(r), self.r_t[0], self.r_t[-1])
-        return jnp.interp(lr, self.r_t, self.pot_tab)
+        pot = jnp.interp(lr, self.r_t, self.pot_tab)
+        # Keplerian continuation beyond the table edge so that the force
+        # (M(rmax)/r^2) stays -grad(potential) for escaping particles
+        rmax = jnp.exp(self.r_t[-1])
+        return jnp.where(r > rmax, -self.mass_tab[-1] / r, pot)
 
     def acceleration(self, x, t):
         # exact spherical force M(r)/r^2 (smoother than autodiff of interp)
@@ -115,8 +119,10 @@ class UserBar(ExternalField):
         amp = self.amplitude * 0.5 * (
             1.0 + jnp.tanh((t - self.Ton) / self.DeltaT))
         b = self.length
-        # quadrupole with inner r^2 / outer 1/r^3 matching at b
-        shape = jnp.where(r < b, r2 / b ** 3, b ** 2 / r ** 3)
+        # smooth rational quadrupole profile (UserBar.cc:479-494
+        # fac = 1 + (r/b)^5): inner ~ r^2/b^3, outer ~ b^2/r^3, C-inf —
+        # a branch-matched profile would kink the radial force at r = b
+        shape = (r2 / b ** 3) / (1.0 + (r / b) ** 5)
         return -amp * shape * (R2 / jnp.maximum(r2, 1e-20)) \
             * jnp.cos(2.0 * (phi - self.omega * t))
 
@@ -262,7 +268,7 @@ class ScatterMFP:
         self.rng = np.random.default_rng(seed)
         self.nscattered = 0
 
-    def apply(self, ps, dt, istep, time=0.0):
+    def apply(self, ps, dt, istep, time=0.0, name=""):
         if self.nscat > 0 and istep % self.nscat:
             return ps
         from dataclasses import replace as _rp
@@ -301,25 +307,29 @@ class GenerateRelaxation:
         import os
 
         self.path = os.path.join(outdir, f"{runtag}.relx")
-        self._e0 = None
+        self.nscat = max(1, int(nscat))
+        self._e0 = {}            # per-component baselines, keyed by name
         with open(self.path, "w") as f:
-            f.write("# time  <|dE/E|>  max|dE/E|" + chr(10))
+            f.write("# time  component  <|dE/E|>  max|dE/E|" + chr(10))
 
-    def apply(self, ps, dt, istep, time=0.0):
+    def apply(self, ps, dt, istep, time=0.0, name=""):
+        if istep % self.nscat:
+            return ps
         m = np.asarray(ps.mass)
         live = m > 0
         E = (0.5 * np.sum(np.asarray(ps.v)[live] ** 2, axis=1)
              + np.asarray(ps.pot)[live])
-        if self._e0 is None:
-            self._e0 = E
+        e0 = self._e0.get(name)
+        if e0 is None or e0.shape != E.shape:
+            self._e0[name] = E
             return ps
         # magnitude floor on the denominator: unbound particles (E0 > 0)
         # must not divide by the -1e-12 clamp
-        rel = np.abs(E - self._e0) / np.maximum(np.abs(self._e0), 1e-12)
+        rel = np.abs(E - e0) / np.maximum(np.abs(e0), 1e-12)
         w = m[live] / m[live].sum()
         with open(self.path, "a") as f:
-            f.write(f"{time:.10g} {np.sum(w * rel):.6g} {rel.max():.6g}"
-                    + chr(10))
+            f.write(f"{time:.10g} {name or 'all'} "
+                    f"{np.sum(w * rel):.6g} {rel.max():.6g}" + chr(10))
         return ps
 
 

@@ -166,6 +166,64 @@ class SlabForce:
             c = jax.lax.psum(c, axis_name)
         return c
 
+    def _outside_continuation(self, coef, x, acc, pot):
+        """Replace the clamped boundary evaluation for |z| > zmax with the
+        vacuum solution: each (kx, ky != 0) mode decays as
+        e^{-2 pi |k| (|z| - zmax)} off its boundary value (Laplace in the
+        charge-free exterior) and the k = 0 plane-sheet column continues
+        linearly (constant Fz).  Cost O(N * modes): the boundary z-interp
+        collapses to TWO fixed table rows contracted with the
+        coefficients once."""
+        dtype = x.dtype
+        cd = self._cdtype(dtype)
+        z = x[:, 2]
+        outside = jnp.abs(z) > self.zmax
+        dz = jnp.maximum(jnp.abs(z) - self.zmax, 0.0)
+
+        def expand(v):          # (nx+1, ny+1, n) -> signed-k layout
+            a = jnp.concatenate([v[:0:-1], v], axis=0)
+            return jnp.concatenate([a[:, :0:-1], a], axis=1)
+
+        cf = coef.astype(cd)
+        # (2, A, B): z = +zmax (top) and z = -zmax (bottom) boundary rows
+        Tb = jnp.stack([jnp.einsum("abn,abn->ab", cf,
+                                   expand(t).astype(cd))
+                        for t in (self.phi_t[-1], self.phi_t[0])])
+        Td = jnp.stack([jnp.einsum("abn,abn->ab", cf,
+                                   expand(t).astype(cd))
+                        for t in (self.dphi_t[-1], self.dphi_t[0])])
+        top = (z >= 0).astype(jnp.int32)
+        Ti = jnp.where(top[:, None, None] > 0, Tb[0][None], Tb[1][None])
+        Tdi = jnp.where(top[:, None, None] > 0, Td[0][None], Td[1][None])
+
+        kx = jnp.arange(-self.nmaxx, self.nmaxx + 1, dtype=dtype)
+        ky = jnp.arange(-self.nmaxy, self.nmaxy + 1, dtype=dtype)
+        tpi = 2.0 * math.pi
+        kmag = jnp.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)
+        att = jnp.exp(-tpi * kmag[None] * dz[:, None, None])
+        ex, ey = self._phases(x, sign=+1.0)
+        E = (ex[:, :, None] * ey[:, None, :] * att.astype(cd))
+
+        TiE = Ti * E
+        pot_o = jnp.real(jnp.sum(TiE, axis=(1, 2)))
+        k0 = (kmag == 0.0)
+        # k = 0: linear potential continuation off the boundary value
+        pot_o = pot_o + jnp.real(jnp.sum(jnp.where(k0[None], Tdi * E, 0),
+                                         axis=(1, 2))
+                                 ) * (jnp.abs(z) - self.zmax) * jnp.sign(z)
+        ax_o = jnp.imag(jnp.sum(TiE * (tpi * kx)[None, :, None], (1, 2)))
+        ay_o = jnp.imag(jnp.sum(TiE * (tpi * ky)[None, None, :], (1, 2)))
+        # k > 0: dPhi/dz = -sign(z) 2 pi |k| Phi; k = 0: boundary Fz
+        azT = jnp.where(k0[None],
+                        -Tdi * E,
+                        jnp.sign(z)[:, None, None]
+                        * (tpi * kmag)[None] * TiE)
+        az_o = jnp.real(jnp.sum(azT, axis=(1, 2)))
+        acc_o = jnp.stack([ax_o, ay_o, az_o], axis=-1).astype(dtype)
+        acc = jnp.where(outside[:, None], acc_o, acc)
+        pot = jnp.where(outside, pot_o.astype(dtype), pot)
+        return acc, pot
+
     def acceleration(self, coef, x):
         dtype = x.dtype
         if self.backend == "pallas":
@@ -177,7 +235,9 @@ class SlabForce:
                                          self.nmaxx, self.nmaxy)
             xp, _, n = self._pad1024(x)
             out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], dtype)), Ct)
-            return (out[0:3, :n].T.astype(dtype), out[3, :n].astype(dtype))
+            return self._outside_continuation(
+                coef, x, out[0:3, :n].T.astype(dtype),
+                out[3, :n].astype(dtype))
         cd = self._cdtype(dtype)
         coef = coef.astype(cd)
         z = jnp.clip(x[:, 2], -self.zmax, self.zmax)
@@ -199,7 +259,7 @@ class SlabForce:
         az = -jnp.real(jnp.einsum("abn,ia,ib,iabn->i", coef, ex, ey, dphi))
         acc = jnp.stack([ax.astype(dtype), ay.astype(dtype),
                          az.astype(dtype)], axis=-1)
-        return acc, pot
+        return self._outside_continuation(coef, x, acc, pot)
 
     def density(self, coef, x):
         cd = self._cdtype(x.dtype)

@@ -822,7 +822,8 @@ class Simulation:
                     for n in self._state:
                         self._state[n] = op.apply(self._state[n],
                                                   self.dt * kk,
-                                                  self.istep, time=self.time)
+                                                  self.istep,
+                                                  time=self.time, name=n)
                 # writers at this istep already cached the pre-operator
                 # state; a stop/SIGHUP checkpoint after this point must
                 # see the operator kicks

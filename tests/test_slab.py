@@ -152,3 +152,40 @@ External:
     # sheet thickness stays within 40% of initial over ~2 crossing times
     assert 0.6 * rms0 < rms1 < 1.6 * rms0
     assert np.isfinite(np.asarray(sim._state["slab"].v)).all()
+
+
+def test_outside_vacuum_continuation(slab):
+    """|z| > zmax: the sech^2 sheet's field continues as the vacuum
+    solution — gz saturates at -2 pi Sigma sign(z) (the k=0 plane sheet),
+    k>0 modes decay, the potential grows linearly, and the evaluation is
+    continuous across the boundary."""
+    _, f = slab
+    x, m = _sample(150000, seed=2)
+    coef = f.coefficients(jnp.asarray(x), jnp.asarray(m),
+                          accum_dtype=jnp.float64)
+
+    def at(z):
+        p = jnp.asarray([[0.31, 0.72, z]])
+        a, pot = f.acceleration(coef, p)
+        return np.asarray(a)[0], float(pot[0])
+
+    a_in, p_in = at(ZMAX * 0.999)
+    a_out, p_out = at(ZMAX * 1.001)
+    np.testing.assert_allclose(a_out, a_in, rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(p_out, p_in, rtol=5e-3)
+
+    # far field: plane-sheet gz, decayed transverse force, linear pot
+    gz_sheet = -2.0 * np.pi * np.tanh(ZMAX / H)
+    a3, p3 = at(3.0 * ZMAX)
+    a6, p6 = at(6.0 * ZMAX)
+    np.testing.assert_allclose(a3[2], gz_sheet, rtol=0.08)
+    np.testing.assert_allclose(a6[2], gz_sheet, rtol=0.08)
+    assert abs(a6[0]) <= abs(a3[0]) + 1e-8
+    # potential slope between the two heights ~ -gz_sheet
+    slope = (p6 - p3) / (3.0 * ZMAX)
+    np.testing.assert_allclose(slope, -gz_sheet, rtol=0.1)
+    # mirror symmetry below the slab (up to the realization's own
+    # top/bottom sampling asymmetry)
+    am, pm = at(-6.0 * ZMAX)
+    np.testing.assert_allclose(am[2], -a6[2], rtol=1e-3)
+    np.testing.assert_allclose(pm, p6, rtol=0.05)
