@@ -33,7 +33,16 @@ class Koopman:
             if keys and name in keys:
                 sel = [np.ravel_multi_index(k, A.shape[1:]) for k in keys[name]]
             else:
-                sel = list(np.nonzero(flat.var(axis=0) > 0)[0][:500])
+                varying = np.nonzero(flat.var(axis=0) > 0)[0]
+                if varying.size > 500:
+                    import warnings
+
+                    warnings.warn(
+                        f"Koopman: dataset {name!r} has {varying.size} "
+                        f"varying channels; auto-selection keeps the "
+                        f"first 500 — pass keys= to choose explicitly",
+                        stacklevel=3)
+                sel = list(varying[:500])
             for j in sel:
                 cols.append(flat[:, j])
                 self.keys.append((name, j))
@@ -42,6 +51,7 @@ class Koopman:
             self._shapes[name] = A.shape[1:]
             self._shape = A.shape[1:]     # single-name convenience
         D = np.stack(cols, axis=0)            # (C, T)
+        self.T = D.shape[1]                   # original series length
         self._mean = D.mean(axis=1, keepdims=True)
         D = D - self._mean
         if self.window > 1:
@@ -82,8 +92,10 @@ class Koopman:
 
     def reconstruction(self, nt=None, modes=None):
         """x(t) = Phi diag(lambda^t) b  (+mean); returns (C, nt) for the
-        physical (un-delayed) channels."""
-        nt = self.D.shape[1] if nt is None else nt
+        physical (un-delayed) channels.  Defaults to the ORIGINAL series
+        length (with window > 1 the embedded matrix is w-1 samples
+        shorter, but the modes evolve to any t)."""
+        nt = self.T if nt is None else nt
         sel = np.arange(self.rank) if modes is None else np.asarray(modes)
         t = np.arange(nt)
         dyn = self.ev[sel][:, None] ** t[None, :]        # (r, nt)

@@ -120,7 +120,8 @@ class FieldBasis:
             f = SphFldCoefsFile(path, "w", name=name, nfld=len(labels),
                                 angmax=angmax, nmax=nmax, labels=labels)
             pack = pack_sph_matrix
-        else:                      # (T, 2, M+1, nmax): polar
+        elif first.ndim == 4 and first.shape[1] == 2:
+            # (T, 2, M+1, nmax): polar
             angmax = first.shape[2] - 1
             nmax = first.shape[3]
             f = CylFldCoefsFile(path, "w", name=name, nfld=len(labels),
@@ -128,23 +129,45 @@ class FieldBasis:
 
             def pack(c):
                 return c[0] + 1j * c[1]
+        else:
+            raise ValueError(
+                f"write_coefs supports spherical/polar coefficient shapes; "
+                f"got {first.shape} (slab/cube field series have no "
+                f"reference field-file schema)")
         with f:
             for i, t in enumerate(np.asarray(times)):
                 tensor = np.stack([pack(series[k][i]) for k in labels])
                 f.append(float(t), tensor)
 
     @staticmethod
-    def read_coefs(path):
-        """Read a field coefficient file -> (times, dict label -> (T, rows,
-        nmax) complex array)."""
-        from exp_tpu.io.coefs import open_coefs
+    def read_coefs(path, native_layout=True):
+        """Read a field coefficient file -> (times, dict label -> series).
+
+        native_layout=True (default) unpacks each label back to the REAL
+        layout evaluate()/the force expect — sphere (T, 2, L+1, L+1, nmax),
+        polar (T, 2, M+1, nmax) — so write_coefs/read_coefs round-trips;
+        False returns the file's packed complex (T, rows, nmax) arrays."""
+        from exp_tpu.io.coefs import (open_coefs, unpack_sph_matrix,
+                                      SphFldCoefsFile)
 
         with open_coefs(path) as f:
             times, coefs = f.read_all()
             labels = list(getattr(f, "labels", []))
+            sph = isinstance(f, SphFldCoefsFile)
+            angmax = int(getattr(f, "angmax", 0))
+            nmax = int(getattr(f, "nmax", coefs.shape[-1]))
         if not labels:
             labels = [f"f{i}" for i in range(coefs.shape[1])]
-        return times, {k: coefs[:, i] for i, k in enumerate(labels)}
+
+        def unpack(c):              # (T, rows, nmax) complex -> native real
+            if not native_layout:
+                return c
+            if sph:
+                return np.stack([unpack_sph_matrix(a, angmax, nmax)
+                                 for a in c])
+            return np.stack([c.real, c.imag], axis=1)
+
+        return times, {k: unpack(coefs[:, i]) for i, k in enumerate(labels)}
 
     def evaluate(self, coefs: dict, points):
         """Field estimates at points: dict field -> (N,) array."""

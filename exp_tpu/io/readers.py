@@ -39,15 +39,13 @@ class Snapshot:
 
 
 def read_ascii(path, time=0.0, name="comp"):
-    """Reference ascii body file (nbodies niattrib ndattrib header)."""
-    with open(path) as f:
-        header = f.readline().split()
-        n = int(header[0])
-        data = np.loadtxt(f, max_rows=n)
-    if data.ndim == 1:
-        data = data[None]
+    """Reference ascii body file (nbodies niattrib ndattrib header) — via
+    the shared fast reader (native parser with a NumPy fallback)."""
+    from exp_tpu.nbody.particles import read_ascii_arrays
+
+    x, v, mass = read_ascii_arrays(path)
     s = Snapshot(time)
-    s.add(name, data[:, 1:4], data[:, 4:7], data[:, 0])
+    s.add(name, x, v, mass)
     return s
 
 
@@ -135,7 +133,15 @@ def read_tipsy(path):
     star_t = np.dtype([("mass", f4), ("pos", f4, (3,)), ("vel", f4, (3,)),
                        ("metals", f4), ("tform", f4), ("eps", f4),
                        ("phi", f4)])
+    # header size: padded (32 bytes, native writes) vs unpadded XDR
+    # 'standard' (28 bytes) — pick the one whose payload size matches
+    counts_sizes = ((int(h["nsph"]), gas_t.itemsize),
+                    (int(h["ndark"]), dark_t.itemsize),
+                    (int(h["nstar"]), star_t.itemsize))
+    payload = sum(c * sz for c, sz in counts_sizes)
     off = hdr_t.itemsize
+    if len(raw) != off + payload and len(raw) == (off - 4) + payload:
+        off -= 4                               # unpadded 28-byte header
     s = Snapshot(float(h["time"]))
     for name, count, dt in (("gas", int(h["nsph"]), gas_t),
                             ("dark", int(h["ndark"]), dark_t),

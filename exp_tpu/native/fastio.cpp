@@ -8,57 +8,73 @@
 //
 // Build:  g++ -O3 -march=native -shared -fPIC fastio.cpp -o libfastio.so
 
-#include <cstdio>
 #include <cstdlib>
-#include <cstring>
-#include <cctype>
-#include <cstdint>
 
 extern "C" {
 
 // Parse up to max_rows rows of ncols doubles from the buffer `data`
-// (NUL-terminated) starting at byte offset `start`.  Rows shorter than
-// ncols stop the parse.  Returns the number of complete rows written to
-// `out` (row-major max_rows x ncols).
+// (NUL-terminated) starting at byte offset `start`.  One row per line:
+// comment lines (first token non-numeric) are skipped; a line with FEWER
+// than ncols numbers stops the parse (rows never merge across newlines —
+// a missing value must not silently shift every later row).  Extra
+// trailing columns per line are ignored.  Returns the number of complete
+// rows written to `out` (row-major max_rows x ncols).
 long parse_table(const char* data, long start, double* out,
                  long max_rows, int ncols)
 {
     const char* p = data + start;
     long rows = 0;
     while (rows < max_rows) {
+        // reach the next line's first token (newlines allowed here only)
+        while (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n')
+            ++p;
+        if (*p == '\0')
+            return rows;
         int c = 0;
-        const char* line_start = p;
+        bool bad = false;
         for (; c < ncols; ++c) {
+            while (*p == ' ' || *p == '\t' || *p == '\r')
+                ++p;                          // intra-line whitespace only
+            if (*p == '\0' || *p == '\n') {   // short row
+                bad = true;
+                break;
+            }
             char* end = nullptr;
-            // skip whitespace but stop at end of buffer
-            while (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n')
-                ++p;
-            if (*p == '\0')
-                return rows;
             double v = strtod(p, &end);
-            if (end == p) {       // comment or garbage: skip the line
-                while (*p && *p != '\n') ++p;
+            if (end == p) {                   // non-numeric token
+                bad = true;
                 break;
             }
             out[rows * ncols + c] = v;
             p = end;
         }
-        if (c == ncols) {
+        if (!bad) {
             ++rows;
             // consume the remainder of the line (extra attributes)
             while (*p && *p != '\n') ++p;
-        } else if (p == line_start) {
-            return rows;          // no progress: bail out
+        } else if (c == 0) {
+            // comment/garbage line: skip it and continue
+            while (*p && *p != '\n') ++p;
+        } else {
+            return rows;                      // partial numeric row: stop
         }
     }
     return rows;
 }
 
-// Count numeric columns in the first data row after `start`.
+// Count numeric columns in the first DATA row after `start`, skipping
+// comment lines the same way parse_table does.
 int count_columns(const char* data, long start)
 {
     const char* p = data + start;
-    while (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n') ++p;
+    for (;;) {
+        while (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n') ++p;
+        if (*p == '\0') return 0;
+        char* end = nullptr;
+        strtod(p, &end);
+        if (end != p) break;                  // numeric: this is the row
+        while (*p && *p != '\n') ++p;         // comment line: skip
+    }
     int n = 0;
     while (*p && *p != '\n') {
         char* end = nullptr;
@@ -69,29 +85,6 @@ int count_columns(const char* data, long start)
         while (*p == ' ' || *p == '\t' || *p == '\r') ++p;
     }
     return n;
-}
-
-// Fast binary block copy with stride conversion: extract column `col` of a
-// packed record array (record_size bytes, offset bytes to the field) as
-// doubles -- used for PSP record unpacking of huge files.
-void extract_field_f64(const char* data, long nrec, long record_size,
-                       long offset, double* out)
-{
-    for (long i = 0; i < nrec; ++i) {
-        double v;
-        memcpy(&v, data + i * record_size + offset, sizeof(double));
-        out[i] = v;
-    }
-}
-
-void extract_field_f32(const char* data, long nrec, long record_size,
-                       long offset, double* out)
-{
-    for (long i = 0; i < nrec; ++i) {
-        float v;
-        memcpy(&v, data + i * record_size + offset, sizeof(float));
-        out[i] = (double)v;
-    }
 }
 
 }  // extern "C"

@@ -77,7 +77,8 @@ class ParticleSystem:
         )
 
 
-def read_ascii_bodies(path, dtype=jnp.float32, pad_to=None) -> ParticleSystem:
+def read_ascii_arrays(path):
+    """Host-side ascii body read: (x (n,3), v (n,3), mass (n,)) NumPy."""
     with open(path) as f:
         header = f.readline().split()
         n = int(header[0])
@@ -96,8 +97,12 @@ def read_ascii_bodies(path, dtype=jnp.float32, pad_to=None) -> ParticleSystem:
             data = np.loadtxt(f, max_rows=n)
     if data.ndim == 1:
         data = data[None]
-    return ParticleSystem.from_arrays(data[:, 1:4], data[:, 4:7], data[:, 0],
-                                      dtype=dtype, pad_to=pad_to)
+    return data[:, 1:4], data[:, 4:7], data[:, 0]
+
+
+def read_ascii_bodies(path, dtype=jnp.float32, pad_to=None) -> ParticleSystem:
+    x, v, mass = read_ascii_arrays(path)
+    return ParticleSystem.from_arrays(x, v, mass, dtype=dtype, pad_to=pad_to)
 
 
 def is_psp_file(path) -> bool:

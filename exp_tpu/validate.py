@@ -94,16 +94,21 @@ class ReferenceSphereStep:
         self.scale = float(scale)
         self.fac = real_ylm_norm_np(self.lmax)
 
-    # mapped coordinate (cmap=1: xi = (r/rmap - 1)/(r/rmap + 1))
+    # mapped coordinate (ops/coords.py conventions: cmap 0 identity,
+    # 1 algebraic, 2 log — transcribed independently in NumPy)
     def _xi(self, r):
         if self.cmap == 1:
             rr = r / self.rmap
             return (rr - 1.0) / (rr + 1.0)
+        if self.cmap == 2:
+            return np.log(r)
         return r
 
     def _dxi_dr(self, xi):
         if self.cmap == 1:
             return 0.5 * (1.0 - xi) ** 2 / self.rmap
+        if self.cmap == 2:
+            return np.exp(-xi)
         return np.ones_like(xi)
 
     def _table(self, rs, deriv=False):

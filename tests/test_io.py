@@ -322,7 +322,15 @@ def test_field_coefs_roundtrip(tmp_path):
     times, back = FieldBasis.read_coefs(p)
     assert np.allclose(times, [0.0, 0.5, 1.0])
     for i in range(3):
-        assert np.allclose(back["vt"][i], pack_sph_matrix(ser["vt"][i]))
+        # default read returns the NATIVE layout so evaluate() can
+        # consume the round-tripped series directly
+        assert np.allclose(back["vt"][i], ser["vt"][i], atol=1e-12)
+    ev = fb.evaluate({k: v[0] for k, v in back.items()},
+                     rng.normal(0, 0.3, (64, 3)))
+    assert np.isfinite(ev["vt"]).all()
+    _, packed = FieldBasis.read_coefs(p, native_layout=False)
+    for i in range(3):
+        assert np.allclose(packed["vt"][i], pack_sph_matrix(ser["vt"][i]))
     with open_coefs(p) as f:
         assert f.geometry == "sphere" and f.nfld == 4
         assert f.labels == ["dens", "vr", "vt", "vp"]
