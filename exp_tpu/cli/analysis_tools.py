@@ -32,8 +32,9 @@ def haloprof(argv=None):
         vol = 4 * np.pi / 3 * (edges[b + 1] ** 3 - edges[b] ** 3)
         Mb = m[sel].sum()
         vr = np.sum(x[sel] * v[sel], axis=1) / np.maximum(r[sel], 1e-12)
+        vbar = np.average(vr, weights=m[sel])     # mass-weighted mean
         rows.append((rc, Mb / vol, np.sqrt(np.average(
-            (vr - vr.mean()) ** 2, weights=m[sel])), m[(r <= rc)].sum()))
+            (vr - vbar) ** 2, weights=m[sel])), m[(r <= rc)].sum()))
     out = a.output or a.file + ".haloprof"
     with open(out, "w") as f:
         f.write("# r rho sigma_r M(<r)\n")
@@ -299,6 +300,9 @@ def h5compare(argv=None):
         print(f"snapshot count mismatch: {len(t1)} != {len(t2)}")
         return 1
     A1, A2 = c1.as_array(), c2.as_array()
+    if A1.shape != A2.shape:
+        print(f"coefficient shape mismatch: {A1.shape} != {A2.shape}")
+        return 1
     scale = np.abs(A1).max() + 1e-300
     err = np.abs(A1 - A2).max() / scale
     print(f"max relative coefficient difference: {err:.3e} (tol {a.tol:g})")
@@ -503,15 +507,13 @@ def eofinfo(argv=None):
                     help="dump only this azimuthal order")
     a = ap.parse_args(argv)
     from exp_tpu.basis.empcyl import EmpCylTables
-    from exp_tpu.ops import coords
-
     t = EmpCylTables.read_cache(a.file)
     print(f"EOF cache: mmax={t.mmax} nmax={t.nmax} grid={t.numx}x{t.numy} "
           f"acyl={t.acyl} hcyl={t.hcyl} rcylmax={t.rcylmax}")
     print(f"even counts per m: {t.even_count.tolist()}")
     if a.dump:
         xg = t.xmin + t.dx * np.arange(t.numx)
-        Rg = np.asarray(coords.xi_to_r(xg, 1, t.acyl))
+        Rg = np.asarray(t.R_of_x(xg))
         # z = 0 row: y = asinh(z/h) = 0
         j0 = int(round((0.0 - t.ymin) / t.dy))
         mids = range(t.mmax + 1) if a.m is None else [a.m]

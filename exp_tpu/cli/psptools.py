@@ -127,10 +127,23 @@ def diffpsp(argv=None):
 
     d1, d2 = last(a.file1), last(a.file2)
     status = 0
+    if len(d1.components) != len(d2.components):
+        print(f"component count mismatch: {len(d1.components)} != "
+              f"{len(d2.components)}")
+        status = 1
     for c1, c2 in zip(d1.components, d2.components):
-        n = min(len(c1.mass), len(c2.mass))
-        dx = np.linalg.norm(c1.x[:n] - c2.x[:n], axis=1)
-        dv = np.linalg.norm(c1.v[:n] - c2.v[:n], axis=1)
+        x2, v2 = c2.x, c2.v
+        if c1.indx is not None and c2.indx is not None:
+            # indexed dumps: match particles by indx, not storage order
+            o1 = np.argsort(c1.indx)
+            o2 = np.argsort(c2.indx)
+            c1 = type(c1)(name=c1.name, info=c1.info, mass=c1.mass[o1],
+                          x=c1.x[o1], v=c1.v[o1], pot=c1.pot[o1],
+                          indx=c1.indx[o1])
+            x2, v2 = c2.x[o2], c2.v[o2]
+        n = min(len(c1.mass), len(x2))
+        dx = np.linalg.norm(c1.x[:n] - x2[:n], axis=1)
+        dv = np.linalg.norm(c1.v[:n] - v2[:n], axis=1)
         print(f"{c1.name}: |dx| mean={dx.mean():.6g} max={dx.max():.6g}  "
               f"|dv| mean={dv.mean():.6g} max={dv.max():.6g}")
         if dx.max() > 0 or dv.max() > 0:
@@ -169,7 +182,10 @@ def pspinterp(argv=None):
             c1, mass=c1.mass[:n],
             x=(1 - w) * c1.x[:n] + w * c2.x[:n],
             v=(1 - w) * c1.v[:n] + w * c2.v[:n],
-            pot=(1 - w) * c1.pot[:n] + w * c2.pot[:n]))
+            pot=(1 - w) * c1.pot[:n] + w * c2.pot[:n],
+            indx=None if c1.indx is None else c1.indx[:n],
+            iattr=None if c1.iattr is None else c1.iattr[:n],
+            dattr=None if c1.dattr is None else c1.dattr[:n]))
     out = a.output or f"interp_{a.time:g}.psp"
     write_psp(out, replace(d1, time=a.time, components=comps))
     print(f"wrote {out} (w={w:.4f})")
@@ -266,6 +282,10 @@ def psphisto(argv=None):
         vals["E"] = 0.5 * vals["v2"] + pot
     q = vals[a.field]
     if a.log:
+        if not (q > 0).any():
+            raise SystemExit(
+                f"--log needs positive values; field {a.field!r} has none "
+                f"(use linear bins)")
         lo = max(q[q > 0].min(), 1e-12)
         edges = np.geomspace(lo, q.max(), a.nbins + 1)
     else:

@@ -82,7 +82,7 @@ class SphCoefsFile:
             f.create_group("snapshots")
             self._f = f
         else:
-            f = h5py.File(path, "r")
+            f = h5py.File(path, "r+" if mode == "a" else "r")
             if _attr_str(f.attrs["geometry"]) != self.geometry:
                 raise ValueError(f"not a sphere coefficient file: {path}")
             self.lmax = int(f.attrs["lmax"])
@@ -156,7 +156,7 @@ class CylCoefsFile:
             f.create_group("snapshots")
             self._f = f
         else:
-            f = h5py.File(path, "r")
+            f = h5py.File(path, "r+" if mode == "a" else "r")
             if _attr_str(f.attrs["geometry"]) != self.geometry:
                 raise ValueError(f"not a cylinder coefficient file: {path}")
             self.mmax = int(f.attrs["mmax"])
@@ -257,7 +257,7 @@ class CubeCoefsFile:
             f.create_group("snapshots")
             self._f = f
         else:
-            f = h5py.File(path, "r")
+            f = h5py.File(path, "r+" if mode == "a" else "r")
             if _attr_str(f.attrs["geometry"]) != self.geometry:
                 raise ValueError(f"not a cube coefficient file: {path}")
             self.nmaxx = int(f.attrs["nmaxx"])
@@ -324,7 +324,7 @@ class SlabCoefsFile:
             f.create_group("snapshots")
             self._f = f
         else:
-            f = h5py.File(path, "r")
+            f = h5py.File(path, "r+" if mode == "a" else "r")
             if _attr_str(f.attrs["geometry"]) != self.geometry:
                 raise ValueError(f"not a slab coefficient file: {path}")
             self.nmaxx = int(f.attrs["nmaxx"])
@@ -389,7 +389,7 @@ class TableCoefsFile:
             f.create_group("snapshots")
             self._f = f
         else:
-            f = h5py.File(path, "r")
+            f = h5py.File(path, "r+" if mode == "a" else "r")
             if _attr_str(f.attrs["geometry"]) != self.geometry:
                 raise ValueError(
                     f"not a {self.geometry} coefficient file: {path}")
@@ -463,7 +463,7 @@ class _FldCoefsFile:
             f.create_group("snapshots")
             self._f = f
         else:
-            f = h5py.File(path, "r")
+            f = h5py.File(path, "r+" if mode == "a" else "r")
             if _attr_str(f.attrs["geometry"]) != self.geometry \
                     or "fieldID" not in f.attrs:
                 raise ValueError(

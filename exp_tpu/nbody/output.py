@@ -43,6 +43,14 @@ class Output:
         raise NotImplementedError
 
 
+def _fresh(sim, path):
+    """True when a writer should (re)create `path`: not a restart, or no
+    prior file exists.  On `infile:` restarts existing outputs are
+    CONTINUED (the reference appends on restart) instead of truncated —
+    and truncation must not happen before restore_checkpoint runs."""
+    return not (getattr(sim, "is_restart", False) and os.path.exists(path))
+
+
 class OutLog(Output):
     """OUTLOG.<runtag>: pipe-separated conserved-quantity table."""
 
@@ -62,6 +70,8 @@ class OutLog(Output):
         cols = list(self.GLOBAL_COLS)
         for n in names:
             cols += [f"{n}:{c}" for c in comp_cols]
+        if not _fresh(sim, self.path):
+            return                      # restart: append to the old log
         with open(self.path, "w") as f:
             f.write(f"# exp_tpu run {sim.runtag}; components: "
                     f"{', '.join(names)}\n")
@@ -77,7 +87,11 @@ class OutLog(Output):
         L = np.asarray(d["L"])
         ke, pe, vc = float(d["KE"]), float(d["PE"]), float(d["VC"])
         ratio = -2.0 * ke / vc if vc != 0 else np.nan
-        nb = sum(c.ps.n for c in sim.components.values())
+        if not hasattr(self, "_nlive"):
+            # live particles only — ps.n includes zero-mass padding rows
+            self._nlive = sum(int((np.asarray(c.ps.mass) > 0).sum())
+                              for c in sim.components.values())
+        nb = self._nlive
         row = [sim.time, mass, nb, *com, *mom, *L, ke, pe, vc, ke + vc,
                ratio, time.time() - self._wall0]
         # per-component sections (the reference's lab_component columns,
@@ -113,19 +127,22 @@ class OutCoef(Output):
 
         path = os.path.join(sim.outdir,
                             filename or f"outcoef.{name}.{sim.runtag}.h5")
-        if os.path.exists(path):
+        mode = "w"
+        if not _fresh(sim, path):
+            mode = "a"                  # restart: extend the series
+        elif os.path.exists(path):
             os.remove(path)
         force = comp.force
         if isinstance(force, Cube):
             self.file = CubeCoefsFile(
-                path, "w", name=name, nmaxx=force.nmaxx, nmaxy=force.nmaxy,
+                path, mode, name=name, nmaxx=force.nmaxx, nmaxy=force.nmaxy,
                 nmaxz=force.nmaxz)
         elif isinstance(force, CylinderForce):
             self.file = CylCoefsFile(
-                path, "w", name=name, mmax=force.mmax, nmax=force.nmax)
+                path, mode, name=name, mmax=force.mmax, nmax=force.nmax)
         else:
             self.file = SphCoefsFile(
-                path, "w", name=name, lmax=force.lmax, nmax=force.nmax,
+                path, mode, name=name, lmax=force.lmax, nmax=force.nmax,
                 scale=getattr(force, "scale", 1.0),
                 forceID=comp.config.force.id)
 
@@ -280,7 +297,8 @@ class OutPS(OutPSN):
     def __init__(self, sim, nint=100, real4=True, indexing=False, **kw):
         super().__init__(sim, nint, real4=real4, indexing=indexing)
         self.path = os.path.join(sim.outdir, f"OUT.{sim.runtag}")
-        self._started = False
+        # restart: keep appending to the existing multi-dump OUT file
+        self._started = not _fresh(sim, self.path)
 
     def write(self, sim, istep):
         from exp_tpu.io.psp import write_psp
@@ -299,11 +317,15 @@ class OutHDF5(Output):
         self.path = os.path.join(sim.outdir,
                                  filename or f"OUT.{sim.runtag}.h5")
         self.dtype = np.float32 if real4 else np.float64
-        self._count = 0
         import h5py
 
-        with h5py.File(self.path, "w") as f:
-            f.attrs["runtag"] = sim.runtag
+        if _fresh(sim, self.path):
+            self._count = 0
+            with h5py.File(self.path, "w") as f:
+                f.attrs["runtag"] = sim.runtag
+        else:                       # restart: continue the snapshot series
+            with h5py.File(self.path, "r") as f:
+                self._count = int(f.attrs.get("count", 0))
 
     def write(self, sim, istep):
         import h5py
@@ -336,6 +358,8 @@ class OutMulti(Output):
     def __init__(self, sim, nint=1, **kw):
         super().__init__(sim, nint)
         self.path = os.path.join(sim.outdir, f"{sim.runtag}.levels")
+        if not _fresh(sim, self.path):
+            return
         with open(self.path, "w") as f:
             f.write("# time  component  counts per level 0..M\n")
 
@@ -361,7 +385,7 @@ class OutVel(Output):
         self.fb = FieldBasis(sim.components[self.name].force)
         self.path = os.path.join(sim.outdir,
                                  f"outvel.{self.name}.{sim.runtag}.h5")
-        if os.path.exists(self.path):
+        if _fresh(sim, self.path) and os.path.exists(self.path):
             os.remove(self.path)
 
     def write(self, sim, istep):
@@ -392,7 +416,7 @@ class OutSamp(Output):
         self.nsamples = int(nsamples)
         self.path = os.path.join(sim.outdir,
                                  f"outsamp.{self.name}.{sim.runtag}.h5")
-        if os.path.exists(self.path):
+        if _fresh(sim, self.path) and os.path.exists(self.path):
             os.remove(self.path)
 
     def write(self, sim, istep):
@@ -412,10 +436,19 @@ class OrbTrace(Output):
 
     def __init__(self, sim, nint=1, name=None, norb=5, orbitlist=None, **kw):
         super().__init__(sim, nint)
+        if int(sim.config.glob.multistep) > 0:
+            from exp_tpu.config import ConfigError
+
+            raise ConfigError(
+                "orbtrace: positional particle indices are not stable "
+                "under multistep rebucketing (level-sorted buckets) — "
+                "not supported with Global.multistep > 0")
         self.name = name or next(iter(sim.components))
         self.idx = (list(orbitlist) if orbitlist
                     else list(range(int(norb))))
         self.path = os.path.join(sim.outdir, f"ORBTRACE.{sim.runtag}")
+        if not _fresh(sim, self.path):
+            return
         with open(self.path, "w") as f:
             f.write("# time then (x y z u v w) per traced orbit: "
                     f"{self.idx}" + chr(10))
@@ -439,6 +472,8 @@ class OutDiag(Output):
         self.nbins = int(nbins)
         self.rmax = rmax
         self.path = os.path.join(sim.outdir, f"OUTDIAG.{sim.runtag}")
+        if not _fresh(sim, self.path):
+            return
         with open(self.path, "w") as f:
             f.write("# time r_mid N mass KE PE_avg" + chr(10))
 
@@ -477,6 +512,8 @@ class OutFrac(Output):
         super().__init__(sim, nint)
         self.name = name or next(iter(sim.components))
         self.path = os.path.join(sim.outdir, f"OUTFRAC.{sim.runtag}")
+        if not _fresh(sim, self.path):
+            return
         with open(self.path, "w") as f:
             f.write("# time then r at mass fractions "
                     f"{self.FRACS}" + chr(10))
@@ -503,6 +540,13 @@ class OutCalbr(Output):
 
     def __init__(self, sim, nint=10, name=None, num=10, **kw):
         super().__init__(sim, nint)
+        if int(sim.config.glob.multistep) > 0:
+            from exp_tpu.config import ConfigError
+
+            raise ConfigError(
+                "outcalbr: per-particle differencing needs a stable "
+                "particle order, which multistep rebucketing re-sorts — "
+                "not supported with Global.multistep > 0")
         self.name = name or next(iter(sim.components))
         self.num = int(num)
         self.path = os.path.join(sim.outdir, f"OUTCALBR.{sim.runtag}")

@@ -483,7 +483,10 @@ class Simulation:
                 self.externals.append(build_external(
                     e, workdir=workdir, dtype=self.compute_dtype))
 
-        # outputs
+        # outputs; on an `infile:` restart the writers CONTINUE existing
+        # files instead of truncating them (which would also destroy the
+        # old outputs before restore_checkpoint even runs)
+        self.is_restart = bool(config.glob.infile)
         self.outputs = [self._make_output(o) for o in config.outputs]
         self._nint_gcd = 1
         nints = [o.nint for o in self.outputs if o.nint > 0]

@@ -789,3 +789,37 @@ def test_nrelevel_knob(rundir):
     assert abs(E[-1] - E[0]) / abs(E[0]) < 5e-3
     counts = sim._ms_runner.level_counts(sim._ms_state)["halo"]
     assert sum(counts) == 3000
+
+
+def test_restart_continues_outputs(rundir):
+    """infile: restarts APPEND to existing outputs (the reference appends
+    on restart) instead of truncating them at writer construction."""
+    from exp_tpu.nbody.simulation import Simulation
+
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: cont").replace("nsteps: 20", "nsteps: 10")
+    (rundir / "config_cont.yml").write_text(txt)
+    sim = Simulation.from_file(str(rundir / "config_cont.yml"))
+    sim.prime()
+    sim.run()
+    rows1 = [r for r in (rundir / "OUTLOG.cont").read_text().splitlines()
+             if not r.startswith("#") and "Time" not in r]
+    from exp_tpu.io.coefs import open_coefs
+
+    with open_coefs(str(rundir / "outcoef.halo.cont.h5")) as f:
+        n1 = len(f.times())
+
+    txt2 = txt.replace("runtag: cont",
+                       "runtag: cont\n  infile: OUT.cont.chkpt")
+    (rundir / "config_cont2.yml").write_text(txt2)
+    from exp_tpu.run import main as run_main
+
+    run_main(["--cpu", str(rundir / "config_cont2.yml"), "-n", "6"])
+    rows2 = [r for r in (rundir / "OUTLOG.cont").read_text().splitlines()
+             if not r.startswith("#") and "Time" not in r]
+    assert len(rows2) > len(rows1), "restart truncated OUTLOG"
+    assert rows2[:len(rows1)] == rows1, "restart rewrote old OUTLOG rows"
+    with open_coefs(str(rundir / "outcoef.halo.cont.h5")) as f:
+        ts = f.times()
+    assert len(ts) > n1, "restart truncated the coefficient series"
+    assert ts[-1] > 0.2 - 1e-9   # continued past the first leg's end
