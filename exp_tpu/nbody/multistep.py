@@ -261,6 +261,7 @@ def bucketize(ps: ParticleSystem, M: int, quantum: int,
     live = mass > 0
     x = np.asarray(ps.x); v = np.asarray(ps.v)
     acc = np.asarray(ps.acc); pot = np.asarray(ps.pot)
+    indx = np.asarray(ps.indx)
 
     new_caps = []
     buckets = []
@@ -273,14 +274,16 @@ def bucketize(ps: ParticleSystem, M: int, quantum: int,
         new_caps.append(cap)
         xb = np.zeros((cap, 3)); vb = np.zeros((cap, 3))
         ab = np.zeros((cap, 3)); pb = np.zeros(cap); mb = np.zeros(cap)
+        ib = np.zeros(cap, np.int32)
         xb[:n] = x[sel]; vb[:n] = v[sel]; ab[:n] = acc[sel]; pb[:n] = pot[sel]
-        mb[:n] = mass[sel]
+        mb[:n] = mass[sel]; ib[:n] = indx[sel]
         b = ParticleSystem(
             x=jnp.asarray(xb, ps.x.dtype), v=jnp.asarray(vb, ps.v.dtype),
             mass=jnp.asarray(mb, ps.mass.dtype),
             acc=jnp.asarray(ab, ps.acc.dtype),
             pot=jnp.asarray(pb, ps.pot.dtype),
-            level=jnp.full(cap, l, jnp.int32))
+            level=jnp.full(cap, l, jnp.int32),
+            indx=jnp.asarray(ib))
         if mesh is not None:
             b = b.shard(mesh)
         buckets.append(b)
@@ -296,6 +299,7 @@ def flatten_buckets(lb: LevelBuckets) -> ParticleSystem:
         acc=jnp.concatenate([b.acc for b in lb.buckets]),
         pot=jnp.concatenate([b.pot for b in lb.buckets]),
         level=jnp.concatenate([b.level for b in lb.buckets]),
+        indx=jnp.concatenate([b.indx for b in lb.buckets]),
     )
 
 
@@ -662,15 +666,15 @@ class MultistepRunner:
                 cols = [ps.x[:, 0], ps.x[:, 1], ps.x[:, 2],
                         ps.v[:, 0], ps.v[:, 1], ps.v[:, 2],
                         ps.acc[:, 0], ps.acc[:, 1], ps.acc[:, 2],
-                        ps.mass, ps.pot]
+                        ps.mass, ps.pot, ps.indx]
                 sorted_ops = jax.lax.sort([key] + cols, num_keys=1,
                                           is_stable=True)
                 scols = sorted_ops[1:]
                 # pad so a bucket's slice never runs off the end (starts
                 # are clamped by dynamic_slice; the valid mask zeroes any
                 # rows past the bucket's live count either way)
-                pad = jnp.zeros(max(caps[n]), scols[0].dtype)
-                scols = [jnp.concatenate([c, pad]) for c in scols]
+                scols = [jnp.concatenate(
+                    [c, jnp.zeros(max(caps[n]), c.dtype)]) for c in scols]
                 counts = jnp.stack([jnp.sum(key == l) for l in range(M + 1)])
                 starts = jnp.concatenate(
                     [jnp.zeros(1, jnp.int32),
@@ -688,7 +692,8 @@ class MultistepRunner:
                         v=jnp.stack(G[3:6], axis=1),
                         acc=jnp.stack(G[6:9], axis=1),
                         mass=G[9], pot=G[10],
-                        level=jnp.full(cap, l, jnp.int32)))
+                        level=jnp.full(cap, l, jnp.int32),
+                        indx=G[11]))
                 st[n] = tuple(bs)
             return st
 

@@ -186,7 +186,8 @@ class OutChkpt(Output):
             for n, c in sim.components.items():
                 ps = sim.host_ps(n)
                 g = f.create_group(n)
-                for k in ("x", "v", "mass", "pot", "level"):
+                for k in ("x", "v", "mass", "pot", "level",
+                          "indx"):
                     a = np.asarray(getattr(ps, k))
                     if self.real4 and a.dtype == np.float64:
                         a = a.astype(np.float32)
@@ -220,7 +221,8 @@ def restore_checkpoint(sim, path=None):
                 continue
             ps = ParticleSystem.from_arrays(c.x, c.v, c.mass,
                                             dtype=sim.compute_dtype,
-                                            pad_to=sim.n_shards)
+                                            pad_to=sim.n_shards,
+                                            indx=c.indx)
             state[c.name] = ps.shard(sim.mesh)
         if state:
             sim._state.update(state)
@@ -234,7 +236,8 @@ def restore_checkpoint(sim, path=None):
             g = f[n]
             ps = ParticleSystem.from_arrays(
                 g["x"][...], g["v"][...], g["mass"][...],
-                dtype=sim.compute_dtype)
+                dtype=sim.compute_dtype,
+                indx=g["indx"][...] if "indx" in g else None)
             state[n] = ps.shard(sim.mesh)
     sim._state = state
     _reset_derived_state(sim)
@@ -278,7 +281,8 @@ class OutPSN(Output):
                 name=n, info=f"name: {n}\n",
                 mass=np.asarray(ps.mass)[live],
                 x=np.asarray(ps.x)[live], v=np.asarray(ps.v)[live],
-                pot=np.asarray(ps.pot)[live]))
+                pot=np.asarray(ps.pot)[live],
+                indx=np.asarray(ps.indx)[live].astype(np.uint64)))
         return dump
 
     def write(self, sim, istep):
@@ -436,16 +440,11 @@ class OrbTrace(Output):
 
     def __init__(self, sim, nint=1, name=None, norb=5, orbitlist=None, **kw):
         super().__init__(sim, nint)
-        if int(sim.config.glob.multistep) > 0:
-            from exp_tpu.config import ConfigError
-
-            raise ConfigError(
-                "orbtrace: positional particle indices are not stable "
-                "under multistep rebucketing (level-sorted buckets) — "
-                "not supported with Global.multistep > 0")
         self.name = name or next(iter(sim.components))
+        # 1-based persistent particle ids (ParticleSystem.indx) — stable
+        # under multistep rebucketing, unlike array positions
         self.idx = (list(orbitlist) if orbitlist
-                    else list(range(int(norb))))
+                    else list(range(1, int(norb) + 1)))
         self.path = os.path.join(sim.outdir, f"ORBTRACE.{sim.runtag}")
         if not _fresh(sim, self.path):
             return
@@ -455,8 +454,11 @@ class OrbTrace(Output):
 
     def write(self, sim, istep):
         ps = sim.host_ps(self.name)
-        x = np.asarray(ps.x)[self.idx]
-        v = np.asarray(ps.v)[self.idx]
+        indx = np.asarray(ps.indx)
+        order = np.argsort(indx)
+        rows = order[np.searchsorted(indx[order], self.idx)]
+        x = np.asarray(ps.x)[rows]
+        v = np.asarray(ps.v)[rows]
         with open(self.path, "a") as f:
             f.write(f"{sim.time:.10g} " + " ".join(
                 f"{a:.8g}" for row in np.concatenate([x, v], 1)
@@ -540,13 +542,6 @@ class OutCalbr(Output):
 
     def __init__(self, sim, nint=10, name=None, num=10, **kw):
         super().__init__(sim, nint)
-        if int(sim.config.glob.multistep) > 0:
-            from exp_tpu.config import ConfigError
-
-            raise ConfigError(
-                "outcalbr: per-particle differencing needs a stable "
-                "particle order, which multistep rebucketing re-sorts — "
-                "not supported with Global.multistep > 0")
         self.name = name or next(iter(sim.components))
         self.num = int(num)
         self.path = os.path.join(sim.outdir, f"OUTCALBR.{sim.runtag}")
@@ -558,9 +553,12 @@ class OutCalbr(Output):
         ps = sim.host_ps(self.name)
         m = np.asarray(ps.mass)
         live = m > 0
-        x = np.asarray(ps.x)[live]
-        v = np.asarray(ps.v)[live]
-        E = 0.5 * np.sum(v * v, axis=1) + np.asarray(ps.pot)[live]
+        # order by the persistent particle id so consecutive outputs
+        # difference the SAME particles even after multistep rebucketing
+        order = np.argsort(np.asarray(ps.indx)[live])
+        x = np.asarray(ps.x)[live][order]
+        v = np.asarray(ps.v)[live][order]
+        E = 0.5 * np.sum(v * v, axis=1) + np.asarray(ps.pot)[live][order]
         L = np.cross(x, v)
         return E, L
 

@@ -26,8 +26,10 @@ import numpy as np
 class ParticleSystem:
     """Struct-of-arrays particle state.
 
-    x, v, acc: (N, 3); mass, pot: (N,).  level: (N,) int8 multistep level.
-    N may include zero-mass padding rows.
+    x, v, acc: (N, 3); mass, pot: (N,).  level: (N,) int32 multistep
+    level; indx: (N,) int32 persistent 1-based particle identity (the
+    reference's Particle::indx — stable across multistep rebucketing;
+    0 marks zero-mass padding rows).  N may include padding rows.
     """
 
     x: jax.Array
@@ -36,6 +38,7 @@ class ParticleSystem:
     acc: jax.Array
     pot: jax.Array
     level: jax.Array
+    indx: jax.Array
 
     @property
     def n(self) -> int:
@@ -43,16 +46,20 @@ class ParticleSystem:
 
     @classmethod
     def from_arrays(cls, x, v, mass, dtype=jnp.float32,
-                    pad_to: int | None = None) -> "ParticleSystem":
+                    pad_to: int | None = None,
+                    indx=None) -> "ParticleSystem":
         x = np.asarray(x, dtype=np.float64)
         v = np.asarray(v, dtype=np.float64)
         mass = np.asarray(mass, dtype=np.float64)
         n = x.shape[0]
+        ix = (np.arange(1, n + 1, dtype=np.int32) if indx is None
+              else np.asarray(indx, dtype=np.int32))
         if pad_to is not None and n % pad_to:
             npad = pad_to - n % pad_to
             x = np.concatenate([x, np.ones((npad, 3)) * 0.0])
             v = np.concatenate([v, np.zeros((npad, 3))])
             mass = np.concatenate([mass, np.zeros(npad)])
+            ix = np.concatenate([ix, np.zeros(npad, np.int32)])
         m = x.shape[0]
         return cls(
             x=jnp.asarray(x, dtype=dtype),
@@ -61,6 +68,7 @@ class ParticleSystem:
             acc=jnp.zeros((m, 3), dtype=dtype),
             pot=jnp.zeros((m,), dtype=dtype),
             level=jnp.zeros((m,), dtype=jnp.int32),
+            indx=jnp.asarray(ix),
         )
 
     def shard(self, mesh, axis: str = "p") -> "ParticleSystem":
@@ -74,6 +82,7 @@ class ParticleSystem:
         return ParticleSystem(
             x=put(self.x), v=put(self.v), mass=put(self.mass),
             acc=put(self.acc), pot=put(self.pot), level=put(self.level),
+            indx=put(self.indx),
         )
 
 
@@ -151,7 +160,7 @@ def read_bodies(path, dtype=jnp.float32, pad_to=None,
             f"{path}: {len(comps)} components "
             f"({[c.name for c in comps]}) and none named {component!r}")
     return ParticleSystem.from_arrays(c.x, c.v, c.mass, dtype=dtype,
-                                      pad_to=pad_to)
+                                      pad_to=pad_to, indx=c.indx)
 
 
 def write_ascii_bodies(path, ps_or_arrays, niattrib=0, ndattrib=0):

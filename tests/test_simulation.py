@@ -823,3 +823,37 @@ def test_restart_continues_outputs(rundir):
         ts = f.times()
     assert len(ts) > n1, "restart truncated the coefficient series"
     assert ts[-1] > 0.2 - 1e-9   # continued past the first leg's end
+
+
+def test_orbtrace_stable_under_multistep(rundir):
+    """ORBTRACE follows the SAME physical particles across multistep
+    rebucketing (persistent ParticleSystem.indx, the reference's
+    Particle::indx) — positions evolve continuously instead of jumping
+    between level-sorted rows."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun",
+        "runtag: otms\n  multistep: 2\n  dynfracV: 0.05\n  dynfracA: 0.05")
+    txt += "  - id : orbtrace\n    parameters : {nint: 1, norb: 4}\n"
+    (rundir / "config_otms.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_otms.yml"))
+    sim.run(12)
+    tr = np.loadtxt(rundir / "ORBTRACE.otms")
+    assert tr.shape[1] == 1 + 4 * 6
+    xs = tr[:, 1:].reshape(len(tr), 4, 6)[:, :, :3]
+    # continuity: per-step displacement stays a small multiple of dt*v
+    steps = np.linalg.norm(np.diff(xs, axis=0), axis=2)
+    assert steps.max() < 0.2, f"orbit trace jumped: {steps.max()}"
+    # no padding rows traced (all traced rows have finite motion history)
+    assert np.abs(xs).max() > 0
+
+    # identity set preserved through rebucketing
+    from exp_tpu.nbody.multistep import flatten_buckets, LevelBuckets
+
+    ps = flatten_buckets(LevelBuckets(
+        list(sim._ms_state["halo"]), None))
+    ix = np.asarray(ps.indx)
+    live = np.asarray(ps.mass) > 0
+    assert sorted(ix[live].tolist()) == list(range(1, 3001))
+    assert (ix[~live] == 0).all()
