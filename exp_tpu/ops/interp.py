@@ -48,27 +48,27 @@ def deriv3_uniform(table: jax.Array, x: jax.Array, xmin: float, dx: float):
     """
     n = table.shape[0]
     idx, frac = uniform_index(x, xmin, dx, n, lo=1)
-    # recompute frac relative to the (possibly re-clipped) idx
-    t = (x - xmin) / dx
-    p = t - idx.astype(t.dtype)
     fm = table[idx - 1]
     f0 = table[idx]
     fp = table[idx + 1]
-    w = p.reshape(p.shape + (1,) * (table.ndim - 1))
+    w = frac.reshape(frac.shape + (1,) * (table.ndim - 1))
     return ((w - 0.5) * fm - 2.0 * w * f0 + (w + 0.5) * fp) / dx
 
 
 def lerp_and_deriv3(table: jax.Array, x: jax.Array, xmin: float, dx: float):
     """Fused value + derivative lookup sharing one gather neighborhood."""
     n = table.shape[0]
-    idx, _ = uniform_index(x, xmin, dx, n, lo=1)
-    t = (x - xmin) / dx
-    p = t - idx.astype(t.dtype)
+    idx, frac = uniform_index(x, xmin, dx, n, lo=1)
     fm = table[idx - 1]
     f0 = table[idx]
     fp = table[idx + 1]
-    w = p.reshape(p.shape + (1,) * (table.ndim - 1))
-    val = f0 * (1.0 - w) + fp * w
-    # When p in [0,1) this lerps between nodes idx, idx+1 as usual.
+    w = frac.reshape(frac.shape + (1,) * (table.ndim - 1))
+    # lo=1 clips the first cell's idx to 1, making w negative there:
+    # interpolate between nodes idx-1, idx in that case (a one-sided
+    # lerp from nodes 1-2 would EXTRAPOLATE backwards past table[0])
+    val = jnp.where(w < 0,
+                    fm * (-w) + f0 * (1.0 + w),
+                    f0 * (1.0 - w) + fp * w)
+    # 3-point (parabola-through-nodes) derivative, valid for w in [-1, 1]
     der = ((w - 0.5) * fm - 2.0 * w * f0 + (w + 0.5) * fp) / dx
     return val, der

@@ -24,3 +24,16 @@ def pad_particles(x, mass=None, block: int = BLOCK, fill: float = 0.0):
         if mass is not None:
             mass = jnp.concatenate([mass, jnp.zeros(npad, mass.dtype)])
     return x, mass, n
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pack_xyzm(x, mass):
+    """(N, 3) + (N,) -> (8, N) transposed SoA kernel input (particles on
+    the lane axis; rows 4-7 are zero padding to the sublane tile)."""
+    n = x.shape[0]
+    out = jnp.zeros((8, n), jnp.float32)
+    out = out.at[0:3, :].set(x.T.astype(jnp.float32))
+    return out.at[3, :].set(mass.astype(jnp.float32))

@@ -259,9 +259,5 @@ def pack_force_matrix(b, nmaxx, nmaxy, nmaxz):
     return jnp.real(R).astype(jnp.float32), jnp.imag(R).astype(jnp.float32)
 
 
-def pack_xyzm(x, mass):
-    """(N, 3) + (N,) -> (8, N) transposed SoA input."""
-    n = x.shape[0]
-    out = jnp.zeros((8, n), jnp.float32)
-    out = out.at[0:3, :].set(x.T.astype(jnp.float32))
-    return out.at[3, :].set(mass.astype(jnp.float32))
+# shared SoA packing (ops/padding.py) re-exported for the callers
+from exp_tpu.ops.padding import pack_xyzm  # noqa: E402,F401

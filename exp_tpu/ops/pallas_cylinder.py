@@ -98,7 +98,7 @@ def _w2(t, nc, interp="linear"):
     return jnp.maximum(0.0, 1.0 - jnp.abs(j - t[0][None, :]))
 
 
-def _cyl_maps(x, y, z, acyl, hcyl, eps=1e-12):
+def _cyl_maps(x, y, z, eps=1e-12):
     R = jnp.sqrt(x * x + y * y) + eps
     r = jnp.sqrt(R * R + z * z) + eps
     cphi = x / R
@@ -142,7 +142,7 @@ def make_cyl_coef_kernel(mmax, nmax, ncx, ncy, acyl, hcyl, xmin, dxc,
 
         xs = xs_ref[:]
         x, y, z, m = xs[0:1], xs[1:2], xs[2:3], xs[3:4]
-        R, r, cphi, sphi = _cyl_maps(x, y, z, acyl, hcyl)
+        R, r, cphi, sphi = _cyl_maps(x, y, z)
         w = jnp.where(r <= rmax_grid, m, 0.0)
         cm, sm = _trig_rows(mmax, cphi, sphi)
         rows = [w * c for c in cm] + [w * s for s in sm]
@@ -202,8 +202,8 @@ def make_cyl_accel_kernel(mmax, nmax, ncx, ncy, acyl, hcyl, xmin, dxc,
 
     def kernel(xs_ref, ct_ref, out_ref):
         xs = xs_ref[:]
-        x, y, z, m = xs[0:1], xs[1:2], xs[2:3], xs[3:4]
-        R, r, cphi, sphi = _cyl_maps(x, y, z, acyl, hcyl)
+        x, y, z = xs[0:1], xs[1:2], xs[2:3]     # row 3 (mass) unused here
+        R, r, cphi, sphi = _cyl_maps(x, y, z)
         outside = r > rmax_grid
         shrink = jnp.where(outside, rmax_grid / r, 1.0)
         tx, ty = _grid_coords(R * shrink, z * shrink, acyl, hcyl,
@@ -345,9 +345,5 @@ def contract_coef_output(G, potc):
     return -4.0 * math.pi * jnp.stack([bc, bs])
 
 
-def pack_xyzm(x, mass):
-    """(N, 3) + (N,) -> (8, N) transposed SoA input."""
-    n = x.shape[0]
-    out = jnp.zeros((8, n), jnp.float32)
-    out = out.at[0:3, :].set(x.T.astype(jnp.float32))
-    return out.at[3, :].set(mass.astype(jnp.float32))
+# shared SoA packing (ops/padding.py) re-exported for the callers
+from exp_tpu.ops.padding import pack_xyzm  # noqa: E402,F401

@@ -38,13 +38,10 @@ from exp_tpu.ops.pallas_cube import (_axis_phases, _select_mats,
 _PREC = jax.lax.Precision.DEFAULT
 
 
-def _w_rows(t, nc, interp):
-    """z interpolation weights (rows, B): the shared hat / prefiltered
-    quadratic-B-spline weight rows (ghost offset +1 for spline; see
-    pallas_cylinder.prefilter_x)."""
-    from exp_tpu.ops.pallas_cylinder import _w2
-
-    return _w2(t, nc, interp)
+# z interpolation weights (rows, B): the shared hat / prefiltered
+# quadratic-B-spline weight rows (ghost offset +1 for spline; see
+# pallas_cylinder.prefilter_x)
+from exp_tpu.ops.pallas_cylinder import _w2 as _w_rows  # noqa: E402
 
 
 def _dotp(a, b):
@@ -219,7 +216,8 @@ def contract_coef_output(G, phi_s, sgn):
     A, B2, nn = phi_s.shape[1:]
     Gf = G.reshape(A, B2, -1)
     c = jnp.einsum("abj,jabn->abn", Gf,
-                   jnp.asarray(phi_s, jnp.float32).astype(Gf.dtype))
+                   jnp.asarray(phi_s, jnp.float32).astype(Gf.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     return -4.0 * math.pi * c * jnp.asarray(sgn, jnp.float32).astype(c.dtype)
 
 
@@ -233,8 +231,13 @@ def contract_slab_tables(coef, phi_s, dphi_s, nmaxx, nmaxy):
     nzp = _round_up(nzc, 128)
     phi = jnp.asarray(phi_s, jnp.float32).astype(coef.dtype)
     dphi = jnp.asarray(dphi_s, jnp.float32).astype(coef.dtype)
-    T = jnp.einsum("abn,jabn->jab", coef, phi)        # (nzc, A, B2)
-    Tz = jnp.einsum("abn,jabn->jab", coef, dphi)
+    # HIGHEST: the default TPU einsum rounds the pre-contracted
+    # z-profiles to bf16, re-introducing the table error the kernel's
+    # own fp32-emulated matmuls exist to avoid
+    hi = jax.lax.Precision.HIGHEST
+    T = jnp.einsum("abn,jabn->jab", coef, phi,
+                   precision=hi)                      # (nzc, A, B2)
+    Tz = jnp.einsum("abn,jabn->jab", coef, dphi, precision=hi)
     tpi = 2.0 * math.pi
     kxv = (tpi * jnp.arange(-nmaxx, nmaxx + 1,
                             dtype=jnp.float32))[None, :, None]

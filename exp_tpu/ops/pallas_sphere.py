@@ -698,9 +698,5 @@ def pad_table(tabc, lmax, nmax, numr_c=None):
     return out.at[:, :F].set(t)
 
 
-def pack_xyzm(x, mass):
-    """(N,3) + (N,) -> (8, N) transposed SoA input."""
-    n = x.shape[0]
-    out = jnp.zeros((8, n), jnp.float32)
-    out = out.at[0:3, :].set(x.T.astype(jnp.float32))
-    return out.at[3, :].set(mass.astype(jnp.float32))
+# shared SoA packing (ops/padding.py) re-exported for the callers
+from exp_tpu.ops.padding import pack_xyzm  # noqa: E402,F401

@@ -15,16 +15,12 @@ import math
 import jax
 import jax.numpy as jnp
 
-# Clamp |cos(theta)| away from 1 for the dP/dx recurrence (mirrors MINEPS
-# clamping in the reference, src/Basis.cc:81-84).  Must be dtype-aware:
-# 1-1e-12 rounds back to 1.0 in float32 and 1/(x^2-1) blows up at the pole.
-_MINEPS = 1.0e-12
-
-
 def _mineps(dtype):
-    import jax.numpy as _jnp
-
-    return 1.0e-12 if _jnp.dtype(dtype) == _jnp.float64 else 1.0e-6
+    """Clamp |cos(theta)| away from 1 for the dP/dx recurrence (mirrors
+    MINEPS clamping in the reference, src/Basis.cc:81-84).  Dtype-aware:
+    1 - 1e-12 rounds back to 1.0 in float32 and 1/(x^2-1) blows up at
+    the pole."""
+    return 1.0e-12 if jnp.dtype(dtype) == jnp.float64 else 1.0e-6
 
 
 def legendre_lm(lmax: int, x: jax.Array) -> jax.Array:

@@ -79,3 +79,21 @@ def test_transform_fft_power_peak():
     assert abs(fr[P.argmax()] / (2 * np.pi) - 1.5) < 0.05
     fr2, W = t.inverse()
     assert W.shape == fr2.shape
+
+
+def test_lerp_and_deriv3_first_cell():
+    """The fused value+derivative lookup INTERPOLATES in the first grid
+    cell (idx is clipped to 1 there, making the offset negative — a
+    one-sided lerp would extrapolate backwards past table[0])."""
+    import jax.numpy as jnp
+    from exp_tpu.ops.interp import lerp_and_deriv3, lerp_uniform
+
+    tab = (jnp.arange(11.0) ** 2)[:, None]          # f(x) = x^2 on 0..10
+    xq = jnp.asarray([0.0, 0.25, 0.5, 0.99, 1.5, 9.5])
+    val, der = lerp_and_deriv3(tab, xq, 0.0, 1.0)
+    want = lerp_uniform(tab, xq, 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # derivative from the 3-point stencil: exact for a parabola
+    np.testing.assert_allclose(np.asarray(der)[:, 0], 2.0 * np.asarray(xq),
+                               rtol=1e-5, atol=1e-5)
