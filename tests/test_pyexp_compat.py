@@ -151,6 +151,23 @@ def test_mssa_workflow(snapshot, basis, tmp_path):
     ssa.saveState(str(tmp_path / "st"))
     ssa.restoreState(str(tmp_path / "st"))
 
+    # the (name, multi-index) keys this surface hands out round-trip
+    # through every key-taking method (native keys are (name, flat))
+    k0 = ssa.getAllKeys()[0]
+    assert len(k0) == 5                     # ('halo', cs, l, m, n)
+    rc = ssa.getRC(k0)
+    assert rc.shape == (24,)
+    f, p = ssa.singleDFT(k0)
+    assert len(f) == p.shape[0]
+    Wk = ssa.wCorrKey(k0)
+    assert Wk.shape == W.shape
+    # single-channel w-corr differs from the channel-summed matrix
+    assert np.abs(Wk - W).max() > 1e-12
+    kc = ssa.kmeansChannel(k0, 2)
+    assert set(c for c, d in kc.values()) <= {0, 1}
+    # per-name wcorr == global for a single dataset
+    np.testing.assert_allclose(ssa.wCorr(name="halo"), W, atol=1e-12)
+
 
 def test_edmd_workflow(snapshot, basis):
     path, x, v, mass = snapshot
