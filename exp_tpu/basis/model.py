@@ -14,7 +14,6 @@ including its 4-column file format
 
 from __future__ import annotations
 
-import io
 import numpy as np
 from dataclasses import dataclass
 from scipy.interpolate import CubicSpline
@@ -180,8 +179,12 @@ def model_from_particles(x, mass, numr: int = 800, rmin: float = None,
     if rmax is None:
         rmax = np.percentile(r, 99.9)
     edges = np.geomspace(rmin, rmax, numr + 1)
-    idx = np.clip(np.digitize(r, edges) - 1, 0, numr - 1)
-    msh = np.bincount(idx, weights=mass, minlength=numr)
+    # drop out-of-range particles: clipping them into the edge bins
+    # inflates exactly the cusp/truncation densities
+    inb = (r >= rmin) & (r < rmax)
+    idx = np.digitize(r[inb], edges) - 1
+    msh = np.bincount(np.clip(idx, 0, numr - 1), weights=mass[inb],
+                      minlength=numr)
     vol = 4.0 * np.pi / 3.0 * np.diff(edges ** 3)
     rho = msh / vol
     if smooth > 1:                       # boxcar in log space

@@ -14,6 +14,8 @@ def main(argv=None):
     ap.add_argument("--mass", type=float, default=0.05)
     ap.add_argument("--halo", default=None,
                     help="optional halo model for the rotation curve")
+    ap.add_argument("-Q", type=float, default=1.2,
+                    help="Toomre Q for the radial dispersion")
     ap.add_argument("-o", "--output", default="disk.bods")
     ap.add_argument("-s", "--seed", type=int, default=7)
     a = ap.parse_args(argv)
@@ -25,18 +27,25 @@ def main(argv=None):
     x, m = sample_exponential_disk(a.number, acyl=a.acyl, hcyl=a.hcyl,
                                    mass=a.mass, seed=a.seed)
 
+    def vc2_disk(R):
+        # self-gravity estimate from the enclosed disk mass
+        Menc = a.mass * (1 - (1 + R / a.acyl) * np.exp(-R / a.acyl))
+        return Menc / np.maximum(R, 1e-12)
+
     if a.halo:
         halo = load_model(a.halo)
 
         def vc_of_R(R):
-            return np.sqrt(np.maximum(R * halo.get_dpot(R), 0.0))
+            # TOTAL rotation curve: halo force PLUS the disk's own
+            # enclosed mass (disk_velocities' documented contract)
+            return np.sqrt(np.maximum(R * halo.get_dpot(R)
+                                      + vc2_disk(R), 0.0))
     else:
-        # self-gravity estimate from the enclosed disk mass
         def vc_of_R(R):
-            Menc = a.mass * (1 - (1 + R / a.acyl) * np.exp(-R / a.acyl))
-            return np.sqrt(np.maximum(Menc / np.maximum(R, 1e-12), 0.0))
+            return np.sqrt(np.maximum(vc2_disk(R), 0.0))
 
-    v = disk_velocities(x, vc_of_R, acyl=a.acyl, seed=a.seed)
+    v = disk_velocities(x, vc_of_R, acyl=a.acyl, seed=a.seed,
+                        Q=a.Q, Mdisk=a.mass, hcyl=a.hcyl)
     write_ascii_bodies(a.output, (x, v, m))
     print(f"gendisk: wrote {a.number} bodies to {a.output}")
 

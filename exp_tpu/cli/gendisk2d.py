@@ -18,7 +18,9 @@ def main(argv=None):
     ap.add_argument("--acyl", type=float, default=1.0)
     ap.add_argument("--mass", type=float, default=1.0)
     ap.add_argument("--Q", type=float, default=1.4)
-    ap.add_argument("--rmax", type=float, default=10.0)
+    ap.add_argument("--rmax", type=float, default=10.0,
+                    help="sampling radius in units of acyl (mestel/zang "
+                         "extend automatically past the outer taper)")
     ap.add_argument("-o", "--output", default="disk2d.bods")
     ap.add_argument("-s", "--seed", type=int, default=11)
     a = ap.parse_args(argv)
@@ -27,7 +29,13 @@ def main(argv=None):
 
     rng = np.random.default_rng(a.seed)
     S = surface_density_model(a.model, a=a.acyl, M=a.mass)
-    Rg = np.geomspace(1e-3 * a.acyl, a.rmax * a.acyl, 4000)
+    rmax_eff = a.rmax * a.acyl
+    if a.model in ("mestel", "zang"):
+        # the Zang outer taper is centered at router = 10 a (Sigma is
+        # still 50% there): sample well past it or the realization gets
+        # a hard edge mid-taper, seeding spurious transients
+        rmax_eff = max(rmax_eff, 40.0 * a.acyl)
+    Rg = np.geomspace(1e-3 * a.acyl, rmax_eff, 4000)
     w = _trapz_w(Rg)
     dM = 2.0 * np.pi * np.asarray(S(Rg)) * Rg * w
     cum = np.cumsum(dM)

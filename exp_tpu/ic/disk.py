@@ -23,7 +23,7 @@ def sample_exponential_disk(n, acyl=0.01, hcyl=0.002, mass=1.0, seed=0):
 
 
 def disk_velocities(x, vc_of_R, acyl=0.01, sigma0=None, Q: float = 1.2,
-                    seed=0, Mdisk=None):
+                    seed=0, Mdisk=None, hcyl=None):
     """Assign rotating velocities with epicyclic dispersions.
 
     Args:
@@ -56,10 +56,18 @@ def disk_velocities(x, vc_of_R, acyl=0.01, sigma0=None, Q: float = 1.2,
         sigma0 = 0.3 * np.max(vc)
     sigR = sigma0 * np.exp(-R / (2.0 * acyl))
     sigp = sigR / np.sqrt(2.0)            # epicyclic ratio (flat curve)
-    sigz = sigR / np.sqrt(2.0)
+    if Mdisk is not None and hcyl is not None:
+        # vertical equilibrium of the sech^2 slab (Spitzer):
+        # sigz^2 = pi G Sigma(R) hcyl
+        Sigma = Mdisk / (2.0 * np.pi * acyl ** 2) * np.exp(-R / acyl)
+        sigz = np.sqrt(np.pi * Sigma * hcyl)
+    else:
+        sigz = sigR / np.sqrt(2.0)
 
-    # asymmetric drift correction (lowest order)
-    va2 = vc**2 - sigR**2 * (R / acyl - 0.5)
+    # asymmetric drift (Jeans): va^2 = vc^2 + sigR^2 [dln(Sigma sigR^2)/
+    # dlnR + 1 - sigp^2/sigR^2] with Sigma, sigR^2 ~ e^{-R/a} and
+    # sigp^2/sigR^2 = 1/2  ->  va^2 = vc^2 - sigR^2 (2R/a - 1/2)
+    va2 = vc**2 - sigR**2 * (2.0 * R / acyl - 0.5)
     va = np.sqrt(np.maximum(va2, 0.0))
 
     vR = rng.normal(0, 1, len(R)) * sigR

@@ -77,8 +77,12 @@ class EddingtonDF:
 
     def f(self, eps):
         eps = np.asarray(eps)
-        out = np.where(eps > 0, self._f_sp(np.clip(eps, self._eps[0], None)), 0.0)
-        return np.maximum(out, 0.0)
+        e0 = self._eps[0]
+        out = self._f_sp(np.clip(eps, e0, None))
+        # below the first grid point fall linearly to f(0) = 0 (holding
+        # f(e0) over-populated near-escape speeds at large radii)
+        out = np.where(eps >= e0, out, self._f_eps[0] * (eps / e0))
+        return np.maximum(np.where(eps > 0, out, 0.0), 0.0)
 
     def psi(self, r):
         """Relative potential psi(r) (>=0, psi(rmax)=0)."""
@@ -135,9 +139,12 @@ def sample_spherical_model(model: SphericalModelTable, n: int,
         while todo.size:
             pr = psi_r[todo]
             vm = vmax[todo]
-            vg = np.linspace(0.0, 1.0, 32)[None, :] * vm[:, None]
+            # envelope from a dense speed grid: a coarse grid undershoots
+            # the true max of v^2 f (measured 1.24x at small radii on the
+            # default Hernquist model), silently biasing the sampled DF
+            vg = np.linspace(0.0, 1.0, 256)[None, :] * vm[:, None]
             pg = vg**2 * df.f(pr[:, None] - 0.5 * vg**2)
-            env = 1.1 * pg.max(axis=1) + 1e-300
+            env = 1.3 * pg.max(axis=1) + 1e-300
             vt = rng.uniform(0.0, 1.0, todo.size) * vm
             y = rng.uniform(0.0, 1.0, todo.size) * env
             p = vt**2 * df.f(pr - 0.5 * vt**2)
@@ -157,13 +164,13 @@ def sample_spherical_model(model: SphericalModelTable, n: int,
             rr = r[todo]
             fac = 1.0 + (rr / ra) ** 2
             # coarse envelope over the (vr, vt) quarter disk
-            g = np.linspace(0, 1, 16)
+            g = np.linspace(0, 1, 48)
             VG, TG = np.meshgrid(g, g, indexing="ij")
             q = (pr[:, None, None]
                  - 0.5 * (VG[None] ** 2 + TG[None] ** 2 * fac[:, None, None])
                  * vm[:, None, None] ** 2)
             pg = TG[None] * vm[:, None, None] * df.f(q)
-            env = 1.2 * pg.reshape(len(rr), -1).max(axis=1) + 1e-300
+            env = 1.4 * pg.reshape(len(rr), -1).max(axis=1) + 1e-300
             a1 = rng.uniform(-1, 1, todo.size) * vm
             a2 = rng.uniform(0, 1, todo.size) * vm
             Q = pr - 0.5 * (a1 ** 2 + a2 ** 2 * fac)
