@@ -4,88 +4,42 @@ Prints ONE JSON line:
   {"metric": "particle_steps_per_sec", "value": ..., "unit": "1/s",
    "vs_baseline": ...}
 
-vs_baseline is the measured speedup over a single-host NumPy implementation
-of the same step math (the reference EXP runs the identical O(N*n_basis)
-inner loop on CPUs; the NumPy path stands in as the per-core CPU baseline —
-BASELINE.md records that the reference publishes no numbers of its own).
+vs_baseline is the measured speedup over a single-host NumPy f64
+implementation of the FULL reference step equations — coefficient
+projection AND the acceleration pass plus both kicks
+(exp_tpu/validate.py ReferenceSphereStep, transcribed from
+SphericalBasis.cc:429-599/1476-1700 + step.cc:272-322), run on the SAME
+phase-space sample as the benched step.  The reference publishes no
+numbers of its own (BASELINE.md), so the per-core CPU rate of its own
+step math is the stand-in.
 """
 
 import json
+import math
 import os
 import sys
 import time
 
 import numpy as np
 
+#: configs whose `value` is particle-steps/sec — the only ones eligible
+#: to be the headline metric (composite reports substeps/s, pyexp
+#: snapshots/s; mislabeling those would corrupt vs_baseline)
+_PSTEP_CONFIGS = ("sphere", "sphere10m", "disk", "disk10m", "cube")
 
-def _numpy_step_throughput(force_np, x, v, mass, dt, reps=3):
-    """CPU baseline: same math in NumPy (vectorized, f64)."""
-    pot_t, xmin, dxi, lmax, nmax = force_np
-    fac = _real_ylm_norm_np(lmax)
 
-    def coef_and_force(xp):
-        r = np.sqrt((xp * xp).sum(-1)) + 1e-16
-        costh = xp[:, 2] / r
-        phi = np.arctan2(xp[:, 1], xp[:, 0])
-        xi = (r - 1.0) / (r + 1.0)
-        t = (xi - xmin) / dxi
-        idx = np.clip(t.astype(np.int64), 0, pot_t.shape[0] - 2)
-        w = (t - idx)[:, None, None]
-        potd = pot_t[idx] * (1 - w) + pot_t[idx + 1] * w
-        P = _legendre_np(lmax, costh)
-        mg = np.arange(lmax + 1)
-        cosm = np.cos(phi[:, None] * mg)
-        sinm = np.sin(phi[:, None] * mg)
-        yc = fac[None] * P * cosm[:, None, :] * mass[:, None, None]
-        ys = fac[None] * P * sinm[:, None, :] * mass[:, None, None]
-        cc = np.einsum("ilm,iln->lmn", yc, potd)
-        cs = np.einsum("ilm,iln->lmn", ys, potd)
-        pc = np.einsum("lmn,iln->ilm", cc, potd)
-        ps = np.einsum("lmn,iln->ilm", cs, potd)
-        pot = (fac[None] * P * (pc * cosm[:, None, :] + ps * sinm[:, None, :])).sum((1, 2))
-        return pot
+def _cpu_baseline(reps=2, nb=50_000):
+    """Per-particle step rate of the full reference NumPy step."""
+    import bench_suite
+    from exp_tpu.validate import ReferenceSphereStep
 
-    n = x.shape[0]
+    t = bench_suite.sphere_tables(lmax=4, nmax=10)
+    x, v, mass = bench_suite.hernquist_sample_np(nb, seed=0)
+    ref = ReferenceSphereStep(t)
+    ref.run(x, v, mass, 0.001, 1)            # warm caches
     t0 = time.perf_counter()
-    for _ in range(reps):
-        v = v + 0.5 * dt * 0.0
-        x = x + v * dt
-        coef_and_force(x)
-    t1 = time.perf_counter()
-    return n * reps / (t1 - t0)
-
-
-def _legendre_np(lmax, x):
-    n = x.shape[0]
-    p = np.zeros((n, lmax + 1, lmax + 1))
-    p[:, 0, 0] = 1.0
-    somx2 = np.sqrt(np.maximum((1 - x) * (1 + x), 0))
-    pll = np.ones(n)
-    fact = 1.0
-    for m in range(1, lmax + 1):
-        pll = pll * (-fact) * somx2
-        p[:, m, m] = pll
-        fact += 2.0
-    for m in range(lmax):
-        pl2 = p[:, m, m]
-        pl1 = x * (2 * m + 1) * pl2
-        p[:, m + 1, m] = pl1
-        for l in range(m + 2, lmax + 1):
-            pl = (x * (2 * l - 1) * pl1 - (l + m - 1) * pl2) / (l - m)
-            p[:, l, m] = pl
-            pl2, pl1 = pl1, pl
-    return p
-
-
-def _real_ylm_norm_np(lmax):
-    import math
-    fac = np.zeros((lmax + 1, lmax + 1))
-    for l in range(lmax + 1):
-        for m in range(l + 1):
-            v = math.sqrt((2 * l + 1) / (4 * math.pi)
-                          * math.factorial(l - m) / math.factorial(l + m))
-            fac[l, m] = v * (math.sqrt(2) if m else 1.0)
-    return fac
+    ref.run(x, v, mass, 0.001, reps)
+    return nb * reps / (time.perf_counter() - t0)
 
 
 def main():
@@ -101,12 +55,14 @@ def main():
     primary = None
     # soft wall-clock budget: stop launching new configs once exceeded so
     # one slow config can't blow the driver's window (first-compile through
-    # the remote runtime is expensive; results are cached across runs)
+    # the remote runtime is expensive; results are cached across runs).
+    # Enforced as soon as ANYTHING has run — a failed primary must not
+    # unlock unlimited time for the 10M configs.
     budget = float(os.environ.get("BENCH_BUDGET", 1200))
     t_start = time.perf_counter()
     for c in cfgs:
         c = c.strip()
-        if time.perf_counter() - t_start > budget and primary is not None:
+        if time.perf_counter() - t_start > budget and suite:
             suite[c] = {"skipped": f"budget {budget:.0f}s exceeded"}
             continue
         try:
@@ -114,7 +70,6 @@ def main():
             t0 = time.perf_counter()
             if c == "sphere":
                 r = bench_suite.bench_sphere(n=n, reps=reps)
-                primary = r
             elif c == "sphere10m":
                 r = bench_suite.bench_sphere(n=10_485_760, reps=5)
             elif c == "disk":
@@ -133,47 +88,40 @@ def main():
                 continue
             r["wall_sec"] = round(time.perf_counter() - t0, 2)
             suite[c] = r
+            # headline: the sphere config, else the first completed
+            # particle-steps/sec config (NEVER a different-unit metric)
+            if c == "sphere" or (primary is None and c in _PSTEP_CONFIGS):
+                primary = r
         except Exception as e:                      # keep the line printable
             suite[c] = {"error": f"{type(e).__name__}: {e}"}
 
     if primary is None:
-        primary = next((v for v in suite.values() if "value" in v),
-                       {"value": 0.0, "step_ms": 0.0, "n_particles": 0})
+        primary = {"value": 0.0, "step_ms": None, "n_particles": 0}
 
-    # CPU baseline: single-host NumPy implementation of the sphere step,
-    # measured at <=100k particles, per-particle rate
+    # CPU baseline: the full reference step in NumPy f64 (same sample)
     try:
-        from exp_tpu.basis.model import hernquist_model
-        from exp_tpu.basis.slgrid import build_sph_sl_tables
+        cpu_tput = _cpu_baseline()
+    except Exception as e:
+        print(f"[bench] baseline failed: {e}", file=sys.stderr)
+        cpu_tput = None
 
-        nb = 100_000
-        m = hernquist_model(rmin=1e-3, rmax=20.0)
-        t = build_sph_sl_tables(m, lmax=4, nmax=10, numr=2000, cmap=1,
-                                rmap=1.0)
-        rng = np.random.default_rng(0)
-        u = rng.uniform(0.02, 0.98, nb)
-        r = u / (1 - u)
-        ct = rng.uniform(-1, 1, nb)
-        st = np.sqrt(1 - ct * ct)
-        ph = rng.uniform(0, 2 * np.pi, nb)
-        xb = np.stack([r * st * np.cos(ph), r * st * np.sin(ph), r * ct], -1)
-        cpu_tput = _numpy_step_throughput(
-            (np.asarray(t.pot_table), t.xmin, t.dxi, 4, 10),
-            xb, rng.normal(0, 0.3, (nb, 3)), np.full(nb, 1.0 / nb), 0.001)
-    except Exception:
-        cpu_tput = float("nan")
+    def _finite(x):
+        return (x is not None and isinstance(x, (int, float))
+                and math.isfinite(x))
 
+    vs = (primary["value"] / cpu_tput
+          if _finite(cpu_tput) and cpu_tput > 0 else None)
     print(json.dumps({
         "metric": "particle_steps_per_sec",
         "value": primary["value"],
         "unit": "1/s",
-        "vs_baseline": primary["value"] / cpu_tput,
+        "vs_baseline": vs,
         "n_particles": primary.get("n_particles", n),
         "step_ms": primary.get("step_ms"),
         "cpu_baseline_particle_steps_per_sec": cpu_tput,
         "device": str(jax.devices()[0]),
         "suite": suite,
-    }))
+    }, allow_nan=False))
 
 
 if __name__ == "__main__":

@@ -35,16 +35,21 @@ def _timeit(step, state, reps, sync):
     return (time.perf_counter() - t0) / reps
 
 
-def _sphere_problem(n, lmax=4, nmax=10, seed=0):
-    import jax.numpy as jnp
+def sphere_tables(lmax=4, nmax=10):
+    """Shared (disk-cached) spherical SL tables for the sphere benches."""
     from exp_tpu.basis.model import hernquist_model
     from exp_tpu.basis.slgrid import build_sph_sl_tables
-    from exp_tpu.forces.spherical import SphereSL
 
+    os.makedirs(CACHE_DIR, exist_ok=True)
     m = hernquist_model(rmin=1e-3, rmax=20.0)
-    t = build_sph_sl_tables(m, lmax=lmax, nmax=nmax, numr=2000, cmap=1,
-                            rmap=1.0)
-    force = SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas")
+    return build_sph_sl_tables(
+        m, lmax=lmax, nmax=nmax, numr=2000, cmap=1, rmap=1.0,
+        cachename=os.path.join(CACHE_DIR, f"sph_l{lmax}n{nmax}.h5"))
+
+
+def hernquist_sample_np(n, seed=0):
+    """The benches' Hernquist-ish phase-space sample (shared with
+    bench.py's CPU baseline so both populations stay identical)."""
     rng = np.random.default_rng(seed)
     u = rng.uniform(0.02, 0.98, n)
     r = u / (1 - u)
@@ -54,6 +59,16 @@ def _sphere_problem(n, lmax=4, nmax=10, seed=0):
     x = np.stack([r * st * np.cos(ph), r * st * np.sin(ph), r * ct], -1)
     v = rng.normal(0, 0.3, (n, 3))
     mass = np.full(n, 1.0 / n)
+    return x, v, mass
+
+
+def _sphere_problem(n, lmax=4, nmax=10, seed=0):
+    import jax.numpy as jnp
+    from exp_tpu.forces.spherical import SphereSL
+
+    t = sphere_tables(lmax=lmax, nmax=nmax)
+    force = SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas")
+    x, v, mass = hernquist_sample_np(n, seed=seed)
     return force, t, x, v, mass
 
 
@@ -136,7 +151,7 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2):
     from exp_tpu.nbody.multistep import MultistepRunner
 
     m = hernquist_model(rmin=1e-3, rmax=20.0)
-    ts = build_sph_sl_tables(m, lmax=4, nmax=10, numr=2000, cmap=1, rmap=1.0)
+    ts = sphere_tables(lmax=4, nmax=10)
     halo = SphereSL.from_tables(ts, dtype=jnp.float32, backend="pallas")
     os.makedirs(CACHE_DIR, exist_ok=True)
     tc = build_empcyl_tables(

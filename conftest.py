@@ -9,12 +9,15 @@ be applied through jax.config because sitecustomize already set it.
 """
 
 import os
+import re
 import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# REPLACE any pre-existing device-count flag: a leftover pin (e.g. =4
+# from an experiment) would fail every 8-device mesh test obscurely
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_ENABLE_X64"] = "1"
 
 import jax  # noqa: E402
