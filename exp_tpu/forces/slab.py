@@ -246,17 +246,23 @@ class SlabForce:
         phi = self._ztab(self.phi_t, z).astype(cd)
         dphi = self._ztab(self.dphi_t, z).astype(cd)
 
-        pot_c = jnp.einsum("abn,ia,ib,iabn->i", coef, ex, ey, phi)
-        pot = pot_c.real.astype(dtype)
+        # hoist the dominant n-contraction: T/Tz (N, A, B) feed pot,
+        # ax, ay, az — the per-axis 2 pi k weights are applied AFTER the
+        # n-sum instead of re-running the full 4-operand einsum 3x
+        T = jnp.einsum("abn,iabn->iab", coef, phi)
+        Tz = jnp.einsum("abn,iabn->iab", coef, dphi)
+        E = ex[:, :, None] * ey[:, None, :]
+        TE = T * E
+        pot = jnp.sum(TE, axis=(1, 2)).real.astype(dtype)
 
         kx = jnp.arange(-self.nmaxx, self.nmaxx + 1, dtype=dtype)
         ky = jnp.arange(-self.nmaxy, self.nmaxy + 1, dtype=dtype)
         tpi = 2.0 * math.pi
-        ax = jnp.imag(jnp.einsum("abn,a,ia,ib,iabn->i", coef,
-                                 (tpi * kx).astype(cd), ex, ey, phi))
-        ay = jnp.imag(jnp.einsum("abn,b,ia,ib,iabn->i", coef,
-                                 (tpi * ky).astype(cd), ex, ey, phi))
-        az = -jnp.real(jnp.einsum("abn,ia,ib,iabn->i", coef, ex, ey, dphi))
+        ax = jnp.imag(jnp.sum(TE * (tpi * kx).astype(cd)[None, :, None],
+                              axis=(1, 2)))
+        ay = jnp.imag(jnp.sum(TE * (tpi * ky).astype(cd)[None, None, :],
+                              axis=(1, 2)))
+        az = -jnp.real(jnp.sum(Tz * E, axis=(1, 2)))
         acc = jnp.stack([ax.astype(dtype), ay.astype(dtype),
                          az.astype(dtype)], axis=-1)
         return self._outside_continuation(coef, x, acc, pot)
