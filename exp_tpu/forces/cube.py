@@ -190,23 +190,27 @@ class Cube:
         ex, ey, ez = self._phases(xw, sign=+1.0)
         b = coef.astype(cd) * self.norm.astype(cd)      # a_k norm_k
 
-        # contract axes one at a time: (abc,ia->ibc), (ibc,ib->ic), (ic,ic->i)
-        def contract(tensor):
-            t1 = jnp.einsum("abc,ia->ibc", tensor, ex)
-            t2 = jnp.einsum("ibc,ib->ic", t1, ey)
-            return jnp.einsum("ic,ic->i", t2, ez)
-
         dtype = x.dtype
-        pot = contract(b).real.astype(dtype)
-
         kxv = jnp.arange(-self.nmaxx, self.nmaxx + 1, dtype=dtype)
         kyv = jnp.arange(-self.nmaxy, self.nmaxy + 1, dtype=dtype)
         kzv = jnp.arange(-self.nmaxz, self.nmaxz + 1, dtype=dtype)
         tpi = 2.0 * math.pi
+
+        # contract axes one at a time, applying each 2 pi k_c weight at
+        # axis c's OWN contraction stage so pot/ay/az share the big
+        # leading intermediates (pot, ay, az share t1; pot, az share t2)
+        # instead of re-running the full 3-stage chain four times
+        t1 = jnp.einsum("abc,ia->ibc", b, ex)
+        t1x = jnp.einsum("abc,a,ia->ibc", b, (tpi * kxv).astype(cd), ex)
+        t2 = jnp.einsum("ibc,ib->ic", t1, ey)
+        t2y = jnp.einsum("ibc,b,ib->ic", t1, (tpi * kyv).astype(cd), ey)
+        pot = jnp.einsum("ic,ic->i", t2, ez).real.astype(dtype)
         # acc_c = -Re[ i 2 pi k_c * sum ] = +Im[2 pi k_c * sum]
-        ax = jnp.imag(contract(b * (tpi * kxv[:, None, None]).astype(cd)))
-        ay = jnp.imag(contract(b * (tpi * kyv[None, :, None]).astype(cd)))
-        az = jnp.imag(contract(b * (tpi * kzv[None, None, :]).astype(cd)))
+        ax = jnp.imag(jnp.einsum("ibc,ib,ic->i",
+                                 t1x, ey, ez))
+        ay = jnp.imag(jnp.einsum("ic,ic->i", t2y, ez))
+        az = jnp.imag(jnp.einsum("ic,c,ic->i", t2,
+                                 (tpi * kzv).astype(cd), ez))
         acc = jnp.stack([ax, ay, az], axis=-1).astype(dtype)
         return acc, pot
 
