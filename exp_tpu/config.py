@@ -30,7 +30,25 @@ _GLOBAL_KEYS = {
     "restart", "nbalance", "dbthresh", "dtime_rel", "shiftlevl",
     "compute_dtype", "accum_dtype", "fpe", "maxMindt", "nrelevel",
     "fused_bigstep",
+    # reference Global keys honored by the runner (src/parse.cc:64-376)
+    "runtime", "restart_cmd", "nreport", "random_seed", "eqmotion",
+    "restart_as_new", "NICE", "rlimit", "use_cwd", "homedir",
+    "centerlevl",
 }
+
+#: reference Global keys accepted but meaningless on TPU (MPI/CUDA/pthread
+#: plumbing, debugger hooks): parse without error so genuine reference
+#: configs run unmodified, warn at VERBOSE>0 (src/parse.cc:64-376,
+#: global.H:29-200)
+_IGNORED_GLOBAL_KEYS = {
+    "nthrds", "cuda", "use_cuda", "ngpus", "cuda_prof", "ldlibdir",
+    "barrier_check", "barrier_debug", "barrier_extra", "barrier_label",
+    "barrier_light", "barrier_quiet", "barrier_verbose",
+    "mpi_wait", "main_wait", "debug_wait", "gdb_trace", "traceback",
+    "fpe_wait", "PFbufsz", "ratefile", "nbalance", "dbthresh",
+    "posnsync", "omp_report",
+}
+_GLOBAL_KEYS |= _IGNORED_GLOBAL_KEYS | {"fpe_trap", "fpe_trace"}
 
 _COMPONENT_KEYS = {"name", "parameters", "bodyfile", "force"}
 _FORCE_KEYS = {"id", "parameters"}
@@ -93,6 +111,37 @@ class GlobalConfig:
     #: particles request a timestep below the finest level, checkpoint and
     #: stop the run (reference max_mindt, global.cc:21, multistep.cc:296-341)
     maxMindt: float = 0.05
+    #: wall-clock budget in HOURS (<0 = off); the run checkpoints and stops
+    #: before exceeding it, then launches restart_cmd (chkTimer.cc:38-62)
+    runtime: float = -1.0
+    #: shell command launched after a wall-clock stop (expand.cc:564-570)
+    restart_cmd: str = ""
+    #: print a one-line progress report every nreport steps (global.H:56)
+    nreport: int = 0
+    #: seed for host-side stochastic machinery (scatterMFP, relaxation,
+    #: subsampling); reference seeds random_gen per rank (parse.cc:115-121)
+    random_seed: int = 11
+    #: false = freeze the phase space (no drift/kick; forces and outputs
+    #: still evaluated) — the reference's eqmotion toggle (incpos.cc:75,
+    #: incvel.cc:93)
+    eqmotion: bool = True
+    #: with infile: read the checkpoint bodies but start a NEW run at
+    #: t=0 with fresh outputs (reference ignore_info, parse.cc:243)
+    restart_as_new: bool = False
+    #: process niceness applied at startup (parse.cc:100)
+    NICE: int = 0
+    #: address-space rlimit in GB (0 = leave, <0 = unlimited;
+    #: expand.cc:132-142)
+    rlimit: int = 0
+    #: resolve outdir against the current working directory (parse.cc:123)
+    use_cwd: bool = False
+    #: explicit home directory prefix for outdir (parse.cc:231-234)
+    homedir: str = ""
+    #: multistep level whose substeps update tracked centers; <0 means
+    #: multistep/2 (ComponentContainer.cc:42-45).  exp_tpu recomputes COM
+    #: centers exactly at every substep, so this staleness knob is parsed
+    #: for config compatibility and has no effect.
+    centerlevl: int = -1
 
 
 
@@ -142,6 +191,13 @@ class RunConfig:
         _check_keys(graw, _GLOBAL_KEYS, "Global")
         gkw = {k: v for k, v in graw.items()
                if k in GlobalConfig.__dataclass_fields__}
+        # reference FPE flags map onto the unified `fpe` knob
+        # (expand.cc:315-317): trap -> scan-and-abort, trace -> debug-nans
+        if "fpe" not in gkw:
+            if graw.get("fpe_trace"):
+                gkw["fpe"] = "trace"
+            elif graw.get("fpe_trap"):
+                gkw["fpe"] = True
         # coerce scalars to the declared field types: YAML 1.1 parses
         # exponents without a sign ("1.0e30") as strings, and int-typed
         # fields may arrive as "100" from templated configs

@@ -408,11 +408,15 @@ def build_external(conf: dict, workdir=".", dtype=jnp.float32):
     return cls(**params)
 
 
-def build_operator(conf: dict, runtag="run", outdir="."):
+def build_operator(conf: dict, runtag="run", outdir=".", seed=None):
     """Factory for host-side operators (scatterMFP, generateRelaxation);
-    returns None if the id is not an operator."""
+    returns None if the id is not an operator.  `seed` (Global
+    random_seed, parse.cc:115-121) is the default RNG seed when the
+    operator's own parameters don't pin one."""
     cls = _OPERATORS.get(conf.get("id"))
     if cls is None:
         return None
-    return cls(runtag=runtag, outdir=outdir,
-               **dict(conf.get("parameters") or {}))
+    kw = dict(conf.get("parameters") or {})
+    if seed is not None and "seed" not in kw:
+        kw["seed"] = int(seed)
+    return cls(runtag=runtag, outdir=outdir, **kw)

@@ -310,7 +310,8 @@ def flatten_buckets(lb: LevelBuckets) -> ParticleSystem:
 def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     ms: int, mesh, accum_dtype=jnp.float32,
                     axis_name: str = "p", externals=(), feats=None,
-                    wrappers=(), extras_sig=((), ()), fuse_all=False):
+                    wrappers=(), extras_sig=((), ()), fuse_all=False,
+                    eqmotion: bool = True):
     """One compiled SUBSTEP (fine step `ms` of the hierarchy) — or, with
     fuse_all=True, the whole 2^M-substep BIG step chained into one jit.
 
@@ -353,15 +354,18 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
             t_sub = t0 + dt * mdrft
 
             # -- opening half-kick + full drift for active levels ---------
-            for n in names:
-                for l in range(mfirst, M + 1):
-                    b = state[n][l]
-                    DT = dt * mint[l]
-                    v_half = b.v + b.acc * (0.5 * DT)
-                    x_new = b.x + v_half * DT
-                    for wrp in wrappers:
-                        x_new = wrp.wrap(x_new)
-                    state[n][l] = replace(b, v=v_half, x=x_new)
+            # (skipped entirely when eqmotion is off: incpos.cc:75,
+            # incvel.cc:93 return early; field evaluation below still runs)
+            if eqmotion:
+                for n in names:
+                    for l in range(mfirst, M + 1):
+                        b = state[n][l]
+                        DT = dt * mint[l]
+                        v_half = b.v + b.acc * (0.5 * DT)
+                        x_new = b.x + v_half * DT
+                        for wrp in wrappers:
+                            x_new = wrp.wrap(x_new)
+                        state[n][l] = replace(b, v=v_half, x=x_new)
 
             # -- effective expansion centers (instantaneous COM or given) -
             ctr = _com_centers(state, feats, centers, axis_name)
@@ -423,7 +427,7 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     acc, pot = _accel_at(b.x, t_sub, couples[n], eff, tc,
                                          feats, coef_full, ctr, rots,
                                          state, externals, axis_name)
-                    v_new = b.v + acc * (0.5 * DT)
+                    v_new = b.v + acc * (0.5 * DT) if eqmotion else b.v
                     state[n][l] = replace(b, v=v_new, acc=acc, pot=pot)
 
         out_state = {n: tuple(bs) for n, bs in state.items()}
@@ -467,7 +471,8 @@ class MultistepRunner:
     def __init__(self, forces: dict, couples: dict, dtime: float, M: int,
                  mesh, accum_dtype=jnp.float32, dynparams=None,
                  shiftlevl: int = 0, externals=(), feats=None, wrappers=(),
-                 cap_headroom: int = 1, fused: bool = False):
+                 cap_headroom: int = 1, fused: bool = False,
+                 eqmotion: bool = True):
         self.externals = tuple(externals)
         self.forces = forces
         self.couples = couples
@@ -484,6 +489,8 @@ class MultistepRunner:
         #: chain all 2^M substeps into ONE jit (fewer dispatch round-trips
         #: per big step at the cost of a longer one-time compile)
         self.fused = bool(fused)
+        #: eqmotion: false freezes x/v (Global eqmotion, incpos.cc:75)
+        self.eqmotion = bool(eqmotion)
         self._fns = {}
         self._init_fns = {}
         self._assess_fns = {}
@@ -591,7 +598,7 @@ class MultistepRunner:
                     self.mesh, accum_dtype=self.accum_dtype,
                     externals=self.externals, feats=self.feats,
                     wrappers=self.wrappers, extras_sig=esig,
-                    fuse_all=True)
+                    fuse_all=True, eqmotion=self.eqmotion)
             return self._fns[key](st, regs, jnp.float32(t0), centers,
                                   rots, extras)
         for ms in range(Mstep):
@@ -603,7 +610,8 @@ class MultistepRunner:
                     self.forces, self.couples, self.dtime, self.M, ms,
                     self.mesh, accum_dtype=self.accum_dtype,
                     externals=self.externals, feats=self.feats,
-                    wrappers=self.wrappers, extras_sig=esig)
+                    wrappers=self.wrappers, extras_sig=esig,
+                    eqmotion=self.eqmotion)
             st, regs, coef, diag = self._fns[key](st, regs, jnp.float32(t0),
                                                   centers, rots, extras)
         return st, regs, coef, diag

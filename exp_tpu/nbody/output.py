@@ -194,9 +194,13 @@ class OutChkpt(Output):
                     g.create_dataset(k, data=a)
 
 
-def restore_checkpoint(sim, path=None):
+def restore_checkpoint(sim, path=None, as_new=False):
     """Restart from an OutChkpt file (the reference's `infile:` restart,
-    Component.H:202-204, Component.cc:3253)."""
+    Component.H:202-204, Component.cc:3253).
+
+    as_new: restore only the phase space, keep time/istep at zero and
+    start fresh outputs (Global restart_as_new / ignore_info,
+    parse.cc:243)."""
     import h5py
     from exp_tpu.nbody.particles import ParticleSystem
 
@@ -210,11 +214,12 @@ def restore_checkpoint(sim, path=None):
         d = read_psp(path)
         if isinstance(d, list):
             d = d[-1]
-        sim.time = float(d.time)
-        # PSP dumps carry no step counter; reconstruct it from the time so
-        # nint scheduling / nrelevel cadence match the HDF5-restart path
-        if sim.dt > 0:
-            sim.istep = int(round(sim.time / sim.dt))
+        if not as_new:
+            sim.time = float(d.time)
+            # PSP dumps carry no step counter; reconstruct it from the time
+            # so nint scheduling / nrelevel cadence match the HDF5 path
+            if sim.dt > 0:
+                sim.istep = int(round(sim.time / sim.dt))
         state = {}
         for c in d.components:
             if c.name not in sim.components:
@@ -229,8 +234,9 @@ def restore_checkpoint(sim, path=None):
         _reset_derived_state(sim)
         return sim
     with h5py.File(path, "r") as f:
-        sim.time = float(f.attrs["time"])
-        sim.istep = int(f.attrs["istep"])
+        if not as_new:
+            sim.time = float(f.attrs["time"])
+            sim.istep = int(f.attrs["istep"])
         state = {}
         for n in sim.components:
             g = f[n]

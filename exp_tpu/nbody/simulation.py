@@ -302,7 +302,15 @@ class Simulation:
         self.dt = float(g.dtime)
         self.nsteps = int(g.nsteps)
         self.runtag = g.runtag
-        self.outdir = os.path.join(workdir, g.outdir)
+        # outdir resolution: an explicit homedir prefixes relative outdirs
+        # (parse.cc:231-234); use_cwd roots them at the process cwd
+        # (parse.cc:123); default is the workdir
+        base = workdir
+        if getattr(g, "homedir", ""):
+            base = g.homedir
+        elif getattr(g, "use_cwd", False):
+            base = os.getcwd()
+        self.outdir = os.path.join(base, g.outdir)
         os.makedirs(self.outdir, exist_ok=True)
         self.time = 0.0
         self.istep = 0
@@ -476,7 +484,8 @@ class Simulation:
                     **(e.get("parameters") or {})))
                 continue
             op = build_operator(e, runtag=config.glob.runtag,
-                                outdir=self.outdir)
+                                outdir=self.outdir,
+                                seed=getattr(g, "random_seed", None))
             if op is not None:
                 self.operators.append(op)
             else:
@@ -485,8 +494,11 @@ class Simulation:
 
         # outputs; on an `infile:` restart the writers CONTINUE existing
         # files instead of truncating them (which would also destroy the
-        # old outputs before restore_checkpoint even runs)
-        self.is_restart = bool(config.glob.infile)
+        # old outputs before restore_checkpoint even runs).  restart_as_new
+        # reads the checkpoint bodies but starts a NEW run with fresh
+        # outputs (parse.cc:243 ignore_info)
+        self.is_restart = bool(config.glob.infile) and not bool(
+            getattr(config.glob, "restart_as_new", False))
         self.outputs = [self._make_output(o) for o in config.outputs]
         self._nint_gcd = 1
         nints = [o.nint for o in self.outputs if o.nint > 0]
@@ -508,8 +520,18 @@ class Simulation:
         # src/chkTimer.cc, expand.cc:236-257,430-437)
         self.stop_requested = False
         self.dump_requested = False
-        self.wall_limit = None          # seconds of wall clock budget
-        self.restart_cmd = None
+        # wall-clock budget: Global.runtime is in HOURS (chkTimer.cc:62);
+        # run.py --wall (seconds) overrides
+        self.wall_limit = (float(g.runtime) * 3600.0
+                           if getattr(g, "runtime", -1.0) > 0 else None)
+        self.restart_cmd = getattr(g, "restart_cmd", "") or None
+        #: progress report cadence in steps (reference nreport, global.H:56)
+        self.nreport = int(getattr(g, "nreport", 0))
+        #: eqmotion: false freezes the phase space — coefficients, forces
+        #: and outputs still run every step (incpos.cc:75, incvel.cc:93)
+        self.eqmotion = bool(getattr(g, "eqmotion", True))
+        #: host-side RNG seeded from Global.random_seed (parse.cc:115-121)
+        self.rng = np.random.default_rng(int(getattr(g, "random_seed", 11)))
         self._wall0 = time.time()
         # per-phase wall-clock timers (the reference's step timers printed
         # at VERBOSE>3, src/step.cc:28-29,347-374; here the jitted block is
@@ -546,7 +568,8 @@ class Simulation:
                 dynparams={"dynfracV": g.dynfracV, "dynfracA": g.dynfracA,
                            "dynfracP": g.dynfracP, "dynfracD": g.dynfracD},
                 shiftlevl=g.shiftlevl, feats=feats, wrappers=self.wrappers,
-                fused=g.fused_bigstep)
+                fused=g.fused_bigstep,
+                eqmotion=bool(getattr(g, "eqmotion", True)))
 
     # ------------------------------------------------------------------
     # jitted stepping
@@ -647,7 +670,9 @@ class Simulation:
                           rots=None):
         """One KDK step for all components (shard-local view); t_new is the
         (traced) time at the end of the step, used by external fields."""
-        dt = self.dt
+        # eqmotion: false freezes x/v (reference incpos.cc:75/incvel.cc:93
+        # return early) while the field evaluation below still runs
+        dt = self.dt if self.eqmotion else 0.0
         # half kick + drift
         new_x = {}
         v_half = {}
@@ -793,6 +818,7 @@ class Simulation:
                 self.istep += 1
                 self.time += self.dt
                 done += 1
+                self._nreport_line()
                 due = [o for o in self.outputs
                        if o.nint > 0 and self.istep % o.nint == 0]
                 if j == kk - 1:
@@ -836,6 +862,14 @@ class Simulation:
             self._check_bad_values()
             self._maybe_recompute_bases()
         return self._state
+
+    def _nreport_line(self):
+        """Progress report every nreport steps (reference nreport,
+        global.H:56: per-step counter print)."""
+        if self.nreport > 0 and self.istep % self.nreport == 0:
+            wall = time.time() - self._wall0
+            print(f"[exp_tpu] step {self.istep}  time {self.time:.6g}  "
+                  f"wall {wall:.1f}s", flush=True)
 
     def _maybe_recompute_bases(self, multistep=False):
         """Adaptive basis recomputation (Sphere::make_model* — Sphere.H:156,
@@ -994,6 +1028,7 @@ class Simulation:
             self._ms_state, self._ms_regs = st, regs
             self.istep += 1
             self.time += self.dt
+            self._nreport_line()
             if has_ej:
                 self._update_orient(multistep=True)
             self._update_hall(multistep=True)

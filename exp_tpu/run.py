@@ -42,9 +42,29 @@ def main(argv=None):
     from exp_tpu.nbody.output import restore_checkpoint
 
     sim = Simulation.from_file(args.config)
+    g = sim.config.glob
+    # process niceness / address-space limit (reference NICE + rlimit,
+    # parse.cc:100-102, expand.cc:132-142)
+    if getattr(g, "NICE", 0) > 0:
+        try:
+            os.nice(g.NICE)
+        except OSError as e:
+            print(f"[exp_tpu] NICE={g.NICE} failed: {e}")
+    if getattr(g, "rlimit", 0):
+        import resource
+
+        lim = (resource.RLIM_INFINITY if g.rlimit < 0
+               else int(g.rlimit) * 1024 ** 3)
+        try:
+            resource.setrlimit(resource.RLIMIT_AS, (lim, lim))
+        except (ValueError, OSError) as e:
+            print(f"[exp_tpu] rlimit={g.rlimit} failed: {e}")
     sim.config.dump(os.path.join(sim.outdir, f"config.{sim.runtag}.yml"))
-    sim.wall_limit = args.wall
-    sim.restart_cmd = args.restart_cmd
+    # CLI overrides take precedence over the Global runtime/restart_cmd keys
+    if args.wall is not None:
+        sim.wall_limit = args.wall
+    if args.restart_cmd is not None:
+        sim.restart_cmd = args.restart_cmd
     sim.install_signal_handlers()
 
     if sim.config.glob.infile:
@@ -58,8 +78,10 @@ def main(argv=None):
             raise FileNotFoundError(
                 f"infile restart checkpoint not found: {chk} — refusing "
                 f"to silently start a fresh run over the old outputs")
-        print(f"[exp_tpu] restoring from {chk}")
-        restore_checkpoint(sim, chk)
+        as_new = bool(getattr(g, "restart_as_new", False))
+        print(f"[exp_tpu] restoring from {chk}"
+              + (" (restart_as_new: t=0, fresh outputs)" if as_new else ""))
+        restore_checkpoint(sim, chk, as_new=as_new)
 
     t0 = time.time()
     sim.prime()

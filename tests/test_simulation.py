@@ -857,3 +857,104 @@ def test_orbtrace_stable_under_multistep(rundir):
     live = np.asarray(ps.mass) > 0
     assert sorted(ix[live].tolist()) == list(range(1, 3001))
     assert (ix[~live] == 0).all()
+
+
+def test_reference_global_keys(rundir):
+    """A Global stanza using the reference's full key vocabulary parses
+    and the honored keys reach the Simulation (parse.cc:64-376); the
+    MPI/CUDA/debug knobs are tolerated without error."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun",
+        "runtag: gkeys\n"
+        "  nthrds: 4\n  cuda: off\n  use_cuda: false\n  ngpus: 0\n"
+        "  barrier_check: true\n  barrier_quiet: true\n  mpi_wait: false\n"
+        "  fpe_trap: false\n  fpe_trace: false\n  traceback: true\n"
+        "  runtime: 0.5\n  restart_cmd: 'echo resub'\n  nreport: 5\n"
+        "  random_seed: 42\n  eqmotion: true\n  restart_as_new: false\n"
+        "  NICE: 0\n  rlimit: 0\n  use_cwd: false\n  centerlevl: 1")
+    (rundir / "config_gkeys.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_gkeys.yml"))
+    assert sim.wall_limit == pytest.approx(0.5 * 3600.0)   # hours -> s
+    assert sim.restart_cmd == "echo resub"
+    assert sim.nreport == 5
+    assert sim.eqmotion is True
+
+    # fpe_trap -> fpe=True mapping (expand.cc:315-317)
+    cfg = RunConfig.from_dict({
+        "Global": {"fpe_trap": True},
+        "Components": [{"name": "h", "bodyfile": "halo.bods",
+                        "force": {"id": "noforce"}}]})
+    assert cfg.glob.fpe is True
+
+
+def test_eqmotion_freeze(rundir, capsys):
+    """eqmotion: false freezes the phase space while forces and outputs
+    still run every step (incpos.cc:75, incvel.cc:93)."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: eqm\n  eqmotion: false\n  nreport: 2")
+    (rundir / "config_eqm.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(str(rundir / "config_eqm.yml"))
+    sim.prime()
+    x0 = np.asarray(sim._state["halo"].x).copy()
+    v0 = np.asarray(sim._state["halo"].v).copy()
+    sim.run(6)
+    assert sim.istep == 6 and sim.time == pytest.approx(6 * sim.dt)
+    np.testing.assert_array_equal(np.asarray(sim._state["halo"].x), x0)
+    np.testing.assert_array_equal(np.asarray(sim._state["halo"].v), v0)
+    # fields still evaluated: accelerations are finite and nonzero
+    acc = np.asarray(sim._state["halo"].acc)
+    assert np.isfinite(acc).all() and np.abs(acc).max() > 0
+    # nreport progress lines printed at the requested cadence
+    out = capsys.readouterr().out
+    assert "step 2" in out and "step 4" in out and "step 6" in out
+
+
+def test_eqmotion_freeze_multistep(rundir):
+    """eqmotion: false under the multistep hierarchy: buckets keep their
+    phase space bit-exact across a big step."""
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun", "runtag: eqmms\n  eqmotion: false\n  multistep: 2")
+    (rundir / "config_eqmms.yml").write_text(txt)
+    from exp_tpu.nbody.simulation import Simulation
+    from exp_tpu.nbody.multistep import flatten_buckets, LevelBuckets
+
+    sim = Simulation.from_file(str(rundir / "config_eqmms.yml"))
+    sim.run(1)
+    ps = flatten_buckets(LevelBuckets(list(sim._ms_state["halo"]), None))
+    ix = np.argsort(np.asarray(ps.indx))
+    x = np.asarray(ps.x)[ix]
+    sim.run(2)
+    ps2 = flatten_buckets(LevelBuckets(list(sim._ms_state["halo"]), None))
+    ix2 = np.argsort(np.asarray(ps2.indx))
+    np.testing.assert_array_equal(np.asarray(ps2.x)[ix2], x)
+
+
+def test_restart_as_new(rundir):
+    """restart_as_new: the checkpoint bodies seed a NEW run — time and
+    step reset to zero and output files start fresh (parse.cc:243)."""
+    from exp_tpu.nbody.simulation import Simulation
+    from exp_tpu.nbody.output import restore_checkpoint
+
+    # ensure a checkpoint exists at step 10
+    sim = Simulation.from_file(str(rundir / "config.yml"))
+    sim.prime()
+    sim.run(10)
+    x10 = np.asarray(sim._state["halo"].x)
+
+    txt = (rundir / "config.yml").read_text().replace(
+        "runtag: trun",
+        "runtag: asnew\n  infile: OUT.trun.chkpt\n  restart_as_new: true")
+    (rundir / "config_asnew.yml").write_text(txt)
+    sim2 = Simulation.from_file(str(rundir / "config_asnew.yml"))
+    assert sim2.is_restart is False          # fresh outputs
+    restore_checkpoint(sim2, str(rundir / "OUT.trun.chkpt"), as_new=True)
+    assert sim2.istep == 0 and sim2.time == 0.0
+    np.testing.assert_allclose(np.asarray(sim2._state["halo"].x), x10,
+                               rtol=1e-12)
+    sim2.prime()
+    sim2.run(2)
+    assert sim2.istep == 2
