@@ -23,16 +23,53 @@ CACHE_DIR = os.environ.get("BENCH_CACHE",
                                os.path.abspath(__file__)), ".bench_cache"))
 
 
+class CompileMeter:
+    """Counts XLA backend compiles (and their seconds) inside a region.
+
+    Surfaces recompile churn in the bench JSON: a steady-state timing
+    region must report ncompiles == 0 or its numbers are compile time,
+    not compute (the BENCH_r02 composite failure mode).
+    """
+
+    EVENT = "/jax/core/compile/backend_compile_duration"
+
+    def __init__(self):
+        self.count = 0
+        self.seconds = 0.0
+
+    def _listener(self, name, secs, **kw):
+        if name == self.EVENT:
+            self.count += 1
+            self.seconds += secs
+
+    def __enter__(self):
+        import jax.monitoring as monitoring
+
+        monitoring.register_event_duration_secs_listener(self._listener)
+        return self
+
+    def __exit__(self, *exc):
+        import jax.monitoring as monitoring
+
+        monitoring.unregister_event_duration_listener(self._listener)
+        return False
+
+
 def _timeit(step, state, reps, sync):
-    """Steady-state timing: one warmup call + `reps` timed calls."""
+    """Steady-state timing: one warmup call + `reps` timed calls.
+
+    Returns (sec_per_rep, ncompiles, compile_sec) — the compile counters
+    cover the TIMED region only and should be zero."""
     out = step(state)
     sync(out)
-    t0 = time.perf_counter()
-    cur = state
-    for _ in range(reps):
-        cur = step(cur)
-    sync(cur)
-    return (time.perf_counter() - t0) / reps
+    with CompileMeter() as cm:
+        t0 = time.perf_counter()
+        cur = state
+        for _ in range(reps):
+            cur = step(cur)
+        sync(cur)
+        sec = (time.perf_counter() - t0) / reps
+    return sec, cm.count, cm.seconds
 
 
 def sphere_tables(lmax=4, nmax=10):
@@ -90,11 +127,12 @@ def bench_sphere(n=1_048_576, reps=20, lmax=4, nmax=10):
     ps = ParticleSystem.from_arrays(x, v, mass, dtype=jnp.float32)
     ps, _, _ = init_force_state(force, ps)
     step = make_kdk_step(force, dt)
-    sec = _timeit(lambda s: step(s)[0], ps, reps,
-                  lambda s: jax.block_until_ready(s.x))
+    sec, ncomp, csec = _timeit(lambda s: step(s)[0], ps, reps,
+                               lambda s: jax.block_until_ready(s.x))
     return {"metric": "sphere_particle_steps_per_sec", "value": n / sec,
             "unit": "1/s", "step_ms": sec * 1e3, "n_particles": n,
-            "lmax": lmax, "nmax": nmax}
+            "lmax": lmax, "nmax": nmax,
+            "ncompiles": ncomp, "compile_sec": round(csec, 2)}
 
 
 def bench_disk(n=1_048_576, reps=10, mmax=6, nmax=18):
@@ -125,32 +163,61 @@ def bench_disk(n=1_048_576, reps=10, mmax=6, nmax=18):
     ps = ParticleSystem.from_arrays(x, v, mass, dtype=jnp.float32)
     ps, _, _ = init_force_state(force, ps)
     step = make_kdk_step(force, dt)
-    sec = _timeit(lambda s: step(s)[0], ps, reps,
-                  lambda s: jax.block_until_ready(s.x))
+    sec, ncomp, csec = _timeit(lambda s: step(s)[0], ps, reps,
+                               lambda s: jax.block_until_ready(s.x))
     return {"metric": "disk_particle_steps_per_sec", "value": n / sec,
             "unit": "1/s", "step_ms": sec * 1e3, "n_particles": n,
-            "mmax": mmax, "nmax": nmax}
+            "mmax": mmax, "nmax": nmax,
+            "ncompiles": ncomp, "compile_sec": round(csec, 2)}
 
 
-def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2):
+def composite_ics(halo_force, disk_force, n_halo, n_disk, seed=3):
+    """Self-consistent disk+halo ICs for the composite bench, disk-cached.
+
+    ic/diskhalo.py equilibrium construction (halo DF in the combined
+    potential, disk Jeans moments from the measured expansions): level
+    populations are stationary, so the multistep capacity signature is
+    too — the property that makes a steady-state timing reachable."""
+    from exp_tpu.ic.diskhalo import diskhalo_ics
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR,
+                        f"composite_ics_h{n_halo}_d{n_disk}_s{seed}_v1.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return {k: z[k] for k in ("xh", "vh", "mh", "xd", "vd", "md")}
+    from exp_tpu.basis.model import hernquist_model
+
+    m = hernquist_model(rmin=1e-3, rmax=20.0)
+    ics = diskhalo_ics(m, n_halo=n_halo, n_disk=n_disk, Mdisk=0.05,
+                       acyl=0.01, hcyl=0.002, halo_force=halo_force,
+                       disk_force=disk_force, seed=seed)
+    out = {"xh": ics.x_halo, "vh": ics.v_halo,
+           "mh": np.maximum(ics.m_halo, 0.0),
+           "xd": ics.x_disk, "vd": ics.v_disk, "md": ics.m_disk}
+    np.savez(path, **{k: v.astype(np.float32) for k, v in out.items()})
+    return out
+
+
+def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2,
+                    max_warmup=8):
     """Config #3: disk+halo composite with multistep bins.
 
     Reports per-BIG-step time (= 2^M substeps) and aggregate
-    particle-substeps/s, the multistep figure of merit."""
+    particle-substeps/s, the multistep figure of merit.  Warmup runs
+    bigstep+relevel until the bucket-capacity signature is unchanged for
+    2 consecutive relevels (every growth recompiles all 2^M substep
+    graphs — the BENCH_r02 failure), then the timed region is entered
+    with a compile meter that must read zero."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh
     from exp_tpu.basis.empcyl import build_empcyl_tables
-    from exp_tpu.basis.model import hernquist_model
-    from exp_tpu.basis.slgrid import build_sph_sl_tables
     from exp_tpu.forces.cylinder import CylinderForce
     from exp_tpu.forces.spherical import SphereSL
-    from exp_tpu.ic.disk import sample_exponential_disk, disk_velocities
-    from exp_tpu.ic.eddington import sample_spherical_model
     from exp_tpu.nbody.particles import ParticleSystem
     from exp_tpu.nbody.multistep import MultistepRunner
 
-    m = hernquist_model(rmin=1e-3, rmax=20.0)
     ts = sphere_tables(lmax=4, nmax=10)
     halo = SphereSL.from_tables(ts, dtype=jnp.float32, backend="pallas")
     os.makedirs(CACHE_DIR, exist_ok=True)
@@ -163,12 +230,7 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2):
         tc, dtype=jnp.float32,
         backend=os.environ.get("BENCH_CYL_BACKEND", "pallas"))
 
-    xh, vh, mh = sample_spherical_model(m, n_halo, seed=3)
-    xd, md = sample_exponential_disk(n_disk, acyl=0.01, hcyl=0.002,
-                                     mass=0.05, seed=4)
-    vd = disk_velocities(xd, lambda R: np.sqrt((0.05 + 1.0) * R * R
-                                               / (R * R + 0.01 ** 2) ** 1.5),
-                         acyl=0.01)
+    ic = composite_ics(halo, disk, n_halo, n_disk)
 
     mesh = Mesh(np.array(jax.devices()[:1]), ("p",))
     forces = {"halo": halo, "disk": disk}
@@ -178,20 +240,38 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2):
                              cap_headroom=2,
                              fused=os.environ.get("BENCH_FUSED", "0") == "1")
     flat = {
-        "halo": ParticleSystem.from_arrays(xh, vh, mh, dtype=jnp.float32),
-        "disk": ParticleSystem.from_arrays(xd, vd, md, dtype=jnp.float32),
+        "halo": ParticleSystem.from_arrays(ic["xh"], ic["vh"], ic["mh"],
+                                           dtype=jnp.float32),
+        "disk": ParticleSystem.from_arrays(ic["xd"], ic["vd"], ic["md"],
+                                           dtype=jnp.float32),
     }
+    t_w = time.perf_counter()
     st, regs, coef, diag = runner.init_state(flat)
-    st, regs, coef, diag = runner.bigstep(st, regs)     # compile all substeps
-    st, regs = runner.relevel(st, regs)
-    st, regs, coef, diag = runner.bigstep(st, regs)     # possible recompiles
-    jax.block_until_ready(st["halo"][0].x)
-    t0 = time.perf_counter()
-    for _ in range(nbig):
-        st, regs, coef, diag = runner.bigstep(st, regs)
-        st, regs = runner.relevel(st, regs)
-    jax.block_until_ready(st["halo"][0].x)
-    sec = (time.perf_counter() - t0) / nbig
+    # warm up to the steady capacity signature: stop once it is stable
+    # for 2 consecutive relevels (src/step.cc:347-374's steady-state
+    # timing discipline) AND an iteration ran compile-free, bounded by
+    # max_warmup bigsteps
+    sig = runner._caps_sig(st)
+    stable, warmup_bigsteps, last_compiles = 0, 0, 1
+    while (stable < 2 or last_compiles > 0) and warmup_bigsteps < max_warmup:
+        with CompileMeter() as wm:
+            st, regs, coef, diag = runner.bigstep(st, regs)
+            st, regs = runner.relevel(st, regs)
+            jax.block_until_ready(st["halo"][0].x)
+        last_compiles = wm.count
+        warmup_bigsteps += 1
+        s2 = runner._caps_sig(st)
+        stable = stable + 1 if s2 == sig else 0
+        sig = s2
+    warmup_sec = time.perf_counter() - t_w
+
+    with CompileMeter() as cm:
+        t0 = time.perf_counter()
+        for _ in range(nbig):
+            st, regs, coef, diag = runner.bigstep(st, regs)
+            st, regs = runner.relevel(st, regs)
+        jax.block_until_ready(st["halo"][0].x)
+        sec = (time.perf_counter() - t0) / nbig
     # particle-substeps per big step: level-l particles take 2^l substeps
     counts = runner.level_counts(st)
     subs = sum(c * 2 ** l for comp in counts.values()
@@ -199,7 +279,11 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2):
     return {"metric": "composite_particle_substeps_per_sec",
             "value": subs / sec, "unit": "1/s", "step_ms": sec * 1e3,
             "n_particles": n_halo + n_disk, "multistep": M,
-            "level_counts": counts}
+            "level_counts": counts,
+            "warmup_bigsteps": warmup_bigsteps,
+            "warmup_stable": stable >= 2 and last_compiles == 0,
+            "warmup_sec": round(warmup_sec, 2),
+            "ncompiles": cm.count, "compile_sec": round(cm.seconds, 2)}
 
 
 def bench_cube(n=4_194_304, reps=10, nmax=6):
@@ -218,11 +302,11 @@ def bench_cube(n=4_194_304, reps=10, nmax=6):
     ps = ParticleSystem.from_arrays(x, v, mass, dtype=jnp.float32)
     ps, _, _ = init_force_state(force, ps)
     step = make_kdk_step(force, dt)
-    sec = _timeit(lambda s: step(s)[0], ps, reps,
-                  lambda s: jax.block_until_ready(s.x))
+    sec, ncomp, csec = _timeit(lambda s: step(s)[0], ps, reps,
+                               lambda s: jax.block_until_ready(s.x))
     return {"metric": "cube_particle_steps_per_sec", "value": n / sec,
             "unit": "1/s", "step_ms": sec * 1e3, "n_particles": n,
-            "nmax": nmax}
+            "nmax": nmax, "ncompiles": ncomp, "compile_sec": round(csec, 2)}
 
 
 def bench_pyexp(n=262_144, ntimes=32):
@@ -241,16 +325,17 @@ def bench_pyexp(n=262_144, ntimes=32):
 
     proj = jax.jit(lambda xx: force.coefficients(xx, mj))
     jax.block_until_ready(proj(xj))                    # compile
-    t0 = time.perf_counter()
-    series = []
-    for k in range(ntimes):
-        # rigid rotation emulates an evolving snapshot stream
-        ang = 0.05 * k
-        R = jnp.asarray([[np.cos(ang), -np.sin(ang), 0],
-                         [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
-                        jnp.float32)
-        series.append(np.asarray(proj(xj @ R.T)))
-    t_coef = time.perf_counter() - t0
+    with CompileMeter() as cm:
+        t0 = time.perf_counter()
+        series = []
+        for k in range(ntimes):
+            # rigid rotation emulates an evolving snapshot stream
+            ang = 0.05 * k
+            R = jnp.asarray([[np.cos(ang), -np.sin(ang), 0],
+                             [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+                            jnp.float32)
+            series.append(np.asarray(proj(xj @ R.T)))
+        t_coef = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     mssa = expMSSA({"halo": np.stack(series)}, window=ntimes // 2, numpc=8)
@@ -266,6 +351,7 @@ def bench_pyexp(n=262_144, ntimes=32):
             "unit": "1/s", "step_ms": t_coef / ntimes * 1e3,
             "n_particles": n, "ntimes": ntimes,
             "analysis_sec": t_analysis,
+            "ncompiles": cm.count, "compile_sec": round(cm.seconds, 2),
             "mssa_top_ev": float(np.asarray(ev)[0])}
 
 

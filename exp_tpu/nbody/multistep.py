@@ -691,9 +691,15 @@ class MultistepRunner:
                 for l in range(M + 1):
                     cap = caps[n][l]
                     valid = jnp.arange(cap) < counts[l]
+                    # dtype-matched zero: a bare 0.0 promotes the i32
+                    # indx column to weak f32, which (a) flips the
+                    # substep jit signature every relevel (re-tracing
+                    # all 2^M graphs each big step) and (b) corrupts
+                    # particle identities above 2^24 at 10M+ particles
                     G = [jnp.where(valid,
                                    jax.lax.dynamic_slice_in_dim(
-                                       c, starts[l], cap), 0.0)
+                                       c, starts[l], cap),
+                                   jnp.zeros((), c.dtype))
                          for c in scols]
                     bs.append(ParticleSystem(
                         x=jnp.stack(G[0:3], axis=1),

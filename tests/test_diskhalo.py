@@ -157,6 +157,10 @@ def test_composite_level_stability(bases, ics):
         st, regs, _, _ = runner.bigstep(st, regs)
         st, regs = runner.relevel(st, regs)
     assert runner._caps_sig(st) == sig        # no bucket growth
+    # indx must stay i32 through the device rebucket (a weak-f32
+    # promotion re-traced every substep graph each big step and
+    # corrupts identities above 2^24)
+    assert st["halo"][0].indx.dtype == jnp.int32
     last = runner.level_counts(st)
     for comp in ("halo", "disk"):
         a = np.array(first[comp], float)
