@@ -211,9 +211,9 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2,
     with a compile meter that must read zero."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import Mesh
     from exp_tpu.basis.empcyl import build_empcyl_tables
     from exp_tpu.forces.cylinder import CylinderForce
+    from exp_tpu.parallel import particle_mesh
     from exp_tpu.forces.spherical import SphereSL
     from exp_tpu.nbody.particles import ParticleSystem
     from exp_tpu.nbody.multistep import MultistepRunner
@@ -232,7 +232,7 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2,
 
     ic = composite_ics(halo, disk, n_halo, n_disk)
 
-    mesh = Mesh(np.array(jax.devices()[:1]), ("p",))
+    mesh = particle_mesh(1)
     forces = {"halo": halo, "disk": disk}
     couples = {"halo": ["halo", "disk"], "disk": ["halo", "disk"]}
     runner = MultistepRunner(forces, couples, 2e-3, M, mesh,

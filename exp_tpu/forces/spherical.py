@@ -133,6 +133,15 @@ class SphereSL:
     #: measured mix (poly coefficient pass at lmax <= 6, recurrence
     #: force pass; see _harmonics_eff)
     pallas_harmonics: str = "auto"
+    #: default radial-derivative mode for the XLA acceleration paths
+    #: (SLGridSph.get_pot_dpot): 'stencil3' (3-point stencil — smoother,
+    #: the production default) or 'lerp' (hat-difference — the
+    #: reference's exact scheme, SLGridMP2.cc:767-1100; use for
+    #: bit-parity runs against reference trajectories: the f64 drift
+    #: gate holds 1e-15 over 1000 steps with it, scripts/
+    #: drift_gate_f64.py).  The pallas backend tabulates d(pot)/dxi
+    #: directly and ignores this.
+    deriv: str = "stencil3"
 
     @classmethod
     def from_tables(cls, t: SphSLTables, scale: float = 1.0,
@@ -141,7 +150,8 @@ class SphereSL:
                     pallas_precision: str = "mixed",
                     pallas_interp: str = "spline",
                     numr_cs: int = 256,
-                    pallas_harmonics: str = "auto") -> "SphereSL":
+                    pallas_harmonics: str = "auto",
+                    deriv: str = "stencil3") -> "SphereSL":
         grid = SLGridSph.from_tables(t, dtype=dtype)
         # resample the (numr, L+1, nmax) table onto a coarse uniform xi grid
         import numpy as np
@@ -161,25 +171,25 @@ class SphereSL:
                    tabc_s=tabc_s, tabd_s=tabd_s,
                    numr_cs=ncs, pallas_precision=pallas_precision,
                    pallas_interp=pallas_interp,
-                   pallas_harmonics=pallas_harmonics)
+                   pallas_harmonics=pallas_harmonics, deriv=deriv)
 
     def tree_flatten(self):
         return (self.grid, self.fac, self.tabc, self.tabc_s, self.tabd_s), (
             self.lmax, self.nmax, self.scale, self.backend, self.numr_c,
             self.chunk, self.numr_cs, self.pallas_precision,
-            self.pallas_interp, self.pallas_harmonics)
+            self.pallas_interp, self.pallas_harmonics, self.deriv)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         grid, fac, tabc, tabc_s, tabd_s = children
         (lmax, nmax, scale, backend, numr_c, chunk, numr_cs,
-         pallas_precision, pallas_interp, pallas_harmonics) = aux
+         pallas_precision, pallas_interp, pallas_harmonics, deriv) = aux
         return cls(grid=grid, fac=fac, tabc=tabc, tabc_s=tabc_s,
                    tabd_s=tabd_s, lmax=lmax, nmax=nmax, scale=scale,
                    backend=backend, numr_c=numr_c, chunk=chunk,
                    numr_cs=numr_cs, pallas_precision=pallas_precision,
                    pallas_interp=pallas_interp,
-                   pallas_harmonics=pallas_harmonics)
+                   pallas_harmonics=pallas_harmonics, deriv=deriv)
 
     @property
     def _interp_eff(self):
@@ -388,16 +398,18 @@ class SphereSL:
     # ------------------------------------------------------------------
 
     def acceleration(self, coef: jax.Array, x: jax.Array,
-                     deriv: str = "stencil3"):
+                     deriv: str | None = None):
         """Acceleration and potential from coefficients.
 
         Args:
           coef: (2, lmax+1, lmax+1, nmax).
           x: positions (N, 3).
-          deriv: radial-derivative mode, see SLGridSph.get_pot_dpot.
+          deriv: radial-derivative mode, see SLGridSph.get_pot_dpot;
+            None uses the force's configured `self.deriv`.
 
         Returns (acc (N, 3), pot (N,)).
         """
+        deriv = deriv if deriv is not None else self.deriv
         coef = coef.astype(x.dtype)
         n = x.shape[0]
         ch = self.chunk

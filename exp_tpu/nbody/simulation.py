@@ -331,10 +331,9 @@ class Simulation:
 
         # device mesh over the particle axis
         if mesh is None:
-            devs = jax.devices()
-            from jax.sharding import Mesh
+            from exp_tpu.parallel import particle_mesh
 
-            mesh = Mesh(np.array(devs), ("p",))
+            mesh = particle_mesh()
         self.mesh = mesh
         self.n_shards = mesh.devices.size
 

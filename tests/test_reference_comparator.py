@@ -48,22 +48,24 @@ def test_single_step_equations_match(problem):
 
 
 def test_coefficient_trajectory_drift(problem):
-    """KDK integration in both implementations from identical ICs.
+    """KDK integration in both implementations from identical ICs,
+    with the force in its reference-parity mode (deriv='lerp' — the
+    hat-difference radial derivative the reference itself uses,
+    SLGridMP2.cc:767-1100).
 
-    Gates:
-      * <1e-6 relative coefficient drift over the first 25 steps (the
-        BASELINE gate, applied on the horizon where it is meaningful);
-      * <1e-4 over 300 steps — beyond ~25 steps the deep-interior particles
-        (orbital times ~40x shorter than dt resolves comfortably) amplify
-        the 1e-12 fp reduction-order noise chaotically; measured growth
-        saturates at ~5e-6, the same magnitude a reference-EXP-vs-itself
-        comparison across different MPI rank counts would show (summation
-        order changes).  The 1e-12 single-step gate above pins the
-        equations themselves.
+    Gates (from scripts/drift_gate_f64.py, which runs the full
+    1000-step horizon: parity mode holds 7e-12 there):
+      * <1e-6 relative coefficient drift at 25 steps (BASELINE gate);
+      * <1e-9 over 300 steps.
+    The production-default deriv='stencil3' (smoother 3-point stencil)
+    is a deliberately different scheme and drifts to ~1e-5 over the
+    same horizon — scheme difference, not error; the 1e-12 single-step
+    gate above pins the shared equations.
     """
     t, x, v, mass = problem
     dt, nsteps = 0.005, 300
-    force = SphereSL.from_tables(t, dtype=jnp.float64, backend="gather")
+    force = SphereSL.from_tables(t, dtype=jnp.float64, backend="gather",
+                                 deriv="lerp")
     ref = ReferenceSphereStep(t)
 
     traj_ref, (x_ref, v_ref) = ref.run(x, v, mass, dt, nsteps,
@@ -87,4 +89,4 @@ def test_coefficient_trajectory_drift(problem):
              for k, c_ref in traj_ref}
     assert drift[25] < 1e-6, f"25-step drift {drift[25]:.3e} exceeds 1e-6"
     worst = max(drift.values())
-    assert worst < 1e-4, f"300-step drift {worst:.3e} exceeds 1e-4"
+    assert worst < 1e-9, f"300-step drift {worst:.3e} exceeds 1e-9"
