@@ -17,6 +17,12 @@ def main(argv=None):
     ap.add_argument("--rmax", type=float, default=20.0)
     ap.add_argument("--ra", type=float, default=None,
                     help="Osipkov-Merritt anisotropy radius")
+    ap.add_argument("--qp", action="store_true",
+                    help="quadratic-programming DF inversion (QPDistF: "
+                         "nonnegative Gaussian-kernel fit on the (E, K) "
+                         "plane) instead of the Eddington integral")
+    ap.add_argument("--qp-lambda", type=float, default=0.0,
+                    help="QP anisotropy penalty LAMBDA")
     ap.add_argument("--adddisk", default=None, metavar="MASS,ACYL",
                     help="embed an exponential disk: the halo DF responds "
                          "to the disk mass (AddDisk / DiskHalo path)")
@@ -44,8 +50,18 @@ def main(argv=None):
         other = load_model(a.addsphere, rmin=a.rmin, rmax=a.rmax)
         model = add_sphere_to_model(model, other)
         tracer_only = True
-    x, v, m = sample_spherical_model(model, a.number, seed=a.seed,
-                                     ra=a.ra, tracer_only=tracer_only)
+    if a.qp:
+        if tracer_only:
+            ap.error("--qp does not support --adddisk/--addsphere "
+                     "composite tracers (the QP fit constrains the "
+                     "model's own density)")
+        from exp_tpu.ic.qpdistf import sample_qp_model
+
+        x, v, m = sample_qp_model(model, a.number, seed=a.seed,
+                                  lam=a.qp_lambda)
+    else:
+        x, v, m = sample_spherical_model(model, a.number, seed=a.seed,
+                                         ra=a.ra, tracer_only=tracer_only)
     write_ascii_bodies(a.output, (x, v, m))
     print(f"gensph: wrote {a.number} bodies to {a.output} "
           f"(M={m.sum():.6g})")
