@@ -235,10 +235,13 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2,
     mesh = particle_mesh(1)
     forces = {"halo": halo, "disk": disk}
     couples = {"halo": ["halo", "disk"], "disk": ["halo", "disk"]}
+    # fused default: one jit of all 2^M substeps per bigstep — measured
+    # 108.9 ms/bigstep vs 116-161 ms unfused through the remote runtime
+    # (5 dispatch round-trips collapse to 2)
     runner = MultistepRunner(forces, couples, 2e-3, M, mesh,
                              dynparams={"dynfracV": 0.01, "dynfracA": 0.03},
                              cap_headroom=2,
-                             fused=os.environ.get("BENCH_FUSED", "0") == "1")
+                             fused=os.environ.get("BENCH_FUSED", "1") == "1")
     flat = {
         "halo": ParticleSystem.from_arrays(ic["xh"], ic["vh"], ic["mh"],
                                            dtype=jnp.float32),

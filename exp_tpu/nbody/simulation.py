@@ -200,7 +200,21 @@ def build_force(fc, dtype, workdir=".", particles=None):
     elif fc.id == "direct":
         from exp_tpu.forces.direct import DirectForce
 
-        return DirectForce(eps=float(p.pop("soft", p.pop("eps", 1e-4))))
+        # reference defaults to the SplineSoft kernel when `type` is
+        # absent (src/Direct.cc:88-93)
+        kernel = str(p.pop("type", "Spline")).lower()
+        kw = dict(eps=float(p.pop("soft", p.pop("eps", 1e-4))),
+                  kernel="spline" if kernel.startswith("spline")
+                  else "plummer",
+                  mn_model=bool(p.pop("mn_model", False)),
+                  a=float(p.pop("a", 1.0)), b=float(p.pop("b", 0.1)))
+        if p.pop("pm_model", False):
+            from exp_tpu.basis.model import SphericalModelTable
+
+            model = SphericalModelTable.from_file(
+                str(p.pop("pmmodel_file", "SLGridSph.model")))
+            return DirectForce.with_pm_model(model, **kw)
+        return DirectForce(**kw)
     elif fc.id == "shells":
         from exp_tpu.forces.shells import ShellsForce
 

@@ -372,3 +372,91 @@ Output:
     d = sim._diag["halo"]
     ratio = -2.0 * float(np.asarray(d["KE"])) / float(np.asarray(d["VC"]))
     assert abs(ratio - 1.0) < 0.12
+
+
+def test_direct_spline_kernel():
+    """SplineSoft (GravKernel.cc:14-31): exact point-mass field outside
+    r = eps (compact support — Plummer never reaches exact), smooth and
+    finite inside, enclosed-mass monotone."""
+    eps = 0.5
+    fs = DirectForce(eps=eps, kernel="spline")
+    src = jnp.zeros((1, 3))
+    msrc = jnp.ones(1)
+    coef = fs.coefficients(src, msrc)
+    # outside the kernel: exact -1/r and -1/r^2
+    pts = jnp.asarray([[0.6, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    acc, pot = fs.acceleration(coef, pts)
+    np.testing.assert_allclose(np.asarray(pot), [-1 / 0.6, -1 / 2.0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc)[:, 0],
+                               [-1 / 0.36, -1 / 4.0], rtol=1e-6)
+    # inside: finite, attractive, weaker than the point mass
+    pts_in = jnp.asarray([[0.1, 0, 0], [0.3, 0, 0], [0.45, 0, 0]])
+    acc_i, pot_i = fs.acceleration(coef, pts_in)
+    a = -np.asarray(acc_i)[:, 0]
+    assert (a > 0).all() and (a < 1.0 / np.asarray([.1, .3, .45])**2).all()
+    assert np.all(np.diff(-np.asarray(pot_i)) < 0)  # |pot| decreasing
+    # potential continuous at the kernel edge
+    p_edge = fs.acceleration(coef, jnp.asarray([[0.4999, 0, 0],
+                                                [0.5001, 0, 0]]))[1]
+    assert abs(float(p_edge[0] - p_edge[1])) < 1e-3
+
+
+def test_direct_mn_sources():
+    """mn_model: each source is a Miyamoto-Nagai disk
+    (Direct.cc:264-300) — compare to the analytic MN field."""
+    a, b = 0.8, 0.2
+    f = DirectForce(mn_model=True, a=a, b=b)
+    src = jnp.asarray([[0.2, -0.1, 0.05]])
+    msrc = jnp.asarray([2.0])
+    coef = f.coefficients(src, msrc)
+    pts = jnp.asarray([[1.5, 0.7, 0.4]])
+    acc, pot = f.acceleration(coef, pts)
+    xx = np.asarray(pts[0] - src[0], float)
+    R = np.hypot(xx[0], xx[1])
+    zb = np.sqrt(xx[2]**2 + b*b)
+    dn = np.sqrt(R*R + (a + zb)**2)
+    assert float(pot[0]) == pytest.approx(-2.0 / dn, rel=1e-6)
+    fr = -2.0 * R / dn**3
+    fz = -2.0 * xx[2] * (a + zb) / (zb * dn**3)
+    np.testing.assert_allclose(
+        np.asarray(acc[0]), [fr * xx[0] / R, fr * xx[1] / R, fz],
+        rtol=1e-5)
+
+
+def test_direct_pm_model():
+    """pm_model: normalized extended profile replaces the kernel inside
+    its rmax (Direct.cc:310-318) — force follows M(<r)/M(rmax)."""
+    from exp_tpu.basis.model import plummer_model
+
+    mod = plummer_model(a=0.5, M=1.0, rmin=1e-3, rmax=5.0)
+    f = DirectForce.with_pm_model(mod, eps=1e-6, kernel="plummer")
+    src = jnp.zeros((1, 3))
+    msrc = jnp.asarray([3.0])
+    coef = f.coefficients(src, msrc)
+    Mmax = float(mod.mass[-1])
+    for r in (0.3, 1.0, 3.0):
+        acc, pot = f.acceleration(coef, jnp.asarray([[r, 0.0, 0.0]]))
+        want = -3.0 * float(mod.get_mass(r)) / Mmax / r**2
+        assert float(acc[0, 0]) == pytest.approx(want, rel=1e-3)
+    # beyond rmax: plain point mass
+    acc, pot = f.acceleration(coef, jnp.asarray([[8.0, 0.0, 0.0]]))
+    assert float(acc[0, 0]) == pytest.approx(-3.0 / 64.0, rel=1e-4)
+
+
+def test_direct_yaml_kernel_options():
+    """YAML factory maps the reference's Direct keys (type/soft/
+    mn_model/a/b); default kernel is Spline like src/Direct.cc:88-93."""
+    from exp_tpu.nbody.simulation import build_force
+    from exp_tpu.config import ForceConfig
+
+    f = build_force(ForceConfig(id="direct", parameters={}), jnp.float32)
+    assert f.kernel == "spline"
+    f2 = build_force(ForceConfig(id="direct",
+                                 parameters={"type": "Plummer",
+                                             "soft": 0.01}), jnp.float32)
+    assert f2.kernel == "plummer" and f2.eps == 0.01
+    f3 = build_force(ForceConfig(id="direct",
+                                 parameters={"mn_model": True, "a": 2.0,
+                                             "b": 0.3}), jnp.float32)
+    assert f3.mn_model and f3.a == 2.0
