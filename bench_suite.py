@@ -328,6 +328,10 @@ def bench_pyexp(n=262_144, ntimes=32):
 
     proj = jax.jit(lambda xx: force.coefficients(xx, mj))
     jax.block_until_ready(proj(xj))                    # compile
+    # warm the rotation matmul + transfer graphs too (they cost 3 small
+    # compiles otherwise — visible as ncompiles>0 in the timed region)
+    R0 = jnp.eye(3, dtype=jnp.float32)
+    np.asarray(proj(xj @ R0.T))
     with CompileMeter() as cm:
         t0 = time.perf_counter()
         series = []

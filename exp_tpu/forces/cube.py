@@ -56,6 +56,10 @@ class Cube:
     #: force matmuls), 'highest', or 'default' (bf16 everywhere,
     #: ~0.3%% per-particle force error)
     pallas_precision: str = "mixed"
+    #: pallas kernel layout: 2 (default) = MXU-shaped contractions (the
+    #: padded-lattice outer product built on the VPU + one fused complex
+    #: matmul per pass), 1 = the round-2 selection-matmul layout
+    pallas_version: int = 2
 
     # mirrors the SphereSL coef-file metadata protocol
     @property
@@ -71,7 +75,8 @@ class Cube:
     @classmethod
     def create(cls, nmaxx=6, nmaxy=6, nmaxz=6, nminx=0, nminy=0, nminz=0,
                dtype=jnp.float32, backend: str = "einsum",
-               pallas_precision: str = "mixed") -> "Cube":
+               pallas_precision: str = "mixed",
+               pallas_version: int = 2) -> "Cube":
         kx = np.arange(-nmaxx, nmaxx + 1)
         ky = np.arange(-nmaxy, nmaxy + 1)
         kz = np.arange(-nmaxz, nmaxz + 1)
@@ -87,12 +92,14 @@ class Cube:
                    lap=jnp.asarray(lap, dtype=dtype),
                    nmaxx=nmaxx, nmaxy=nmaxy, nmaxz=nmaxz,
                    nminx=nminx, nminy=nminy, nminz=nminz, backend=backend,
-                   pallas_precision=pallas_precision)
+                   pallas_precision=pallas_precision,
+                   pallas_version=pallas_version)
 
     def tree_flatten(self):
         return (self.norm, self.lap), (self.nmaxx, self.nmaxy, self.nmaxz,
                                        self.nminx, self.nminy, self.nminz,
-                                       self.backend, self.pallas_precision)
+                                       self.backend, self.pallas_precision,
+                                       self.pallas_version)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -123,7 +130,8 @@ class Cube:
 
         import jax as _jax
 
-        key = (self.nmaxx, self.nmaxy, self.nmaxz, self.pallas_precision)
+        key = (self.nmaxx, self.nmaxy, self.nmaxz, self.pallas_precision,
+               self.pallas_version)
         ck = _PALLAS_CACHE.get(("coef",) + key)
         ak = _PALLAS_CACHE.get(("accel",) + key)
         if ck is None or ak is None:
@@ -133,10 +141,12 @@ class Cube:
             pp = self.pallas_precision
             coef_prec = lo if pp in ("default", "mixed") else hi
             accel_prec = lo if pp == "default" else hi
-            ck = pk.make_cube_coef_kernel(*key[:3], interpret=interp,
-                                          precision=coef_prec)
-            ak = pk.make_cube_accel_kernel(*key[:3], interpret=interp,
-                                           precision=accel_prec)
+            mk_c = (pk.make_cube_coef_kernel_v2 if self.pallas_version == 2
+                    else pk.make_cube_coef_kernel)
+            mk_a = (pk.make_cube_accel_kernel_v2 if self.pallas_version == 2
+                    else pk.make_cube_accel_kernel)
+            ck = mk_c(*key[:3], interpret=interp, precision=coef_prec)
+            ak = mk_a(*key[:3], interpret=interp, precision=accel_prec)
             _PALLAS_CACHE[("coef",) + key] = ck
             _PALLAS_CACHE[("accel",) + key] = ak
         return ck, ak
@@ -177,13 +187,18 @@ class Cube:
 
             _, ak = self._pallas_kernels()
             b = coef.astype(cd) * self.norm.astype(cd)
-            Rr, Ri = pk.pack_force_matrix(b, self.nmaxx, self.nmaxy,
-                                          self.nmaxz)
             from exp_tpu.ops.padding import pad_particles
 
             xp, _, n = pad_particles(x)
-            out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], x.dtype)),
-                     Rr, Ri)
+            x8 = pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], x.dtype))
+            if self.pallas_version == 2:
+                M2 = pk.pack_force_matrix_v2(b, self.nmaxx, self.nmaxy,
+                                             self.nmaxz)
+                out = ak(x8, M2)
+            else:
+                Rr, Ri = pk.pack_force_matrix(b, self.nmaxx, self.nmaxy,
+                                              self.nmaxz)
+                out = ak(x8, Rr, Ri)
             return (out[0:3, :n].T.astype(x.dtype),
                     out[3, :n].astype(x.dtype))
         xw = jnp.mod(x, 1.0)
