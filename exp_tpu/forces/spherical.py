@@ -264,7 +264,7 @@ class SphereSL:
             ck, _ = self._pallas_kernels()
             from exp_tpu.ops.padding import pad_particles
 
-            x, mass, _ = pad_particles(x, mass)
+            x, mass, _ = pad_particles(x, mass, block=pk.SPHERE_BLOCK)
             tab = (self.tabc_s if self._interp_eff == "spline"
                    else self.tabc)
             return ck(pk.pack_xyzm(x, mass), pk.pad_table(
@@ -426,7 +426,8 @@ class SphereSL:
                                                  self.lmax, self.nmax)
             from exp_tpu.ops.padding import pad_particles
 
-            xp, _, _ = pad_particles(x, fill=1.0)
+            xp, _, _ = pad_particles(x, fill=1.0,
+                                     block=pk.SPHERE_BLOCK)
             out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], x.dtype)),
                      twT)
             return (out[0:3, :n].T.astype(x.dtype),

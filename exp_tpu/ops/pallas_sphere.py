@@ -52,7 +52,14 @@ def packed_rows(lmax):
 
 
 # contraction helpers (no materialized transposes)
-_PREC = jax.lax.Precision.HIGHEST   # f32 MXU passes (Mosaic default is bf16)
+_PREC = jax.lax.Precision.HIGHEST
+
+#: particle-block width for the sphere kernels.  4096 amortizes the
+#: per-grid-step dispatch/DMA overhead that dominated at 1024 (measured
+#: 1M KDK step: 5.39 / 5.22 / 4.99 / 4.93 ms at 1024/2048/4096/8192);
+#: 4096 keeps the weight matrix + working set well under the 16 MB
+#: scoped-VMEM limit, where 8192 only buys another 1%%.
+SPHERE_BLOCK = 4096   # f32 MXU passes (Mosaic default is bf16)
 
 
 def _dotT(a, b, prec=_PREC):
@@ -156,7 +163,7 @@ def _spline_rows(xi, xmin, dxc, nc, B):
 # ---------------------------------------------------------------------------
 
 def make_coef_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
-                     scale, fac_np, block=1024, interpret=False,
+                     scale, fac_np, block=SPHERE_BLOCK, interpret=False,
                      precision=None, interp="hat"):
     """Returns fn(xyzm8 (8, N), tabc_padded (rows, Fp))
     -> (2, lmax+1, lmax+1, nmax) f32.
@@ -235,7 +242,7 @@ def make_coef_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
 # ---------------------------------------------------------------------------
 
 def make_accel_kernel(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap, rmap,
-                      scale, fac_np, block=1024, interpret=False,
+                      scale, fac_np, block=SPHERE_BLOCK, interpret=False,
                       precision=None, interp="hat"):
     """Returns fn(xyzm8 (8, N), twT) -> (8, N) with rows
     (ax, ay, az, pot, 0...).
@@ -432,7 +439,7 @@ def _poly_matrices(lmax, accel=False, fac_np=None):
 
 
 def make_coef_kernel_poly(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap,
-                          rmap, scale, fac_np, block=1024, interpret=False,
+                          rmap, scale, fac_np, block=SPHERE_BLOCK, interpret=False,
                           precision=None, interp="hat"):
     """Poly-harmonic coefficient kernel: identical contract to
     make_coef_kernel, with the Legendre/trig recurrences and the (1, B)
@@ -506,7 +513,7 @@ def make_coef_kernel_poly(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap,
 
 
 def make_accel_kernel_poly(lmax, nmax, numr_c, xmin, dxc, rmin, rmax, cmap,
-                           rmap, scale, fac_np, block=1024, interpret=False,
+                           rmap, scale, fac_np, block=SPHERE_BLOCK, interpret=False,
                            precision=None, interp="hat"):
     """Poly-harmonic force kernel (same contract as make_accel_kernel).
 
