@@ -175,6 +175,12 @@ def build_force(fc, dtype, workdir=".", particles=None):
             nmaxx=int(p.pop("nmaxx", 4)), nmaxy=int(p.pop("nmaxy", 4)),
             nmax=int(p.pop("nmaxz", p.pop("nmax", 6))),
             zmax=float(p.pop("zmax", 0.1)), h=float(p.pop("hslab", 0.01)),
+            # reference SLGridSlab knobs: background model type
+            # (iso/const/para) and the construction method ('sl' = the
+            # Sturm-Liouville solve like SLGridSlab; 'greens' = exact
+            # Green's-function pairs, this framework's default)
+            type=str(p.pop("type", "iso")),
+            method=str(p.pop("method", "greens")),
             cachename=cachename)
         return SlabForce.from_tables(
             t, dtype=dtype, backend=str(p.pop("backend", "einsum")))

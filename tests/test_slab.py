@@ -189,3 +189,80 @@ def test_outside_vacuum_continuation(slab):
     am, pm = at(-6.0 * ZMAX)
     np.testing.assert_allclose(am[2], -a6[2], rtol=1e-3)
     np.testing.assert_allclose(pm, p6, rtol=0.05)
+
+
+@pytest.fixture(scope="module")
+def slab_sl():
+    """The reference's Sturm-Liouville construction (SLGridSlab path)."""
+    t = build_slab_tables(nmaxx=3, nmaxy=3, nmax=6, zmax=ZMAX, h=H,
+                          method="sl", type="iso")
+    return t, SlabForce.from_tables(t, dtype=jnp.float64)
+
+
+def test_sl_biorthogonality(slab_sl):
+    t, _ = slab_sl
+    zg = t.zgrid
+    w = np.gradient(zg)
+    for ix, iy in [(0, 0), (1, 0), (2, 2)]:
+        B = -np.einsum("zn,zm,z->nm", t.phi[:, ix, iy],
+                       t.dens[:, ix, iy], w)
+        assert np.abs(B - np.eye(t.nmax)).max() < 0.02, (ix, iy)
+
+
+def test_sl_parity_alternates(slab_sl):
+    """SL eigenfunctions of the symmetric slab alternate even/odd in n
+    (SLGridSlab interleaves the even/odd sledge solutions)."""
+    t, _ = slab_sl
+    P = t.phi[:, 1, 0, :]
+    for n in range(4):
+        dev_e = np.abs(P[:, n] - P[::-1, n]).max()
+        dev_o = np.abs(P[:, n] + P[::-1, n]).max()
+        want_even = (n % 2 == 0)
+        small, big = (dev_e, dev_o) if want_even else (dev_o, dev_e)
+        assert small < 1e-8 * max(big, 1.0), n
+
+
+def test_sl_sech2_vertical_force(slab_sl):
+    """Same physics gate as the Green's basis: the SL-conditioned
+    tables recover the isothermal slab's mean field."""
+    _, f = slab_sl
+    x, m = _sample(150000, seed=1)
+    coef = f.coefficients(jnp.asarray(x), jnp.asarray(m),
+                          accum_dtype=jnp.float64)
+    zt = np.array([0.003, 0.01, 0.03, 0.06])
+    pts = np.stack([0.3 * np.ones_like(zt), 0.7 * np.ones_like(zt), zt],
+                   -1)
+    acc, pot = f.acceleration(coef, jnp.asarray(pts))
+    gz = -2 * np.pi * np.tanh(zt / H)
+    np.testing.assert_allclose(np.asarray(acc)[:, 2], gz, rtol=0.06)
+
+
+def test_slab_model_family():
+    """const/para background models (SLGridMP2.cc:1869-1925): unit
+    surface density, compact support."""
+    from exp_tpu.basis.slab import slab_density
+
+    z = np.linspace(-0.05, 0.05, 4001)
+    for ty in ("iso", "const", "para"):
+        rho = slab_density(ty, H)(z)
+        assert np.isclose(np.trapezoid(rho, z), 1.0, atol=2e-3), ty
+    assert slab_density("const", H)(np.array([1.5 * H]))[0] == 0.0
+    assert slab_density("para", H)(np.array([0.0]))[0] == \
+        pytest.approx(3.0 / (4 * H))
+
+
+def test_sl_driver_yaml(tmp_path):
+    """slabSL YAML accepts the reference's type + the method knob."""
+    from exp_tpu.config import ForceConfig
+    from exp_tpu.nbody.simulation import build_force
+
+    f = build_force(ForceConfig(id="slabSL",
+                                parameters={"nmaxx": 1, "nmaxy": 1,
+                                            "nmaxz": 4, "zmax": ZMAX,
+                                            "hslab": H, "method": "sl",
+                                            "type": "iso"}), jnp.float64)
+    x, m = _sample(20000, seed=4)
+    coef = f.coefficients(jnp.asarray(x), jnp.asarray(m),
+                          accum_dtype=jnp.float64)
+    acc, pot = f.acceleration(coef, jnp.asarray([[0.5, 0.5, 0.02]]))
+    assert float(acc[0, 2]) < 0 and np.isfinite(float(pot[0]))
