@@ -158,9 +158,18 @@ def _eval_fields(halo_force, coef_h, disk_force, coef_d, pts,
 def build_disk_tables(halo_force, coef_h, disk_force, coef_d, *,
                       Mdisk, acyl, hcyl, Q=0.0, sig0=0.1,
                       ndp=8, ndr=40, ndz=128, rdmin=None, rdmax=None,
-                      zmax=None, shfactor=16.0) -> DiskHaloTables:
+                      zmax=None, shfactor=16.0,
+                      dphidr_floor=None) -> DiskHaloTables:
     """DiskHalo::table_disk (DiskHalo.cc:1118-1536): Jeans tables from
-    the measured total field on a (phi, log R, z) grid."""
+    the measured total field on a (phi, log R, z) grid.
+
+    dphidr_floor: optional smooth callable R -> dPhi/dR used as a lower
+    bound on the measured in-plane radial force (the reference's
+    use_mono monopole option, DiskHalo.cc:1298-1306).  At small R the
+    sampled expansions are noisy and can return ~0, which blows up the
+    Toomre-Q dispersion 3.36 Sigma Q / kappa; the monopole M(<r)/r^2 of
+    the composite model is a safe floor (a flattened disk only
+    STEEPENS the in-plane force)."""
     rdmin = rdmin if rdmin is not None else 1e-4
     rdmax = rdmax if rdmax is not None else 10.0 * acyl
     zmax = zmax if zmax is not None else shfactor * hcyl
@@ -212,6 +221,8 @@ def build_disk_tables(halo_force, coef_h, disk_force, coef_d, *,
     a0 = accP[..., 0, :]                                   # z = 0 plane
     dPhidR = np.maximum(-(a0[..., 0] * np.cos(phis)[:, None]
                           + a0[..., 1] * np.sin(phis)[:, None]), 1e-20)
+    if dphidr_floor is not None:
+        dPhidR = np.maximum(dPhidR, np.asarray(dphidr_floor(R))[None, :])
     omega2 = dPhidR / R[None]
     omega = np.sqrt(omega2)
     q2 = omega * R[None] ** 2                              # R^2 Omega
@@ -366,7 +377,13 @@ def diskhalo_ics(halo_model: SphericalModelTable, *, n_halo, n_disk,
     tables = build_disk_tables(
         halo_force, ch, disk_force, cd, Mdisk=Mdisk, acyl=acyl, hcyl=hcyl,
         Q=Q, sig0=sig0, ndp=ndp, ndr=ndr, ndz=ndz, shfactor=shfactor,
-        rdmax=rdmax if rdmax is not None else 10.0 * acyl)
+        rdmax=rdmax if rdmax is not None else 10.0 * acyl,
+        # HALF the composite monopole: a pure noise guard.  The full
+        # monopole can exceed the coarse-basis in-plane force (the
+        # truncated expansion underestimates it by ~15% at R ~ a), and
+        # velocities must be consistent with the field the run will
+        # actually integrate, not with the exact one.
+        dphidr_floor=lambda R: 0.5 * comp.get_dpot(R))
     vd, vdiag = set_vel_disk(xd, tables, acyl=acyl, gen_type=gen_type,
                              xi=xi, seed=seed, zero_cov=zero_cov)
 

@@ -168,3 +168,33 @@ def test_composite_level_stability(bases, ics):
         n = a.sum()
         # no level's population moves by more than 2% of the component
         assert np.abs(b - a).max() < 0.02 * n, (comp, first, last)
+
+
+def test_toomre_q_dispersion_bounded(bases):
+    """Q > 0 path: the monopole dPhi/dR floor keeps the Toomre
+    dispersion 3.36 Sigma Q / kappa finite where the sampled expansion
+    is noisy (without it a near-zero measured kappa blew sigma_R up by
+    ~1e10 and the CLI's virial diagnostic with it)."""
+    from exp_tpu.basis.model import add_disk_to_model
+    from exp_tpu.ic.diskhalo import build_disk_tables
+    from exp_tpu.ic.disk import sample_exponential_disk
+    from exp_tpu.ic.eddington import sample_spherical_model
+
+    m, halo, disk = bases
+    comp = add_disk_to_model(m, MDISK, ACYL)
+    xh, vh, mh = sample_spherical_model(comp, 4096, seed=8,
+                                        tracer_only=True, zero_com=False)
+    xd, md = sample_exponential_disk(2048, acyl=ACYL, hcyl=HCYL,
+                                     mass=MDISK, seed=9)
+    ch = halo.coefficients(jnp.asarray(xh, jnp.float32),
+                           jnp.asarray(mh, jnp.float32))
+    cd = disk.coefficients(jnp.asarray(xd, jnp.float32),
+                           jnp.asarray(md, jnp.float32))
+    tab = build_disk_tables(halo, ch, disk, cd, Mdisk=MDISK, acyl=ACYL,
+                            hcyl=HCYL, Q=1.2, ndp=4, ndr=24, ndz=32,
+                            dphidr_floor=comp.get_dpot)
+    vc2 = np.maximum(tab.vc, 1e-30) ** 2
+    # dispersion stays within an order of magnitude of circular speed
+    # everywhere on the grid (the un-floored build reached ~1e20 x)
+    assert float((tab.sigR2 / vc2).max()) < 50.0
+    assert np.isfinite(tab.sigR2).all()
