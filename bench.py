@@ -79,6 +79,10 @@ def main():
                 r = bench_suite.bench_disk(n=10_485_760, reps=5)
             elif c == "composite":
                 r = bench_suite.bench_composite()
+            elif c == "composite10m":
+                # BASELINE.md north-star scale: 8M halo + 2M disk
+                r = bench_suite.bench_composite(n_halo=8_388_608,
+                                                n_disk=2_097_152)
             elif c == "cube":
                 r = bench_suite.bench_cube(n=min(4 * n, 4_194_304),
                                            reps=max(5, reps // 2))

@@ -4,11 +4,12 @@ Each tool runs as `python -m exp_tpu.cli.<tool>` (or via the `exp-tpu`
 umbrella: `python -m exp_tpu.cli <tool> ...`).  Coverage of the reference's
 utils/ inventory (SURVEY section 2.5):
 
-  ICs:         gensph (utils/ICs/gensph), cubeics, gendisk (DiskHalo path),
-               shrinkics, modelfit, addring, addsphmod, forcetest,
-               bonnerebert
+  ICs:         gensph (utils/ICs/gensph; --qp QPDistF), cubeics, gendisk
+               (full DiskHalo path via --nhalo), shrinkics, modelfit,
+               addring, addsphmod, forcetest, bonnerebert, zangics
+               (tapered-Mestel Zang disk)
   PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp,
-               psp2hdf5, psporbv
+               psp2hdf5, psporbv, pspmono (monopole model table)
   Analysis:    diskprof (+--coef), haloprof, sphprof (coefficient-based
                field profiles), mssaprof, viewcoefs, h5compare, diskfreqs
   MSSA:        mssafilter (exp_halo_noise / exp_disk_noise)
@@ -26,4 +27,5 @@ TOOLS = [
     "modelfit", "addring", "addsphmod", "forcetest",
     "psporbv", "bonnerebert", "mssafilter", "slshift",
     "scalarprod", "pspinterp",
+    "zangics", "pspmono",
 ]

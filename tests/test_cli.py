@@ -671,3 +671,57 @@ def test_gensph_addsphere(tmp_path, capsys):
     v2_0 = (data0[:, 4:7] ** 2).sum(axis=1).mean()
     # the embedded sphere deepens the potential -> hotter tracer
     assert v2_emb > v2_0 * 1.05
+
+
+def test_zangics_cli(tmp_path):
+    """Tapered-Mestel Zang disk (utils/ICs/ZangICs.cc): flat rotation
+    curve at v0 in the untapered window, requested dispersion."""
+    from exp_tpu.cli.zangics import main
+    from exp_tpu.nbody.particles import read_ascii_arrays
+
+    out = tmp_path / "zang.bods"
+    main(["-N", "12000", "-S", "0.4", "-s", "3", "-f", str(out)])
+    x, v, m = read_ascii_arrays(str(out))
+    R = np.hypot(x[:, 0], x[:, 1])
+    vphi = (-v[:, 0] * x[:, 1] + v[:, 1] * x[:, 0]) / R
+    vrad = (v[:, 0] * x[:, 0] + v[:, 1] * x[:, 1]) / R
+    sel = (R > 2) & (R < 10)
+    assert abs(vphi[sel].mean() - 1.0) < 0.12        # v0 = 1 - drift
+    assert abs(vrad[sel].std() - 0.4) < 0.08
+    assert np.abs(x[:, 2]).max() == 0.0              # razor thin
+
+
+def test_zangics_nrepl_quiet_start(tmp_path):
+    from exp_tpu.cli.zangics import main
+    from exp_tpu.nbody.particles import read_ascii_arrays
+
+    out = tmp_path / "zq.bods"
+    main(["-N", "1000", "-q", "4", "-s", "5", "-P", "-V",
+          "-f", str(out)])
+    x, v, m = read_ascii_arrays(str(out))
+    assert len(x) == 1000
+    # each orbit has 4 replicates at 90-degree offsets: radii repeat
+    R = np.hypot(x[:, 0], x[:, 1]).reshape(250, 4)
+    assert np.allclose(R, R[:, :1], rtol=1e-10)
+
+
+def test_pspmono_cli(tmp_path):
+    """pspmono: model table from a snapshot round-trips through
+    SphericalModelTable and reproduces the source profile."""
+    from exp_tpu.basis.model import SphericalModelTable, hernquist_model
+    from exp_tpu.cli.pspmono import main
+    from exp_tpu.ic.eddington import sample_spherical_model
+    from exp_tpu.nbody.particles import write_ascii_bodies
+
+    m0 = hernquist_model(rmin=1e-3, rmax=20.0)
+    x, v, mass = sample_spherical_model(m0, 60000, seed=4)
+    src = tmp_path / "halo.bods"
+    write_ascii_bodies(str(src), (x, v, mass))
+    out = tmp_path / "mono.model"
+    main([str(src), "--type", "ascii", "--rnum", "400",
+          "-o", str(out)])
+    m1 = SphericalModelTable.from_file(str(out))
+    assert np.isclose(m1.total_mass, mass.sum(), rtol=0.02)
+    for rq in (0.3, 1.0, 5.0):
+        assert np.isclose(float(m1.get_mass(rq)), float(m0.get_mass(rq)),
+                          rtol=0.1), rq
