@@ -48,7 +48,10 @@ def main():
 
     n = int(os.environ.get("BENCH_N", 1_048_576))
     reps = int(os.environ.get("BENCH_REPS", 20))
-    default_cfgs = "sphere,sphere10m,disk,disk10m,composite,cube,pyexp"
+    # composite10m (the BASELINE.md north-star scale) runs last so the
+    # wall-clock budget guard can shed it if the warm-up ran cold
+    default_cfgs = ("sphere,sphere10m,disk,disk10m,composite,cube,pyexp,"
+                    "composite10m")
     cfgs = os.environ.get("BENCH_CONFIGS", default_cfgs).split(",")
 
     suite = {}
