@@ -89,8 +89,10 @@ def make_slab_coef_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
         Wz = _w_rows(t, nzc, interp)
         Wz = jnp.pad(Wz, ((0, nzp - Wz.shape[0]), (0, 0))) \
             if Wz.shape[0] < nzp else Wz
-        out_ref[:] += jnp.concatenate(
-            [_dotp(xyr * w, Wz), _dotp(xyi * w, Wz)], axis=0)
+        # one stacked matmul (M = 2 Cp) instead of two M = Cp halves —
+        # the 128-wide MXU is under-tiled at Cp ~ 88 (cube-v2 lesson)
+        XY = jnp.concatenate([xyr * w, xyi * w], axis=0)
+        out_ref[:] += _dotp(XY, Wz)
 
     def fn(xyzm8):
         n = xyzm8.shape[1]
@@ -147,10 +149,14 @@ def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
         Wz = jnp.pad(Wz, ((0, nzp - Wz.shape[0]), (0, 0))) \
             if Wz.shape[0] < nzp else Wz
 
+        # ONE (8 Cp, nzp) x (nzp, B) matmul for all four complex
+        # z-profile groups (was 8 separate M = Cp matmuls starving the
+        # MXU's 128-row tiles)
+        vall = _dotn(ct_ref[:], Wz)
+
         def zprof(q):
-            vr = _dotn(ct_ref[(2 * q) * Cp:(2 * q + 1) * Cp, :], Wz)
-            vi = _dotn(ct_ref[(2 * q + 1) * Cp:(2 * q + 2) * Cp, :], Wz)
-            return vr, vi
+            return (vall[(2 * q) * Cp:(2 * q + 1) * Cp],
+                    vall[(2 * q + 1) * Cp:(2 * q + 2) * Cp])
 
         v0r, v0i = zprof(0)      # pot profile
         v1r, v1i = zprof(1)      # 2 pi kx pot
