@@ -135,18 +135,25 @@ def sample_spherical_model(model: SphericalModelTable, n: int,
     if ra is None:
         # rejection sample speed: p(v) ~ v^2 f(psi - v^2/2)
         v = np.empty(n)
+        # envelope from a dense speed grid: a coarse grid undershoots
+        # the true max of v^2 f (measured 1.24x at small radii on the
+        # default Hernquist model), silently biasing the sampled DF.
+        # Computed ONCE per particle, in chunks (the (n, 256) f64
+        # broadcast was ~50 GB at 10M particles)
+        env = np.empty(n)
+        chunk = 262_144
+        vg01 = np.linspace(0.0, 1.0, 256)[None, :]
+        for i in range(0, n, chunk):
+            vm_c = vmax[i:i + chunk]
+            vg = vg01 * vm_c[:, None]
+            pg = vg**2 * df.f(psi_r[i:i + chunk, None] - 0.5 * vg**2)
+            env[i:i + chunk] = 1.3 * pg.max(axis=1) + 1e-300
         todo = np.arange(n)
         while todo.size:
             pr = psi_r[todo]
             vm = vmax[todo]
-            # envelope from a dense speed grid: a coarse grid undershoots
-            # the true max of v^2 f (measured 1.24x at small radii on the
-            # default Hernquist model), silently biasing the sampled DF
-            vg = np.linspace(0.0, 1.0, 256)[None, :] * vm[:, None]
-            pg = vg**2 * df.f(pr[:, None] - 0.5 * vg**2)
-            env = 1.3 * pg.max(axis=1) + 1e-300
             vt = rng.uniform(0.0, 1.0, todo.size) * vm
-            y = rng.uniform(0.0, 1.0, todo.size) * env
+            y = rng.uniform(0.0, 1.0, todo.size) * env[todo]
             p = vt**2 * df.f(pr - 0.5 * vt**2)
             ok = y <= p
             v[todo[ok]] = vt[ok]
