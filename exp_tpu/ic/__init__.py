@@ -1,1 +1,5 @@
 from exp_tpu.ic.eddington import EddingtonDF, sample_spherical_model
+from exp_tpu.ic.diskhalo import (diskhalo_ics, build_disk_tables,
+                                 sample_multimass_halo, virial_ratio)
+from exp_tpu.ic.qpdistf import QPDistF, sample_qp_model
+from exp_tpu.ic.zang import TaperedMestelDF, sample_zang_disk
