@@ -9,7 +9,9 @@ utils/ inventory (SURVEY section 2.5):
                addring, addsphmod, forcetest, bonnerebert, zangics
                (tapered-Mestel Zang disk)
   PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp,
-               psp2hdf5, psporbv, pspmono (monopole model table)
+               psp2hdf5, psporbv, pspmono (monopole model table),
+               psp2bess/psp2lagu/psp2rings (kinematic Fourier series),
+               psp2range, pspreal, spl2psp (split-PSP assembly)
   Analysis:    diskprof (+--coef), haloprof, sphprof (coefficient-based
                field profiles), mssaprof, viewcoefs, h5compare, diskfreqs
   MSSA:        mssafilter (exp_halo_noise / exp_disk_noise)
@@ -28,4 +30,5 @@ TOOLS = [
     "psporbv", "bonnerebert", "mssafilter", "slshift",
     "scalarprod", "pspinterp",
     "zangics", "pspmono",
+    "psp2bess", "psp2lagu", "psp2rings", "psp2range", "pspreal", "spl2psp",
 ]

@@ -54,6 +54,62 @@ def load_model(name_or_file, rmin=1e-4, rmax=20.0, numr=2000):
     return SphericalModelTable.from_file(name_or_file)
 
 
+def add_sequence_args(ap, suffix_default):
+    """The reference's PSP-sequence option block (psp2bess.cc /
+    psp2lagu.cc / psp2rings.cc): iterate {type}.{runtag}.{n:05d}."""
+    ap.add_argument("-i", "--beg", type=int, default=0,
+                    help="initial snapshot index")
+    ap.add_argument("-e", "--end", type=int, default=2 ** 31 - 1,
+                    help="final snapshot index")
+    ap.add_argument("-c", "--name", default="comp",
+                    help="component name")
+    ap.add_argument("-d", "--dir", default="./",
+                    help="rewrite directory location for SPL files")
+    ap.add_argument("-w", "--work", default=".",
+                    help="working directory for the output file")
+    ap.add_argument("-t", "--type", default="OUT",
+                    help="PSP output type (OUT or SPL)")
+    ap.add_argument("-T", "--runtag", default="run0")
+    ap.add_argument("-s", "--suffix", default=suffix_default,
+                    help="output file suffix")
+    ap.add_argument("files", nargs="*",
+                    help="explicit snapshot files (overrides the "
+                         "runtag sequence)")
+
+
+def iter_psp_sequence(a):
+    """Yield (time, component) for each snapshot of the sequence."""
+    import os
+
+    from exp_tpu.io.psp import read_psp, read_spl
+
+    if a.files:
+        files = a.files
+    else:
+        files = []
+        for n in range(a.beg, a.end + 1):
+            f = f"{a.type}.{a.runtag}.{n:05d}"
+            if not os.path.exists(f):
+                break
+            files.append(f)
+    for f in files:
+        if "SPL" in os.path.basename(f):
+            dump = read_spl(f, new_dir=a.dir if a.dir != "./" else None)
+        else:
+            dump = read_psp(f)
+            if isinstance(dump, list):
+                dump = dump[-1]
+        comp = next((c for c in dump.components if c.name == a.name),
+                    None)
+        if comp is None:
+            if len(dump.components) == 1:
+                comp = dump.components[0]
+            else:
+                raise SystemExit(f"{f}: no component named {a.name!r} "
+                                 f"(has {[c.name for c in dump.components]})")
+        yield dump.time, comp
+
+
 def load_snapshot(path, kind=None):
     from exp_tpu.io.readers import createReader
 

@@ -98,6 +98,125 @@ def write_psp(path, dump: PSPDump, real4=False, indexing=False, append=False):
             fh.write(rec.tobytes())
 
 
+def write_spl(master_path, dump: PSPDump, nparts=2, real4=False,
+              indexing=False):
+    """Write a dump as a split SPL set (master + per-part blobs).
+
+    Mirrors the reference's per-node checkpoint layout (OutPSN/PSP.cc
+    PSPspl): the master holds MasterHeader + per-component [cmagic,
+    int nparts, ComponentHeader, nparts x 1024-byte part filenames];
+    each part blob is uint32 N + N particle records.  Part files are
+    named <master>-<ci>.<k> beside the master."""
+    import os
+
+    rsize = 4 if real4 else 8
+    d = os.path.dirname(master_path) or "."
+    base = os.path.basename(master_path)
+    with open(master_path, "wb") as fh:
+        fh.write(np.float64(dump.time).tobytes())
+        fh.write(np.int32(dump.ntot).tobytes())
+        fh.write(np.int32(len(dump.components)).tobytes())
+        for ci, c in enumerate(dump.components):
+            info = c.info or f"name: {c.name}\n"
+            if indexing and "indexing" not in info:
+                # SPL readers learn the layout from the YAML config
+                # (PSP.cc:PSPspl cconf["indexing"]), not from boundary
+                # detection like the monolithic reader
+                info = info.rstrip("\n") + "\nindexing: true\n"
+            ib = info.encode()
+            fh.write(np.uint64(PSP_MAGIC + rsize).tobytes())
+            fh.write(np.int32(nparts).tobytes())
+            niatr = 0 if c.iattr is None else c.iattr.shape[1]
+            ndatr = 0 if c.dattr is None else c.dattr.shape[1]
+            for v in (len(c.mass), niatr, ndatr, len(ib)):
+                fh.write(np.int32(v).tobytes())
+            fh.write(ib)
+            rec = np.zeros(len(c.mass),
+                           _component_record_dtype(rsize, niatr, ndatr,
+                                                   indexing))
+            if indexing:
+                rec["indx"] = (np.arange(1, len(c.mass) + 1)
+                               if c.indx is None else c.indx)
+            rec["mass"] = c.mass
+            rec["pos"] = c.x
+            rec["vel"] = c.v
+            rec["pot"] = c.pot
+            if niatr:
+                rec["iatr"] = c.iattr
+            if ndatr:
+                rec["datr"] = c.dattr
+            bounds = np.linspace(0, len(rec), nparts + 1).astype(int)
+            for k in range(nparts):
+                pname = f"{base}-{ci}.{k}"
+                fh.write(pname.encode().ljust(1024, b"\x00"))
+                blob = rec[bounds[k]:bounds[k + 1]]
+                with open(os.path.join(d, pname), "wb") as pf:
+                    pf.write(np.uint32(len(blob)).tobytes())
+                    pf.write(blob.tobytes())
+
+
+def read_spl(master_path, new_dir=None):
+    """Read a split SPL dump (master + part blobs) into a PSPDump.
+
+    new_dir rewrites the directory of the stored part filenames
+    (PSP.cc PSPspl::openNextBlob's -d behavior); default is the
+    master's own directory."""
+    import os
+
+    if new_dir is None:
+        new_dir = os.path.dirname(master_path) or "."
+    with open(master_path, "rb") as fh:
+        data = fh.read()
+    time = np.frombuffer(data, np.float64, 1, 0)[0]
+    ntot, ncomp = np.frombuffer(data, np.int32, 2, 8)
+    off = 16
+    dump = PSPDump(time=float(time))
+    for _ in range(int(ncomp)):
+        cmagic = np.frombuffer(data, np.uint64, 1, off)[0]
+        off += 8
+        if (int(cmagic) & ~MMASK) != PSP_MAGIC:
+            raise ValueError(f"{master_path}: bad SPL component magic")
+        rsize = int(cmagic) & MMASK
+        nparts = int(np.frombuffer(data, np.int32, 1, off)[0])
+        off += 4
+        nbod, niatr, ndatr, ninfo = np.frombuffer(data, np.int32, 4, off)
+        off += 16
+        info = data[off:off + int(ninfo)].split(b"\x00")[0].decode(
+            errors="replace")
+        off += int(ninfo)
+        indexing = "indexing" in info and ("true" in info.lower()
+                                           or ": 1" in info)
+        dt = _component_record_dtype(rsize, int(niatr), int(ndatr), indexing)
+        recs = []
+        for _k in range(nparts):
+            pname = data[off:off + 1024].split(b"\x00")[0].decode()
+            off += 1024
+            pname = os.path.join(new_dir, os.path.basename(pname))
+            with open(pname, "rb") as pf:
+                blob = pf.read()
+            npart = int(np.frombuffer(blob, np.uint32, 1, 0)[0])
+            recs.append(np.frombuffer(blob, dt, npart, 4))
+        rec = np.concatenate(recs) if recs else np.zeros(0, dt)
+        if len(rec) != int(nbod):
+            raise ValueError(f"{master_path}: SPL blobs hold {len(rec)} "
+                             f"particles, master says {int(nbod)}")
+        name = "comp"
+        for line in info.splitlines():
+            if line.strip().startswith("name"):
+                name = line.split(":", 1)[1].strip()
+                break
+        dump.components.append(PSPComponent(
+            name=name, info=info,
+            mass=rec["mass"].astype(np.float64),
+            x=rec["pos"].astype(np.float64),
+            v=rec["vel"].astype(np.float64),
+            pot=rec["pot"].astype(np.float64),
+            indx=rec["indx"].copy() if indexing else None,
+            iattr=rec["iatr"].copy() if niatr else None,
+            dattr=rec["datr"].copy() if ndatr else None))
+    return dump
+
+
 def read_psp(path, dump_index=None):
     """Read PSP dump(s).  Returns a PSPDump, or list of dumps if
     dump_index is None and the file holds several (OUT. style)."""

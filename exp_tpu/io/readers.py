@@ -49,10 +49,16 @@ def read_ascii(path, time=0.0, name="comp"):
     return s
 
 
-def read_psp_snapshot(path, dump_index=-1):
-    from exp_tpu.io.psp import read_psp
+def read_psp_snapshot(path, dump_index=-1, new_dir=None):
+    from exp_tpu.io.psp import read_psp, read_spl
+    import os
 
-    d = read_psp(path)
+    # the reference dispatches on the filename (psp2rings.cc: a path
+    # containing "SPL" is a split master, else a monolithic OUT)
+    if "SPL" in os.path.basename(str(path)):
+        d = read_spl(path, new_dir=new_dir)
+    else:
+        d = read_psp(path)
     if isinstance(d, list):
         d = d[dump_index]
     s = Snapshot(d.time)
@@ -263,7 +269,15 @@ def write_gadget_native(path, snapshot: Snapshot):
 def createReader(kind: str, path, **kw):
     """Reader factory (ParticleReader::createReader, ParticleReader.cc:99)."""
     kind = kind.lower()
-    if kind in ("psp", "pspout", "pspspl"):
+    if kind == "pspspl":
+        from exp_tpu.io.psp import read_spl
+
+        d = read_spl(path, **kw)
+        s = Snapshot(d.time)
+        for c in d.components:
+            s.add(c.name, c.x, c.v, c.mass, pot=c.pot)
+        return s
+    if kind in ("psp", "pspout"):
         return read_psp_snapshot(path, **kw)
     elif kind in ("gadgetnative",):
         return read_gadget_native(path)

@@ -1,0 +1,264 @@
+"""Kinematic Fourier coefficient tools (psp2bess / psp2lagu /
+psp2rings), SPL split-PSP IO, and the small PSP converters."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- bases
+
+def test_bess_basis_orthonormal():
+    """J_m(alpha_mn R/rmax)/(N rmax) is orthonormal under R dR on
+    [0, rmax] (Bess.H normalization)."""
+    from exp_tpu.analysis.kincoefs import BessBasis
+
+    rmax = 0.04
+    for m in (0, 2):
+        b = BessBasis(m, 5)
+        R = np.linspace(0, rmax, 20001)[1:]
+        B = b(R / rmax) / rmax                    # (N, nmax)
+        G = (B * R[:, None]).T @ B * (R[1] - R[0])
+        assert np.allclose(G, np.eye(5), atol=2e-3)
+
+
+def test_lagu_basis_orthonormal():
+    """L^1_n(2r/a) e^{-r/a} / (a sqrt(1+n)/2) is orthonormal under
+    r dr on [0, inf) (psp2lagu.cc Laguerre)."""
+    from exp_tpu.analysis.kincoefs import LaguBasis
+
+    a = 0.01
+    b = LaguBasis(a, 5)
+    r = np.linspace(0, 40 * a, 40001)[1:]
+    B = b(r)
+    G = (B * r[:, None]).T @ B * (r[1] - r[0])
+    assert np.allclose(G, np.eye(5), atol=2e-3)
+
+
+def _pattern_disk(n=40000, seed=0, rmax=0.04):
+    """Uniform-in-R ring disk with a pure m=2 tangential pattern."""
+    rng = np.random.default_rng(seed)
+    R = rng.uniform(0.2 * rmax, 0.9 * rmax, n)
+    phi = rng.uniform(-np.pi, np.pi, n)
+    x = np.stack([R * np.cos(phi), R * np.sin(phi), np.zeros(n)], 1)
+    vt = 1.0 + 0.5 * np.cos(2 * phi) + 0.25 * np.sin(2 * phi)
+    v = np.stack([-vt * np.sin(phi), vt * np.cos(phi), np.zeros(n)], 1)
+    mass = np.full(n, 1.0 / n)
+    return mass, x, v, R, phi
+
+
+def test_ring_coefs_recover_m2_pattern():
+    from exp_tpu.analysis.kincoefs import ring_coefs
+
+    rmax = 0.04
+    mass, x, v, R, phi = _pattern_disk(rmax=rmax)
+    cos_c, sin_c = ring_coefs(mass, x, v, 0.0, rmax, 10, mmin=1, mmax=3)
+    # <vt cos 2phi> = 0.25, <vt sin 2phi> = 0.125 in every populated ring
+    pop = slice(2, 9)                 # rings inside [0.2, 0.9] rmax
+    assert np.allclose(cos_c[1, 1, pop], 0.25, atol=0.03)
+    assert np.allclose(sin_c[1, 1, pop], 0.125, atol=0.03)
+    # no m=1 or m=3 power
+    assert np.max(np.abs(cos_c[0, 1, pop])) < 0.03
+    assert np.max(np.abs(cos_c[2, 1, pop])) < 0.03
+
+
+def test_bess_coefs_density_roundtrip():
+    """Projecting sampled density onto the orthonormal Bessel set and
+    re-summing the m=0 series recovers the (uniform-in-R) line density
+    profile lambda(R)/(2 pi R) ~ 1/R."""
+    from exp_tpu.analysis.kincoefs import BessBasis, bess_coefs
+
+    rmax = 0.04
+    mass, x, v, R, phi = _pattern_disk(n=200000, rmax=rmax)
+    cos_c, sin_c = bess_coefs(mass, x, v, rmax, mmax=2, nmax=16)
+    # density coefficients: a_n = int Sigma(R) f_n(R) R dR 2pi-angle part;
+    # reconstruct Sigma at test radii and compare with the known sampling
+    # density Sigma(R) = M / (0.7 rmax * 2 pi R)
+    b = BessBasis(0, 16)
+    Rt = np.array([0.3, 0.5, 0.7]) * rmax
+    # the m=0 angular factor: 1/sqrt(pi) * 1/sqrt(2) applied once in the
+    # projection; the reconstruction carries the same factor so that
+    # sum_n a_n f_n(R) * (angnorm) = Sigma(R)
+    angnorm = 0.5 * 2.0 / np.sqrt(np.pi) * np.sqrt(0.5)
+    rec = (b(Rt / rmax) / rmax) @ cos_c[0, 0] * angnorm
+    expect = 1.0 / (0.7 * rmax * 2 * np.pi * Rt)
+    assert np.allclose(rec, expect, rtol=0.08)
+
+
+def test_lagu_coefs_velocity_orthogonality():
+    """The m=2 vt rows carry the pattern; m=1 and m=3 stay near zero."""
+    from exp_tpu.analysis.kincoefs import lagu_coefs
+
+    mass, x, v, R, phi = _pattern_disk()
+    cos_c, sin_c = lagu_coefs(mass, x, v, 0.02, mmax=3, nmax=6)
+    p2 = np.linalg.norm(cos_c[2, 2]) + np.linalg.norm(sin_c[2, 2])
+    p1 = np.linalg.norm(cos_c[1, 2]) + np.linalg.norm(sin_c[1, 2])
+    p3 = np.linalg.norm(cos_c[3, 2]) + np.linalg.norm(sin_c[3, 2])
+    assert p2 > 10 * max(p1, p3)
+
+
+# ------------------------------------------------------- binary formats
+
+def test_coef_file_roundtrip(tmp_path):
+    from exp_tpu.analysis import kincoefs as K
+
+    assert K.BESS_HEADER.itemsize == 32      # C++ struct w/ padding
+    assert K.LAGU_HEADER.itemsize == 32
+    assert K.RING_HEADER.itemsize == 16
+
+    rng = np.random.default_rng(1)
+    cb, sb = rng.normal(size=(2, 3, 4, 8))
+    sb[0] = 0.0
+    p = tmp_path / "t.bess_coefs"
+    with open(p, "wb") as fh:
+        K.write_bess_coefs(fh, 1.5, 0.04, cb, sb)
+        K.write_bess_coefs(fh, 2.5, 0.04, cb * 2, sb * 2)
+    blocks = K.read_bess_coefs(p)
+    assert [b["time"] for b in blocks] == [1.5, 2.5]
+    assert blocks[0]["ms"] == [0, 1, 2]
+    np.testing.assert_allclose(blocks[1]["cos"], cb * 2)
+    np.testing.assert_allclose(blocks[1]["sin"], sb * 2)
+
+    p = tmp_path / "t.lagu_coefs"
+    with open(p, "wb") as fh:
+        K.write_lagu_coefs(fh, 0.25, 0.01, cb, sb)
+    lb = K.read_lagu_coefs(p)
+    assert lb[0]["rscl"] == 0.01
+    np.testing.assert_allclose(lb[0]["cos"], cb)
+
+    cr, sr = rng.normal(size=(2, 4, 3, 10))
+    p = tmp_path / "t.ring_coefs"
+    with open(p, "wb") as fh:
+        K.write_ring_preamble(fh, 0.0, 0.04, 10)
+        K.write_ring_coefs(fh, 3.0, cr, sr, mmin=1)
+    rb = K.read_ring_coefs(p)
+    assert len(rb["redge_lo"]) == 10 and rb["redge_hi"][-1] == 0.04
+    assert rb["blocks"][0]["ms"] == [1, 2, 3, 4]
+    np.testing.assert_allclose(rb["blocks"][0]["cos"], cr)
+    np.testing.assert_allclose(rb["blocks"][0]["sin"], sr)
+
+
+# ------------------------------------------------------------ SPL files
+
+def _dump(n=100, seed=0, with_attrs=False):
+    from exp_tpu.io.psp import PSPComponent, PSPDump
+
+    rng = np.random.default_rng(seed)
+    c = PSPComponent(
+        name="disk", info="name: disk\n",
+        mass=rng.uniform(0.5, 1.0, n), x=rng.normal(size=(n, 3)),
+        v=rng.normal(size=(n, 3)), pot=rng.normal(size=n),
+        iattr=rng.integers(0, 9, (n, 2)).astype(np.int32)
+        if with_attrs else None,
+        dattr=rng.normal(size=(n, 1)) if with_attrs else None)
+    return PSPDump(time=0.75, components=[c])
+
+
+@pytest.mark.parametrize("indexing", [False, True])
+def test_spl_roundtrip(tmp_path, indexing):
+    from exp_tpu.io.psp import read_spl, write_spl
+
+    d = _dump(n=101, with_attrs=True)
+    master = str(tmp_path / "SPL.run9.00003")
+    write_spl(master, d, nparts=3, indexing=indexing)
+    back = read_spl(master)
+    assert back.time == d.time
+    c0, c1 = d.components[0], back.components[0]
+    np.testing.assert_allclose(c1.mass, c0.mass)
+    np.testing.assert_allclose(c1.x, c0.x)
+    np.testing.assert_allclose(c1.dattr, c0.dattr)
+    np.testing.assert_array_equal(c1.iattr, c0.iattr)
+    if indexing:
+        np.testing.assert_array_equal(c1.indx, np.arange(1, 102))
+    else:
+        assert c1.indx is None
+
+
+def test_spl2psp_cli(tmp_path, capsys):
+    from exp_tpu.cli.spl2psp import main as spl2psp
+    from exp_tpu.io.psp import read_psp, write_spl
+
+    for seq in (0, 1):
+        write_spl(str(tmp_path / f"SPL.runA.{seq:05d}"), _dump(seed=seq),
+                  nparts=2)
+    assert spl2psp(["-d", str(tmp_path), "-r", "runA",
+                    "-1", "0", "-2", "1"]) == 0
+    for seq in (0, 1):
+        out = tmp_path / f"OUT.runA.{seq:05d}"
+        assert out.exists()
+        back = read_psp(str(out))
+        np.testing.assert_allclose(back.components[0].mass,
+                                   _dump(seed=seq).components[0].mass)
+
+
+def test_reader_spl_dispatch(tmp_path):
+    from exp_tpu.io.psp import write_spl
+    from exp_tpu.io.readers import createReader
+
+    master = str(tmp_path / "SPL.runB.00000")
+    write_spl(master, _dump(), nparts=2)
+    s = createReader("pspspl", master)
+    assert len(s["disk"]["mass"]) == 100
+    s2 = createReader("psp", master)      # filename sniffing path
+    assert len(s2["disk"]["mass"]) == 100
+
+
+# ---------------------------------------------------------- CLI drivers
+
+def _write_sequence(tmp_path, nsnap=2):
+    from exp_tpu.io.psp import PSPComponent, PSPDump, write_psp
+
+    rmax = 0.04
+    for n in range(nsnap):
+        mass, x, v, R, phi = _pattern_disk(n=20000, seed=n, rmax=rmax)
+        d = PSPDump(time=0.1 * n, components=[PSPComponent(
+            name="comp", info="name: comp\n", mass=mass, x=x, v=v,
+            pot=np.zeros(len(mass)))])
+        write_psp(str(tmp_path / f"OUT.runK.{n:05d}"), d)
+    return rmax
+
+
+def test_kincoef_clis(tmp_path, monkeypatch):
+    from exp_tpu.analysis import kincoefs as K
+    from exp_tpu.cli.psp2bess import main as psp2bess
+    from exp_tpu.cli.psp2lagu import main as psp2lagu
+    from exp_tpu.cli.psp2rings import main as psp2rings
+
+    rmax = _write_sequence(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    assert psp2bess(["-T", "runK", "-R", str(rmax), "-n", "6",
+                     "-s", "bess_coefs"]) == 0
+    blocks = K.read_bess_coefs(tmp_path / "runK.bess_coefs")
+    assert len(blocks) == 2 and blocks[1]["time"] == pytest.approx(0.1)
+    assert blocks[0]["cos"].shape == (5, 4, 6)
+
+    assert psp2lagu(["-T", "runK", "-a", "0.02", "-n", "5",
+                     "-M", "3"]) == 0
+    lb = K.read_lagu_coefs(tmp_path / "runK.lagu_coefs")
+    assert lb[0]["cos"].shape == (4, 4, 5)
+
+    assert psp2rings(["-T", "runK", "-R", str(rmax), "-b", "8"]) == 0
+    rb = K.read_ring_coefs(tmp_path / "runK.ring_coefs")
+    assert len(rb["blocks"]) == 2
+    # the m=2 tangential pattern shows up in the ring coefficients
+    assert np.allclose(rb["blocks"][0]["cos"][1, 1, 3:6], 0.25, atol=0.05)
+
+
+def test_psp2range_pspreal(tmp_path, capsys):
+    from exp_tpu.cli.psp2range import main as psp2range
+    from exp_tpu.cli.pspreal import main as pspreal
+    from exp_tpu.io.psp import read_psp, write_psp
+
+    d = _dump(with_attrs=True)
+    p = str(tmp_path / "OUT.t.00000")
+    write_psp(p, d)
+    assert psp2range([p]) == 0
+    out = capsys.readouterr().out
+    assert "mass" in out and "datr" in out and "disk" in out
+
+    assert pspreal([p, "-o", str(tmp_path / "f4.psp")]) == 0
+    back = read_psp(str(tmp_path / "f4.psp"))
+    np.testing.assert_allclose(back.components[0].mass,
+                               d.components[0].mass, rtol=1e-6)
+    assert back.components[0].mass.dtype == np.float64  # promoted on read
