@@ -31,4 +31,5 @@ TOOLS = [
     "scalarprod", "pspinterp",
     "zangics", "pspmono",
     "psp2bess", "psp2lagu", "psp2rings", "psp2range", "pspreal", "spl2psp",
+    "diskeof",
 ]
