@@ -31,6 +31,14 @@ def main(argv=None):
                          "spec, e.g. plummer:a=0.1,M=0.2): the sampled "
                          "component's DF responds to the total potential "
                          "(utils/ICs/AddSpheres)")
+    ap.add_argument("--ebar", default=None, metavar="RBAR,BRATIO,CRATIO,M",
+                    help="embed a homogeneous ellipsoidal bar with "
+                         "semi-axes (RBAR, RBAR*BRATIO, RBAR*BRATIO*"
+                         "CRATIO) and mass M: the halo DF responds to the "
+                         "bar's monopole (gensph.cc EBAR / EllipForce)")
+    ap.add_argument("--ebar-smooth", type=float, default=0.0,
+                    help="Gaussian smoothing scale for the bar mass "
+                         "profile (gensph.cc SMOOTH)")
     a = ap.parse_args(argv)
 
     from exp_tpu.ic.eddington import sample_spherical_model
@@ -50,9 +58,17 @@ def main(argv=None):
         other = load_model(a.addsphere, rmin=a.rmin, rmax=a.rmax)
         model = add_sphere_to_model(model, other)
         tracer_only = True
+    if a.ebar:
+        from exp_tpu.ic.ellip import EllipForce, add_ellip_to_model
+
+        rbar, brat, crat, mbar = (float(s) for s in a.ebar.split(","))
+        ellip = EllipForce(rbar, rbar * brat, rbar * brat * crat, mbar)
+        model = add_ellip_to_model(model, ellip, rbar=rbar,
+                                   smooth=a.ebar_smooth)
+        tracer_only = True
     if a.qp:
         if tracer_only:
-            ap.error("--qp does not support --adddisk/--addsphere "
+            ap.error("--qp does not support --adddisk/--addsphere/--ebar "
                      "composite tracers (the QP fit constrains the "
                      "model's own density)")
         from exp_tpu.ic.qpdistf import sample_qp_model

@@ -725,3 +725,47 @@ def test_pspmono_cli(tmp_path):
     for rq in (0.3, 1.0, 5.0):
         assert np.isclose(float(m1.get_mass(rq)), float(m0.get_mass(rq)),
                           rtol=0.1), rq
+
+
+def test_ellipforce_and_gensph_ebar(tmp_path, capsys):
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.cli.gensph import main as gensph
+    from exp_tpu.ic.ellip import (EllipForce, add_ellip_to_model,
+                                  ellip_monopole_mass)
+
+    # sphere limit: homogeneous sphere mass profile and potential
+    sph = EllipForce(1.0, 1.0, 1.0, 2.0, num=48, numr=120)
+    r = np.array([0.25, 0.5, 0.75, 1.0])
+    np.testing.assert_allclose(sph.get_mass(r), 2.0 * r ** 3, rtol=2e-3)
+    np.testing.assert_allclose(sph.get_pot(2.0), -1.0, rtol=1e-3)
+    np.testing.assert_allclose(sph.get_pot(0.0), -3.0, rtol=5e-3)
+
+    # triaxial bar: total mass at r=a, strictly increasing profile
+    bar = EllipForce(0.5, 0.25, 0.125, 0.1, num=48, numr=120)
+    assert abs(bar.get_mass(0.5) - 0.1) < 1e-3
+    assert (np.diff(bar.m) >= -1e-12).all()
+    # smoothing preserves the asymptotic mass and the inner raw profile
+    rg = np.geomspace(1e-3, 5.0, 300)
+    ms = ellip_monopole_mass(bar, rg, 0.5, smooth=0.02)
+    assert abs(ms[-1] - 0.1) < 1e-3
+    np.testing.assert_allclose(ms[rg < 0.03], bar.get_mass(rg[rg < 0.03]),
+                               rtol=0.05)   # erf blend ~1% at 0.06 RBAR
+
+    halo = hernquist_model(rmin=1e-3, rmax=20.0)
+    comp = add_ellip_to_model(halo, bar, rbar=0.5)
+    assert np.allclose(comp.rho, halo.rho)
+    assert abs(comp.mass[-1] - (halo.mass[-1] + 0.1)) < 1e-3
+    assert (comp.pot < halo.pot).all()
+
+    bods = str(tmp_path / "eb.bods")
+    gensph(["-N", "3000", "-i", "hernquist", "-o", bods, "-s", "5",
+            "--ebar", "0.5,0.5,0.25,0.3"])
+    out = capsys.readouterr().out
+    assert "3000 bodies" in out
+    data = np.loadtxt(bods, skiprows=1)
+    assert np.isfinite(data).all()
+    v2_bar = (data[:, 4:7] ** 2).sum(axis=1).mean()
+    gensph(["-N", "3000", "-i", "hernquist", "-o", bods, "-s", "5"])
+    capsys.readouterr()
+    v2_0 = (np.loadtxt(bods, skiprows=1)[:, 4:7] ** 2).sum(axis=1).mean()
+    assert v2_bar > v2_0 * 1.02   # the bar deepens the halo potential
