@@ -4,16 +4,18 @@ Each tool runs as `python -m exp_tpu.cli.<tool>` (or via the `exp-tpu`
 umbrella: `python -m exp_tpu.cli <tool> ...`).  Coverage of the reference's
 utils/ inventory (SURVEY section 2.5):
 
-  ICs:         gensph (utils/ICs/gensph; --qp QPDistF), cubeics, gendisk
-               (full DiskHalo path via --nhalo), shrinkics, modelfit,
-               addring, addsphmod, forcetest, bonnerebert, zangics
-               (tapered-Mestel Zang disk)
+  ICs:         gensph (utils/ICs/gensph; --qp QPDistF, --ebar ellipsoidal
+               bar), cubeics, gendisk (full DiskHalo path via --nhalo),
+               gendisk2d (Disk2dHalo path via --nhalo), shrinkics,
+               modelfit, addring, addsphmod, forcetest, bonnerebert,
+               zangics (tapered-Mestel Zang disk), hdf52accel
   PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp,
                psp2hdf5, psporbv, pspmono (monopole model table),
                psp2bess/psp2lagu/psp2rings (kinematic Fourier series),
                psp2range, pspreal, spl2psp (split-PSP assembly)
   Analysis:    diskprof (+--coef), haloprof, sphprof (coefficient-based
-               field profiles), mssaprof, viewcoefs, h5compare, diskfreqs
+               field profiles), mssaprof, viewcoefs, h5compare, diskfreqs,
+               diskeof (empirical basis re-orthogonalization)
   MSSA:        mssafilter (exp_halo_noise / exp_disk_noise)
   SL/basis:    slcheck, orthochk, cylcache, eofinfo, slshift
 """
@@ -31,5 +33,5 @@ TOOLS = [
     "scalarprod", "pspinterp",
     "zangics", "pspmono",
     "psp2bess", "psp2lagu", "psp2rings", "psp2range", "pspreal", "spl2psp",
-    "diskeof",
+    "diskeof", "hdf52accel",
 ]

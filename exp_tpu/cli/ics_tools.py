@@ -277,3 +277,47 @@ def addsphmod(argv=None):
           f"Mtot={combo.mass[-1]:.6g} over r in "
           f"[{combo.r[0]:.4g}, {combo.r[-1]:.4g}]")
     return 0
+
+
+# ---------------------------------------------------------------------------
+
+def hdf52accel(argv=None):
+    """hdf52accel — dump the acceleration field of a GadgetHDF5 snapshot
+    (utils/ICs/hdf52accel.cc): per particle of the chosen PartType,
+    write the binary force.data record [int N; per body: float mass,
+    float pos[3], float acc[3]] for force-comparison studies."""
+    ap = make_parser("hdf52accel", hdf52accel.__doc__)
+    ap.add_argument("--hdf5", default="snapfile_001.hdf5",
+                    help="HDF5 Gadget2 file")
+    ap.add_argument("--output", default="force.data")
+    ap.add_argument("--ptype", type=int, default=2,
+                    help="Gadget particle type (reference reads PartType2)")
+    a = ap.parse_args(argv)
+
+    import numpy as np
+    import h5py
+
+    with h5py.File(a.hdf5, "r") as f:
+        mtab = np.asarray(f["Header"].attrs.get("MassTable",
+                                                np.zeros(6)), np.float64)
+        g = f[f"PartType{a.ptype}"]
+        coords = np.asarray(g["Coordinates"][...], np.float32)
+        if "Acceleration" not in g:
+            raise SystemExit(f"PartType{a.ptype} has no Acceleration "
+                             "dataset (write one or run with a snapshot "
+                             "that stores forces)")
+        acc = np.asarray(g["Acceleration"][...], np.float32)
+        if "Masses" in g:
+            mass = np.asarray(g["Masses"][...], np.float32)
+        else:
+            mass = np.full(len(coords), mtab[a.ptype], np.float32)
+    print("Mass table:", " ".join(f"{v:g}" for v in mtab))
+    n = len(coords)
+    rec = np.zeros(n, dtype=[("mass", "f4"), ("pos", "f4", (3,)),
+                             ("acc", "f4", (3,))])
+    rec["mass"], rec["pos"], rec["acc"] = mass, coords, acc
+    with open(a.output, "wb") as out:
+        out.write(np.int32(n).tobytes())
+        out.write(rec.tobytes())
+    print(f"hdf52accel: wrote {n} records to {a.output}")
+    return 0

@@ -262,3 +262,32 @@ def test_psp2range_pspreal(tmp_path, capsys):
     np.testing.assert_allclose(back.components[0].mass,
                                d.components[0].mass, rtol=1e-6)
     assert back.components[0].mass.dtype == np.float64  # promoted on read
+
+
+def test_hdf52accel(tmp_path):
+    import h5py
+
+    from exp_tpu.cli.ics_tools import hdf52accel
+
+    n = 50
+    rng = np.random.default_rng(3)
+    src = str(tmp_path / "snap.hdf5")
+    with h5py.File(src, "w") as f:
+        h = f.create_group("Header")
+        h.attrs["MassTable"] = np.array([0, 0, 0.25, 0, 0, 0.0])
+        g = f.create_group("PartType2")
+        g.create_dataset("Coordinates", data=rng.normal(size=(n, 3)))
+        g.create_dataset("Acceleration", data=rng.normal(size=(n, 3)))
+    out = str(tmp_path / "force.data")
+    assert hdf52accel(["--hdf5", src, "--output", out]) == 0
+    with open(out, "rb") as fh:
+        buf = fh.read()
+    assert int(np.frombuffer(buf, np.int32, 1, 0)[0]) == n
+    rec = np.frombuffer(buf, dtype=[("mass", "f4"), ("pos", "f4", (3,)),
+                                    ("acc", "f4", (3,))], count=n,
+                        offset=4)
+    assert np.allclose(rec["mass"], 0.25)
+    with h5py.File(src, "r") as f:
+        np.testing.assert_allclose(rec["pos"],
+                                   f["PartType2/Coordinates"][...],
+                                   rtol=1e-6)
