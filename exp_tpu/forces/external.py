@@ -128,6 +128,39 @@ class UserBar(ExternalField):
 
 
 @dataclass
+class UserEllipsoid(ExternalField):
+    """Rotating triaxial ellipsoid bar with the EXACT Chandrasekhar
+    homoeoid potential (utils/ICs/EllipsoidForce.cc powerlaw/ferrers/
+    expon families; ic/ellipsoid.py) and an adiabatic amplitude ramp.
+    Forces are autodiff gradients — no force table (the reference
+    interpolates a precomputed MakeTable grid)."""
+
+    a: tuple = (0.5, 0.25, 0.125)
+    mass: float = 0.1
+    bartype: str = "ferrers"
+    param: float = 1.0
+    omega: float = 1.0
+    Ton: float = 0.0
+    DeltaT: float = 0.5
+
+    def __post_init__(self):
+        from exp_tpu.ic.ellipsoid import EllipsoidForce
+
+        object.__setattr__(self, "_ellip", EllipsoidForce(
+            a=tuple(self.a), mass=self.mass, bartype=self.bartype,
+            param=self.param))
+
+    def potential(self, x, t):
+        ang = self.omega * t
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        # body frame: rotate by -Omega t about z
+        xb = jnp.stack([c * x[:, 0] + s * x[:, 1],
+                        -s * x[:, 0] + c * x[:, 1], x[:, 2]], axis=-1)
+        amp = 0.5 * (1.0 + jnp.tanh((t - self.Ton) / self.DeltaT))
+        return amp * self._ellip.potential(xb)
+
+
+@dataclass
 class UserMW(ExternalField):
     """Milky-Way potential a la Gala (src/user/UserMW.H:9-31): NFW halo +
     Miyamoto–Nagai disk + Hernquist nucleus + Hernquist bulge, with an erf
@@ -368,6 +401,7 @@ _REGISTRY = {
     "userlogpot": UserLogPot,
     "usermndisk": UserMNdisk,
     "userbar": UserBar,
+    "userellipsoid": UserEllipsoid,
     "tidalField": TidalField,
     "usermw": UserMW,
     "userdisk": UserDisk,
