@@ -369,7 +369,8 @@ def orthochk(argv=None):
     ap = make_parser("orthochk", orthochk.__doc__)
     ap.add_argument("-i", "--model", default="hernquist")
     ap.add_argument("--geometry", default="sphere",
-                    choices=["sphere", "slab", "cube", "cylinder"])
+                    choices=["sphere", "slab", "cube", "cylinder",
+                             "flatdisk"])
     ap.add_argument("--config", default=None,
                     help="YAML force stanza (required for cylinder)")
     ap.add_argument("--lmax", type=int, default=2)
@@ -396,6 +397,36 @@ def orthochk(argv=None):
     return 0 if worst <= a.tol else 1
 
 
+def _orthochk_flatdisk(a):
+    """Razor-thin 2D EOF biorthogonality (utils/SL/EOF2d.cc --ortho):
+    the density partner is a SURFACE density delta-layer, so the check
+    is the midplane energy integral -int Phi_j [4 pi sigma_k] R dR
+    x 2 pi (with the sqrt2 m>0 azimuthal convention giving 2 delta),
+    not the 3D volume Gram the other geometries use."""
+    from exp_tpu.basis.flatdisk import build_flatdisk_tables
+
+    model = str(a.model) if str(a.model) in ("kuzmin", "expon", "mestel",
+                                             "zang") else "expon"
+    # odd numy puts an exact z=0 row on the grid (with the default even
+    # count the nearest row sits at |z|>0 and the e^{-k|z|} decay of the
+    # high-k Hankel modes biases the energy integral by ~5%)
+    t = build_flatdisk_tables(mmax=2, nmax=a.nmax, model=model, numy=129)
+    iy0 = t.numy // 2                       # midplane row (z = 0)
+    Rg = np.asarray(t.R_of_x(np.linspace(t.xmin, t.xmax, t.numx)))
+    w = np.gradient(Rg)
+    worst = 0.0
+    for m in range(t.mmax + 1):
+        P = t.pot[:, iy0, m, :]             # (numx, nmax)
+        D = t.dens[:, iy0, m, :]            # stores 4 pi sigma
+        G = -2.0 * np.pi * np.einsum("xj,xk,x->jk", P, D, Rg * w)
+        target = (2.0 if m else 1.0) * np.eye(a.nmax)
+        err = np.abs(G - target).max()
+        worst = max(worst, err)
+        print(f"m={m}: max|G-{'2' if m else ''}I| = {err:.3e}")
+    print("PASS" if worst <= a.tol else "FAIL")
+    return 0 if worst <= a.tol else 1
+
+
 def _orthochk_pyexp(a):
     """Non-sphere orthochk backend over pyexp Basis.orthoCheck.  The
     Gram matrices are ~ -I for the cylinder potential/density pair and
@@ -412,11 +443,13 @@ def _orthochk_pyexp(a):
     elif a.geometry == "cube":
         conf = {"id": "cube", "parameters":
                 {"nmaxx": 2, "nmaxy": 2, "nmaxz": 2}}
+    elif a.geometry == "flatdisk":
+        return _orthochk_flatdisk(a)
     else:
         raise SystemExit("--config (with the EOF cache) is required for "
                          "--geometry cylinder")
     b = PBasis.factory(conf)
-    sign = -1.0 if a.geometry == "cylinder" else 1.0
+    sign = -1.0 if a.geometry in ("cylinder", "flatdisk") else 1.0
     worst = 0.0
     for k, G in enumerate(b.orthoCheck()):
         G = np.abs(np.asarray(G)) if a.geometry == "cube" else \

@@ -769,3 +769,14 @@ def test_ellipforce_and_gensph_ebar(tmp_path, capsys):
     capsys.readouterr()
     v2_0 = (np.loadtxt(bods, skiprows=1)[:, 4:7] ** 2).sum(axis=1).mean()
     assert v2_bar > v2_0 * 1.02   # the bar deepens the halo potential
+
+
+def test_orthochk_flatdisk(capsys):
+    """EOF2d-style biorthogonality of the razor-thin 2D set
+    (utils/SL/EOF2d.cc --ortho): midplane Hankel energy integral."""
+    from exp_tpu.cli.analysis_tools import orthochk
+
+    rc = orthochk(["--geometry", "flatdisk", "--nmax", "6",
+                   "-i", "kuzmin", "--tol", "5e-2"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "PASS" in out and "max|G-2I|" in out
