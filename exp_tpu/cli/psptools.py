@@ -247,16 +247,23 @@ def shrinkics(argv=None):
 
 
 def psphisto(argv=None):
-    """psphisto — 1D mass-weighted histogram of a phase-space quantity
+    """psphisto — mass-weighted histogram of a phase-space quantity
     (utils/Analysis/psphisto.cc; pot/E cover utils/PhaseSpace/psp2histoE):
-    field in {r, R, x, y, z, vr, vt, v2, pot, E}."""
+    field in {r, R, x, y, z, vr, vt, v2, pot, E}.  With --field2 the
+    output is the 2D (field, field2) mass grid (the psp2histo /
+    gas2dcyl R-z histogram shape)."""
     ap = make_parser("psphisto", psphisto.__doc__)
     ap.add_argument("file")
     ap.add_argument("--field", default="r",
                     choices=["r", "R", "x", "y", "z", "vr", "vt", "v2",
                              "pot", "E"])
+    ap.add_argument("--field2", default=None,
+                    choices=["r", "R", "x", "y", "z", "vr", "vt", "v2",
+                             "pot", "E"],
+                    help="second axis: write a 2D mass histogram")
     ap.add_argument("--comp", default=None)
     ap.add_argument("--nbins", type=int, default=40)
+    ap.add_argument("--nbins2", type=int, default=None)
     ap.add_argument("--log", action="store_true")
     ap.add_argument("-o", "--output", default=None)
     a = ap.parse_args(argv)
@@ -280,6 +287,29 @@ def psphisto(argv=None):
         pot = np.concatenate([c.pot for c in cs])
         vals["pot"] = pot
         vals["E"] = 0.5 * vals["v2"] + pot
+    if a.field2 is not None and a.field2 in ("pot", "E") \
+            and "pot" not in vals:
+        pot = np.concatenate([c.pot for c in cs])
+        vals["pot"] = pot
+        vals["E"] = 0.5 * vals["v2"] + pot
+    if a.field2 is not None:
+        q1, q2 = vals[a.field], vals[a.field2]
+        nb2 = a.nbins2 or a.nbins
+        e1 = np.linspace(q1.min(), q1.max(), a.nbins + 1)
+        e2 = np.linspace(q2.min(), q2.max(), nb2 + 1)
+        H, _, _ = np.histogram2d(q1, q2, bins=[e1, e2], weights=m)
+        out = a.output or f"{a.file}.histo.{a.field}.{a.field2}"
+        with open(out, "w") as f:
+            f.write(f"# 2D mass histogram: rows={a.field} "
+                    f"cols={a.field2}\n")
+            f.write("# " + " ".join(f"{0.5 * (e2[j] + e2[j + 1]):.6g}"
+                                    for j in range(nb2)) + "\n")
+            for i in range(a.nbins):
+                f.write(f"{0.5 * (e1[i] + e1[i + 1]):.8g} "
+                        + " ".join(f"{H[i, j]:.8g}" for j in range(nb2))
+                        + "\n")
+        print(f"wrote {out}")
+        return
     q = vals[a.field]
     if a.log:
         if not (q > 0).any():

@@ -291,3 +291,20 @@ def test_hdf52accel(tmp_path):
         np.testing.assert_allclose(rec["pos"],
                                    f["PartType2/Coordinates"][...],
                                    rtol=1e-6)
+
+
+def test_psphisto_2d(tmp_path):
+    """--field2 writes the 2D (R, z) mass grid (gas2dcyl / psp2histo)."""
+    from exp_tpu.cli.psptools import psphisto
+    from exp_tpu.io.psp import write_psp
+
+    d = _dump(n=4000, seed=4)
+    p = str(tmp_path / "h.psp")
+    write_psp(p, d)
+    out = str(tmp_path / "rz.histo")
+    psphisto([p, "--field", "R", "--field2", "z", "--nbins", "10",
+              "--nbins2", "6", "-o", out])
+    rows = np.loadtxt(out)
+    assert rows.shape == (10, 7)              # R center + 6 z columns
+    np.testing.assert_allclose(rows[:, 1:].sum(),
+                               d.components[0].mass.sum(), rtol=1e-6)
