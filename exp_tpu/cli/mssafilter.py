@@ -1,16 +1,18 @@
-"""mssafilter — M-SSA noise filtering of a coefficient file
-(utils/MSSA/exp_halo_noise.cc, exp_disk_noise.cc): decompose the
-coefficient series with M-SSA, keep the leading eigentriples (by count
-`--npc` and/or the cumulative-variance cut `--evtol`,
-exp_halo_noise.cc:517-528), and write
+"""mssafilter — M-SSA noise filtering of coefficient file(s)
+(utils/MSSA/exp_halo_noise.cc, exp_disk_noise.cc, exp_haloN.cc):
+decompose the coefficient series with M-SSA, keep the leading
+eigentriples (by count `--npc` and/or the cumulative-variance cut
+`--evtol`, exp_halo_noise.cc:517-528), and write
 
-  <prefix>.recon       — the filtered (signal) coefficient series
-  <prefix>.recon_diff  — the residual (noise) series, original - recon
+  <prefix>[.k].recon       — the filtered (signal) coefficient series
+  <prefix>[.k].recon_diff  — the residual (noise) series
 
 both in the coefficient file format of the input (exp_halo_noise.cc:679-693
 writes EXP native format; here the HDF5 schema round-trips through
 exp_tpu.io.coefs).  `--zero` zeroes channels excluded from the analysis in
-the reconstruction (the reference's -z)."""
+the reconstruction (the reference's -z).  Passing SEVERAL -d files is the
+exp_haloN multi-simulation mode: one joint M-SSA over the union of every
+run's channels (shared temporal PCs), with per-run output files."""
 
 import sys
 
@@ -21,8 +23,9 @@ from exp_tpu.cli._common import make_parser
 
 def main(argv=None):
     ap = make_parser("mssafilter", __doc__)
-    ap.add_argument("-d", "--datafile", required=True,
-                    help="coefficient file (HDF5 or EXP native)")
+    ap.add_argument("-d", "--datafile", required=True, action="append",
+                    help="coefficient file (HDF5 or EXP native); repeat "
+                         "for the exp_haloN multi-run joint analysis")
     ap.add_argument("-o", "--output", default="noise",
                     help="output file prefix")
     ap.add_argument("-W", "--numW", type=int, default=10,
@@ -43,21 +46,31 @@ def main(argv=None):
     from exp_tpu.analysis.coefs import Coefs
     from exp_tpu.analysis.mssa import expMSSA
 
-    coefs = Coefs.from_file(a.datafile)
-    times = np.asarray(coefs.times())
-    keep_t = (times >= a.tmin) & (times <= a.tmax)
-    if not keep_t.all():
-        sub = Coefs(coefs.geometry, coefs.name, coefs.meta)
-        for t in times[keep_t]:
-            sub.add(float(t), coefs(float(t)))
-        coefs = sub
+    runs = {}
+    common = None
+    for k, path in enumerate(a.datafile):
+        coefs = Coefs.from_file(path)
+        times = np.asarray(coefs.times())
+        keep_t = (times >= a.tmin) & (times <= a.tmax)
         times = times[keep_t]
-    if len(times) < 2 * a.numW:
-        print(f"mssafilter: only {len(times)} samples for window "
+        common = times if common is None else \
+            np.intersect1d(common, times)
+        runs[f"c{k}"] = coefs
+    # restrict every run to the common (windowed) epoch grid — the
+    # exp_haloN joint analysis needs one shared time axis
+    for key, coefs in list(runs.items()):
+        times = np.asarray(coefs.times())
+        if len(common) != len(times) or not np.allclose(common, times):
+            sub = Coefs(coefs.geometry, coefs.name, coefs.meta)
+            for t in common:
+                sub.add(float(t), coefs(float(t)))
+            runs[key] = sub
+    if len(common) < 2 * a.numW:
+        print(f"mssafilter: only {len(common)} samples for window "
               f"{a.numW}; need >= {2 * a.numW}")
         return 1
 
-    m = expMSSA({"c": coefs}, window=a.numW, numpc=min(a.npc, a.numW))
+    m = expMSSA(runs, window=a.numW, numpc=min(a.npc, a.numW))
     ev = m.eigenvalues()
     cum = np.cumsum(ev) / np.sum(ev)
     if a.ev:
@@ -71,26 +84,27 @@ def main(argv=None):
     print(f"mssafilter: keeping {ncomp}/{len(ev)} eigentriples "
           f"(cumvar {cum[ncomp - 1]:.4f})")
 
-    recon = m.reconstruct_coefs(coefs, groups=groups, name="c")
-    diff = coefs.deepcopy()
-    for t in times:
-        diff._data[float(t)] = coefs(float(t)) - recon(float(t))
-    if a.zero:
-        # channels never entered the MSSA analysis keep their original
-        # values in reconstruct_coefs; --zero zeroes them instead
-        analyzed = {j for (_, j) in m.keys}
-        for t in times:
-            flat = recon(float(t)).reshape(-1).copy()
-            mask = np.ones(flat.size, bool)
-            mask[list(analyzed)] = False
-            flat[mask] = 0.0
-            recon._data[float(t)] = flat.reshape(coefs(float(t)).shape)
-
-    out1 = f"{a.output}.recon"
-    out2 = f"{a.output}.recon_diff"
-    recon.to_file(out1)
-    diff.to_file(out2)
-    print(f"mssafilter: wrote {out1} and {out2}")
+    multi = len(runs) > 1
+    for k, (key, coefs) in enumerate(runs.items()):
+        recon = m.reconstruct_coefs(coefs, groups=groups, name=key)
+        diff = coefs.deepcopy()
+        for t in common:
+            diff._data[float(t)] = coefs(float(t)) - recon(float(t))
+        if a.zero:
+            # channels never entered the MSSA analysis keep their
+            # original values in reconstruct_coefs; --zero zeroes them
+            analyzed = {j for (nm, j) in m.keys if nm == key}
+            for t in common:
+                flat = recon(float(t)).reshape(-1).copy()
+                mask = np.ones(flat.size, bool)
+                mask[list(analyzed)] = False
+                flat[mask] = 0.0
+                recon._data[float(t)] = flat.reshape(
+                    coefs(float(t)).shape)
+        tag = f"{a.output}.{k}" if multi else a.output
+        recon.to_file(f"{tag}.recon")
+        diff.to_file(f"{tag}.recon_diff")
+        print(f"mssafilter: wrote {tag}.recon and {tag}.recon_diff")
     return 0
 
 

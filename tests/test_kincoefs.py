@@ -308,3 +308,45 @@ def test_psphisto_2d(tmp_path):
     assert rows.shape == (10, 7)              # R center + 6 z columns
     np.testing.assert_allclose(rows[:, 1:].sum(),
                                d.components[0].mass.sum(), rtol=1e-6)
+
+
+def test_mssafilter_multirun(tmp_path, capsys):
+    """exp_haloN mode: joint M-SSA over several runs' channels with
+    per-run recon/recon_diff outputs."""
+    from exp_tpu.analysis.coefs import Coefs
+    from exp_tpu.cli.mssafilter import main as mssafilter
+
+    rng = np.random.default_rng(9)
+    files = []
+    bases = []
+    for k in range(2):
+        c = Coefs(geometry="sphere", name=f"r{k}",
+                  meta={"lmax": 1, "nmax": 3})
+        base = rng.normal(0, 1, (2, 2, 2, 3))
+        for l in range(2):
+            base[:, l, l + 1:] = 0.0
+        base[1, :, 0] = 0.0
+        bases.append(base)
+        for i in range(48):
+            sig = base * (1.0 + 0.5 * np.sin(2 * np.pi * i / 24.0))
+            noise = 0.01 * rng.normal(0, 1, base.shape)
+            for l in range(2):
+                noise[:, l, l + 1:] = 0.0
+            noise[1, :, 0] = 0.0
+            c.add(i * 0.1, sig + noise)
+        f = str(tmp_path / f"c{k}.h5")
+        c.to_file(f)
+        files.append(f)
+
+    pre = str(tmp_path / "nf")
+    assert mssafilter(["-d", files[0], "-d", files[1], "-o", pre,
+                       "-W", "12", "-e", "0.05"]) == 0
+    out = capsys.readouterr().out
+    assert "keeping" in out
+    for k in range(2):
+        rec = Coefs.from_file(f"{pre}.{k}.recon")
+        dif = Coefs.from_file(f"{pre}.{k}.recon_diff")
+        A = Coefs.from_file(files[k]).as_array()
+        R, D = rec.as_array(), dif.as_array()
+        assert np.allclose(R + D, A, atol=1e-10)
+        assert np.abs(D).mean() < 0.1 * np.abs(A).mean()
