@@ -424,19 +424,51 @@ def snapconvert(argv=None):
 
 def snap2vtk(argv=None):
     """snap2vtk — particles -> legacy-VTK point cloud with mass (and
-    optional potential) scalars, for ParaView (the reference's psp2vtu)."""
+    optional potential) scalars, for ParaView (the reference's psp2vtu).
+    With --grid N the output is instead an N^3 STRUCTURED_POINTS density
+    grid binned from the particles (utils/Analysis/makegrid.cc)."""
     ap = make_parser("snap2vtk", snap2vtk.__doc__)
     ap.add_argument("file")
     ap.add_argument("--type", default="psp",
                     choices=["psp", "gadget", "tipsy", "ascii"])
     ap.add_argument("--comp", default=None)
     ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--grid", type=int, default=0, metavar="N",
+                    help="write an N^3 binned-density structured grid "
+                         "instead of a point cloud (makegrid.cc)")
+    ap.add_argument("--rmax", type=float, default=None,
+                    help="half-extent of the --grid box (default: the "
+                         "95th-percentile radius)")
     ap.add_argument("-o", "--output", default=None)
     a = ap.parse_args(argv)
     from exp_tpu.io.readers import createReader
 
     s = createReader(a.type, a.file)
     x, v, m = s.GetParticles(a.comp)
+    if a.grid:
+        x = np.asarray(x)
+        m = np.asarray(m)
+        N = a.grid
+        rmax = a.rmax or float(np.percentile(
+            np.abs(x).max(axis=1), 95.0))
+        edges = np.linspace(-rmax, rmax, N + 1)
+        H, _ = np.histogramdd(x, bins=(edges, edges, edges), weights=m)
+        dx = 2.0 * rmax / N
+        H /= dx ** 3                                   # mass -> density
+        out = a.output or a.file + ".grid.vtk"
+        with open(out, "w") as f:
+            f.write("# vtk DataFile Version 3.0\nexp_tpu density grid\n"
+                    "ASCII\nDATASET STRUCTURED_POINTS\n")
+            f.write(f"DIMENSIONS {N} {N} {N}\n")
+            f.write(f"ORIGIN {-rmax + 0.5 * dx:.7g} "
+                    f"{-rmax + 0.5 * dx:.7g} {-rmax + 0.5 * dx:.7g}\n")
+            f.write(f"SPACING {dx:.7g} {dx:.7g} {dx:.7g}\n")
+            f.write(f"POINT_DATA {N ** 3}\nSCALARS density float 1\n"
+                    "LOOKUP_TABLE default\n")
+            # VTK structured points iterate x fastest
+            np.savetxt(f, H.transpose(2, 1, 0).reshape(-1), fmt="%.7g")
+        print(f"wrote {out} ({N}^3 grid, rmax={rmax:.4g})")
+        return
     x = np.asarray(x)[::a.stride]
     v = np.asarray(v)[::a.stride]
     m = np.asarray(m)[::a.stride]

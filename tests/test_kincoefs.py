@@ -350,3 +350,24 @@ def test_mssafilter_multirun(tmp_path, capsys):
         R, D = rec.as_array(), dif.as_array()
         assert np.allclose(R + D, A, atol=1e-10)
         assert np.abs(D).mean() < 0.1 * np.abs(A).mean()
+
+
+def test_snap2vtk_grid(tmp_path):
+    """--grid writes the makegrid.cc STRUCTURED_POINTS density volume."""
+    from exp_tpu.cli.psptools import snap2vtk
+    from exp_tpu.io.psp import write_psp
+
+    d = _dump(n=2000, seed=6)
+    p = str(tmp_path / "g.psp")
+    write_psp(p, d)
+    out = str(tmp_path / "g.vtk")
+    snap2vtk([p, "--grid", "8", "--rmax", "3.0", "-o", out])
+    txt = open(out).read()
+    assert "STRUCTURED_POINTS" in txt and "DIMENSIONS 8 8 8" in txt
+    vals = np.loadtxt(out, skiprows=10)
+    # total mass recovered: sum(density) * cell volume
+    dx = 6.0 / 8
+    np.testing.assert_allclose(vals.sum() * dx ** 3,
+                               d.components[0].mass[
+                                   (np.abs(d.components[0].x) < 3.0)
+                                   .all(axis=1)].sum(), rtol=1e-5)
