@@ -15,7 +15,8 @@ utils/ inventory (SURVEY section 2.5):
                psp2range, pspreal, spl2psp (split-PSP assembly)
   Analysis:    diskprof (+--coef), haloprof, sphprof (coefficient-based
                field profiles), mssaprof, viewcoefs, h5compare, diskfreqs,
-               diskeof (empirical basis re-orthogonalization)
+               diskeof (empirical basis re-orthogonalization), makecoefs,
+               coefstoh5 (native coefficient file converter)
   MSSA:        mssafilter (exp_halo_noise / exp_disk_noise)
   SL/basis:    slcheck, orthochk, cylcache, eofinfo, slshift
 """
@@ -33,5 +34,5 @@ TOOLS = [
     "scalarprod", "pspinterp",
     "zangics", "pspmono",
     "psp2bess", "psp2lagu", "psp2rings", "psp2range", "pspreal", "spl2psp",
-    "diskeof", "hdf52accel",
+    "diskeof", "hdf52accel", "makecoefs", "coefstoh5",
 ]

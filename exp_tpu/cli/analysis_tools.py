@@ -595,3 +595,61 @@ def slabprof(argv=None):
             f.write(f"{zc:.8g} {rho:.8g} {sz:.8g} {vzm:.8g} "
                     f"{int(sel.sum())}\n")
     print(f"wrote {out}")
+
+
+def makecoefs(argv=None):
+    """makecoefs — project snapshot(s) onto a basis and write an HDF5
+    coefficient file (expui/makecoefs.cc; the CLI face of
+    Basis.create_from_snapshots)."""
+    ap = make_parser("makecoefs", makecoefs.__doc__)
+    ap.add_argument("files", nargs="+", help="snapshot file(s), in order")
+    ap.add_argument("--config", required=True,
+                    help="YAML force stanza ({id, parameters})")
+    ap.add_argument("--type", default=None)
+    ap.add_argument("--comp", default=None)
+    ap.add_argument("--center", action="store_true",
+                    help="subtract each snapshot's mass-weighted center")
+    ap.add_argument("--name", default="comp")
+    ap.add_argument("-o", "--output", default="coefs.h5")
+    a = ap.parse_args(argv)
+    import yaml
+    from exp_tpu.analysis.basis import Basis
+
+    with open(a.config) as fh:
+        basis = Basis.factory(yaml.safe_load(fh))
+    basis.name = a.name
+    snaps, times, centers = [], [], []
+    for f in a.files:
+        s = load_snapshot(f, a.type)
+        x, v, m = s.GetParticles(a.comp)
+        snaps.append((x, m))
+        times.append(float(getattr(s, "time", len(times))))
+        centers.append(np.average(x, axis=0, weights=m)
+                       if a.center else None)
+    c = basis.create_from_snapshots(
+        snaps, times=times,
+        centers=centers if a.center else None)
+    c.to_file(a.output)
+    print(f"makecoefs: wrote {len(times)} snapshot(s) to {a.output}")
+    return 0
+
+
+def coefstoh5(argv=None):
+    """coefstoh5 — convert a native (pre-HDF5 binary) EXP coefficient
+    file to the HDF5 schema (expui/coefstoh5.cc over
+    io.coefs.read_native_coefs)."""
+    ap = make_parser("coefstoh5", coefstoh5.__doc__)
+    ap.add_argument("file", help="native coefficient file")
+    ap.add_argument("--geometry", default=None,
+                    choices=[None, "sphere", "cylinder"],
+                    help="force the geometry (default: sniffed)")
+    ap.add_argument("-o", "--output", default=None)
+    a = ap.parse_args(argv)
+    from exp_tpu.io.coefs import read_native_coefs
+
+    c = read_native_coefs(a.file, geometry=a.geometry)
+    out = a.output or a.file + ".h5"
+    c.to_file(out)
+    print(f"coefstoh5: wrote {len(c.times())} time(s) "
+          f"({c.geometry}) to {out}")
+    return 0

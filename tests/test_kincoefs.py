@@ -371,3 +371,38 @@ def test_snap2vtk_grid(tmp_path):
                                d.components[0].mass[
                                    (np.abs(d.components[0].x) < 3.0)
                                    .all(axis=1)].sum(), rtol=1e-5)
+
+
+def test_makecoefs_coefstoh5(tmp_path, capsys):
+    import yaml
+
+    from exp_tpu.analysis.coefs import Coefs
+    from exp_tpu.cli.analysis_tools import coefstoh5, makecoefs
+    from exp_tpu.ic.eddington import sample_spherical_model
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.io.psp import PSPComponent, PSPDump, write_psp
+
+    stanza = {"id": "sphereSL",
+              "parameters": {"modelname": "hernquist", "Lmax": 2,
+                             "nmax": 4, "numr": 400, "rmin": 1e-3,
+                             "rmax": 20.0, "rmapping": 1.0}}
+    cfg = str(tmp_path / "b.yml")
+    with open(cfg, "w") as fh:
+        yaml.safe_dump(stanza, fh)
+    m = hernquist_model(rmin=1e-3, rmax=20.0)
+    files = []
+    for k in range(2):
+        x, v, mass = sample_spherical_model(m, 4000, seed=k)
+        f = str(tmp_path / f"OUT.mk.{k:05d}")
+        write_psp(f, PSPDump(time=0.1 * k, components=[PSPComponent(
+            name="halo", info="name: halo\n", mass=mass, x=x, v=v,
+            pot=np.zeros(len(mass)))]))
+        files.append(f)
+    out = str(tmp_path / "mk.h5")
+    assert makecoefs(files + ["--config", cfg, "--type", "psp",
+                              "-o", out]) == 0
+    c = Coefs.from_file(out)
+    assert len(c.times()) == 2 and c.geometry == "sphere"
+    # the monopole dominates an equilibrium sample
+    arr = c(c.times()[0])
+    assert np.abs(arr[0, 0, 0]).max() > 5 * np.abs(arr[0, 2]).max()
