@@ -27,7 +27,7 @@ reference needs MakeTable + trilinear interpolation).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import jax

@@ -49,18 +49,24 @@ def main():
         "disk": ParticleSystem.from_arrays(ic["xd"], ic["vd"], ic["md"],
                                            dtype=jnp.float32),
     }
+    t0 = time.perf_counter()
     st, regs, coef, diag = runner.init_state(flat)
+    jax.block_until_ready(st["halo"][0].x)
+    print(f"init_state: {time.perf_counter() - t0:.1f} s", flush=True)
     # steady-state warmup like bench_composite
     sig = runner._caps_sig(st)
-    for _ in range(6):
+    for it in range(6):
+        t0 = time.perf_counter()
         st, regs, coef, diag = runner.bigstep(st, regs)
         st, regs = runner.relevel(st, regs)
         jax.block_until_ready(st["halo"][0].x)
         s2 = runner._caps_sig(st)
+        print(f"warmup {it}: {time.perf_counter() - t0:.1f} s "
+              f"caps={s2}", flush=True)
         if s2 == sig:
             break
         sig = s2
-    print("warm; caps:", sig, flush=True)
+    print("warm", flush=True)
 
     # A: bigstep only
     t0 = time.perf_counter()
