@@ -18,10 +18,12 @@ the consistent convention above, validated against the homogeneous
 sphere and the monopole far field.)
 
 Everything is jax: the u-integral is a fixed Gauss-Legendre rule under
-the reference's tan substitution, the outside lambda comes from
-bisection refined by differentiable Newton steps, and forces are exact
-autodiff gradients of the potential — no force table required (the
-reference needs MakeTable + trilinear interpolation).
+a rational-square substitution smooth at both endpoints (the
+reference's tan rule leaves a sqrt cusp at infinity), the outside
+lambda comes from bisection refined by differentiable Newton steps,
+and forces are exact autodiff gradients of the potential — no force
+table required (the reference needs MakeTable + trilinear
+interpolation).
 """
 
 from __future__ import annotations
