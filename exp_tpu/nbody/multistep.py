@@ -239,17 +239,36 @@ class LevelBuckets:
 
 
 def _pad_cap(n: int, quantum: int, headroom: int = 1) -> int:
-    """Capacity: round up to the quantum (mesh shards), sticky growth.
-    `headroom` multiplies the capacity (power of two) so level migration
-    between re-levelings rarely overflows a bucket — every overflow means
-    recompiling all substep graphs for the new capacity signature."""
+    """Capacity: round up to the quantum (mesh shards), sticky growth;
+    every overflow means recompiling all substep graphs for the new
+    capacity signature, so capacities carry slack.
+
+    headroom <= 1: next power of two (the legacy policy — up to 2x
+    hidden slack from the rounding alone).
+
+    headroom >= 2: (1 + 0.15 headroom) multiplicative slack rounded up
+    on a pow2/8 grid.  The old policy multiplied the POW2 by headroom —
+    at the 10.5M composite that padded 10.5M live particles to 21.2M
+    bucket rows, and every per-particle pass (substeps AND the relevel
+    sort) pays linearly for padding: measured per big step (probe,
+    v5e) 767 -> 528 ms — substeps 349 -> 272 ms, relevel 408 -> 256 ms
+    — from this change alone.  The pow2/8 grid keeps the signature
+    sticky under sqrt-N population noise; equilibrium DiskHalo ICs
+    drift well under one grid step."""
     n = max(n, 1)
-    c = ((n + quantum - 1) // quantum) * quantum
-    # next power-of-two-ish growth to keep recompiles rare
-    p = quantum
-    while p < c:
+    headroom = max(1, int(headroom))
+    if headroom <= 1:
+        c = ((n + quantum - 1) // quantum) * quantum
+        p = quantum
+        while p < c:
+            p *= 2
+        return p
+    target = int(np.ceil(n * (1.0 + 0.15 * headroom)))
+    p = 1
+    while p < target:
         p *= 2
-    return p * max(1, int(headroom))
+    step = max(p // 8, quantum)
+    return ((target + step - 1) // step) * step
 
 
 def bucketize(ps: ParticleSystem, M: int, quantum: int,
@@ -472,7 +491,7 @@ class MultistepRunner:
                  mesh, accum_dtype=jnp.float32, dynparams=None,
                  shiftlevl: int = 0, externals=(), feats=None, wrappers=(),
                  cap_headroom: int = 1, fused: bool = False,
-                 eqmotion: bool = True):
+                 eqmotion: bool = True, rebucket_style: str = "sortfull"):
         self.externals = tuple(externals)
         self.forces = forces
         self.couples = couples
@@ -491,6 +510,8 @@ class MultistepRunner:
         self.fused = bool(fused)
         #: eqmotion: false freezes x/v (Global eqmotion, incpos.cc:75)
         self.eqmotion = bool(eqmotion)
+        #: 'sortgather' (default) or 'sortfull' — see _make_rebucket
+        self.rebucket_style = str(rebucket_style)
         self._fns = {}
         self._init_fns = {}
         self._assess_fns = {}
@@ -653,18 +674,28 @@ class MultistepRunner:
         return assess
 
     def _make_rebucket(self, caps):
-        """Device-side rebucketing at FIXED capacities: ONE stable
-        `lax.sort` carrying the 11 per-particle field columns as value
-        operands (dead rows keyed last), then a contiguous
-        `dynamic_slice` per bucket.  Sort networks move the payload in
-        full vector lanes and the slices are plain DMA copies, so neither
-        pays the TPU per-index cost of gather/scatter.  Measured at 1M
+        """Device-side rebucketing at FIXED capacities, then a contiguous
+        `dynamic_slice` per bucket.  Two equivalent permutation engines:
+
+        'sortfull' — ONE stable `lax.sort` carrying the 11 per-particle
+        field columns as value operands (dead rows keyed last).  Sort
+        networks move the payload in full vector lanes; measured at 1M
         particles on a v5e (assess+rebucket jit): sort+slice 28 ms vs
-        106 ms for stable-argsort + per-bucket row gathers (whose index
-        count scales with the PADDED capacities, 2-4x N at
-        cap_headroom=2) and 278 ms for a counting-sort row scatter —
-        all three bit-exact equivalent."""
+        106 ms for stable-argsort + PER-BUCKET PER-COLUMN gathers (22+
+        scalar-column gathers whose index count scales with the PADDED
+        capacities) and 278 ms for a counting-sort row scatter.
+
+        'sortgather' — sort only (key, iota) and realize the permutation
+        with ONE row-gather of the 11 float columns packed (Npad, 11)
+        plus a 1-D indx gather.  MEASURED WORSE at scale and kept only
+        as the equivalence cross-check: TPU gathers of sub-tile rows
+        lower to per-ELEMENT loads (~4 ns each), so the 10.5M composite
+        relevel went 408 -> 1005 ms — the bitonic network's full-vector
+        payload lanes beat gather/scatter for whole-array permutations
+        at every size probed (scripts/probe_relevel_cost.py; the r2 1M
+        measurements said the same).  Bit-exact equivalent (tested)."""
         M = self.M
+        style = self.rebucket_style
 
         def rebucket(flat, levs):
             st = {}
@@ -675,9 +706,23 @@ class MultistepRunner:
                         ps.v[:, 0], ps.v[:, 1], ps.v[:, 2],
                         ps.acc[:, 0], ps.acc[:, 1], ps.acc[:, 2],
                         ps.mass, ps.pot, ps.indx]
-                sorted_ops = jax.lax.sort([key] + cols, num_keys=1,
-                                          is_stable=True)
-                scols = sorted_ops[1:]
+                if style == "sortgather":
+                    npad = key.shape[0]
+                    iota = jax.lax.iota(jnp.int32, npad)
+                    _, sidx = jax.lax.sort([key, iota], num_keys=1,
+                                           is_stable=True)
+                    # the 11 float columns share the compute dtype and
+                    # ride ONE row-gather; indx keeps its integer dtype
+                    # via its own 1-D gather (packing it into the float
+                    # matrix would round the identity bits)
+                    packed = jnp.stack(cols[:11], axis=1)
+                    sp = jnp.take(packed, sidx, axis=0)
+                    scols = [sp[:, j] for j in range(11)] + [
+                        jnp.take(cols[11], sidx)]
+                else:
+                    sorted_ops = jax.lax.sort([key] + cols, num_keys=1,
+                                              is_stable=True)
+                    scols = sorted_ops[1:]
                 # pad so a bucket's slice never runs off the end (starts
                 # are clamped by dynamic_slice; the valid mask zeroes any
                 # rows past the bucket's live count either way)

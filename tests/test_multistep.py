@@ -161,3 +161,30 @@ def test_fused_bigstep_equivalence(setup):
     np.testing.assert_allclose(np.asarray(coef_a["c"]),
                                np.asarray(coef_b["c"]),
                                rtol=1e-12, atol=1e-15)
+
+
+def test_rebucket_styles_bit_exact(setup):
+    """The sortgather permutation engine (key+iota sort, one packed row
+    gather) is bit-exact against the full-payload sort across bigstep +
+    relevel cycles, including the i64 indx under x64."""
+    force, x, v, mass, mesh = setup
+    outs = {}
+    for style in ("sortfull", "sortgather"):
+        r = MultistepRunner({"h": force}, {"h": ["h"]}, 2e-3, 2, mesh,
+                            dynparams={"dynfracV": 0.01,
+                                       "dynfracA": 0.03},
+                            cap_headroom=2, fused=True,
+                            rebucket_style=style)
+        flat = {"h": ParticleSystem.from_arrays(x, v, mass,
+                                                dtype=jnp.float64)}
+        st, regs, coef, diag = r.init_state(flat)
+        for _ in range(2):
+            st, regs, coef, diag = r.bigstep(st, regs)
+            st, regs = r.relevel(st, regs)
+        outs[style] = jax.device_get(st)
+    a, b = outs["sortfull"], outs["sortgather"]
+    for l in range(3):
+        for f in ("x", "v", "acc", "mass", "pot", "indx", "level"):
+            va = np.asarray(getattr(a["h"][l], f))
+            vb = np.asarray(getattr(b["h"][l], f))
+            assert va.shape == vb.shape and (va == vb).all(), (l, f)
