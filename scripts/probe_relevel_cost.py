@@ -42,7 +42,9 @@ def main():
     runner = MultistepRunner(forces, couples, 2e-3, 2, mesh,
                              dynparams={"dynfracV": 0.01,
                                         "dynfracA": 0.03},
-                             cap_headroom=2, fused=True)
+                             cap_headroom=2, fused=True,
+                             rebucket_style=os.environ.get(
+                                 "REBUCKET", "sortfull"))
     flat = {
         "halo": ParticleSystem.from_arrays(ic["xh"], ic["vh"], ic["mh"],
                                            dtype=jnp.float32),
@@ -76,12 +78,18 @@ def main():
     tA = (time.perf_counter() - t0) / nbig
     print(f"bigstep only: {tA * 1e3:.1f} ms", flush=True)
 
-    # B: bigstep + relevel
+    # B: bigstep + relevel (per-iteration timings expose fallbacks)
     t0 = time.perf_counter()
-    for _ in range(nbig):
+    for it in range(nbig):
+        ti = time.perf_counter()
         st, regs, coef, diag = runner.bigstep(st, regs)
+        tm = time.perf_counter()
         st, regs = runner.relevel(st, regs)
-    jax.block_until_ready(st["halo"][0].x)
+        jax.block_until_ready(st["halo"][0].x)
+        print(f"  iter {it}: bigstep {(tm - ti) * 1e3:.1f} ms, "
+              f"relevel {(time.perf_counter() - tm) * 1e3:.1f} ms, "
+              f"compactions={getattr(runner, 'n_compactions', 0)}",
+              flush=True)
     tB = (time.perf_counter() - t0) / nbig
     print(f"bigstep+relevel: {tB * 1e3:.1f} ms "
           f"(relevel ~ {(tB - tA) * 1e3:.1f} ms)", flush=True)

@@ -188,3 +188,69 @@ def test_rebucket_styles_bit_exact(setup):
             va = np.asarray(getattr(a["h"][l], f))
             vb = np.asarray(getattr(b["h"][l], f))
             assert va.shape == vb.shape and (va == vb).all(), (l, f)
+
+
+def test_incremental_relevel_equivalence(setup):
+    """The movers-only incremental relevel (in-place kills + tail
+    appends + full-sort compaction fallback) carries EXACTLY the same
+    live particle set and per-particle data as the full sort, bucket by
+    bucket (order differs; holes are zero-mass)."""
+    force, x, v, mass, mesh = setup
+
+    def run(style, nbig=4):
+        r = MultistepRunner({"h": force}, {"h": ["h"]}, 2e-3, 2, mesh,
+                            dynparams={"dynfracV": 0.01,
+                                       "dynfracA": 0.03},
+                            cap_headroom=2, fused=True,
+                            rebucket_style=style)
+        flat = {"h": ParticleSystem.from_arrays(x, v, mass,
+                                                dtype=jnp.float64)}
+        st, regs, coef, diag = r.init_state(flat)
+        for _ in range(nbig):
+            st, regs, coef, diag = r.bigstep(st, regs)
+            st, regs = r.relevel(st, regs)
+        return r, jax.device_get(st)
+
+    r_inc, a = run("incremental")
+    r_ref, b = run("sortfull")
+    for l in range(3):
+        for sa, sb in ((a, b),):
+            pa, pb = sa["h"][l], sb["h"][l]
+            la = np.asarray(pa.mass) > 0
+            lb = np.asarray(pb.mass) > 0
+            assert la.sum() == lb.sum(), l
+            ia = np.argsort(np.asarray(pa.indx)[la])
+            ib = np.argsort(np.asarray(pb.indx)[lb])
+            for f in ("x", "v", "acc", "mass", "pot", "indx"):
+                va = np.asarray(getattr(pa, f))[la][ia]
+                vb = np.asarray(getattr(pb, f))[lb][ib]
+                # same particles; trajectories bit-identical because the
+                # substep sums are order-independent per particle except
+                # the coefficient reduction, which accumulates in f64
+                np.testing.assert_allclose(va, vb, rtol=1e-12, atol=0,
+                                           err_msg=f"level {l} {f}")
+
+
+def test_incremental_relevel_fallback(setup):
+    """Arrival-buffer bursts trigger the full-sort compaction and reset
+    the fill pointers; the run continues correctly."""
+    force, x, v, mass, mesh = setup
+    r = MultistepRunner({"h": force}, {"h": ["h"]}, 2e-3, 2, mesh,
+                        dynparams={"dynfracV": 0.01, "dynfracA": 0.03},
+                        cap_headroom=2, fused=True,
+                        rebucket_style="incremental")
+    # tiny buffers: every relevel with movement overflows and compacts
+    r._arrival_caps = lambda caps: {n: tuple(1 for _ in cs)
+                                    for n, cs in caps.items()}
+    flat = {"h": ParticleSystem.from_arrays(x, v, mass,
+                                            dtype=jnp.float64)}
+    st, regs, coef, diag = r.init_state(flat)
+    n_live0 = sum(int((np.asarray(b.mass) > 0).sum()) for b in st["h"])
+    for _ in range(3):
+        st, regs, coef, diag = r.bigstep(st, regs)
+        st, regs = r.relevel(st, regs)
+    n_live = sum(int((np.asarray(b.mass) > 0).sum()) for b in st["h"])
+    assert n_live == n_live0              # nobody lost in the fallback
+    sig = r._caps_sig(st)
+    counts = r.level_counts(st)
+    assert r._fill[sig]["h"] == counts["h"]   # compaction reset fill
