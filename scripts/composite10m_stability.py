@@ -1,0 +1,85 @@
+"""Long-horizon stability of the 10.5M flagship composite on one chip:
+level populations and the virial ratio over NBIG big steps (the physics
+evidence that the equilibrium DiskHalo ICs + multistep machinery hold at
+the BASELINE.md north-star scale, not just at the 1M test scale)."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+import bench_suite
+from exp_tpu.nbody.particles import ParticleSystem
+from exp_tpu.nbody.multistep import MultistepRunner
+from exp_tpu.parallel import particle_mesh
+
+
+def main():
+    import jax.numpy as jnp
+    from exp_tpu.basis.empcyl import build_empcyl_tables
+    from exp_tpu.forces.cylinder import CylinderForce
+    from exp_tpu.forces.spherical import SphereSL
+    from exp_tpu.ic.diskhalo import virial_ratio
+
+    nbig = int(os.environ.get("NBIG", 30))
+    ts = bench_suite.sphere_tables(lmax=4, nmax=10)
+    halo = SphereSL.from_tables(ts, dtype=jnp.float32, backend="pallas")
+    tc = build_empcyl_tables(
+        mmax=6, nmax=18, lmaxfid=32, nmaxfid=24, acyl=0.01, hcyl=0.002,
+        cachename=os.path.join(bench_suite.CACHE_DIR, "eof_m6n18.h5"))
+    disk = CylinderForce.from_tables(tc, dtype=jnp.float32,
+                                     backend="pallas")
+    ic = bench_suite.composite_ics(halo, disk, 8_388_608, 2_097_152)
+    mesh = particle_mesh(1)
+    runner = MultistepRunner(
+        {"halo": halo, "disk": disk},
+        {"halo": ["halo", "disk"], "disk": ["halo", "disk"]},
+        2e-3, 2, mesh, dynparams={"dynfracV": 0.01, "dynfracA": 0.03},
+        cap_headroom=2, fused=True)
+    flat = {
+        "halo": ParticleSystem.from_arrays(ic["xh"], ic["vh"], ic["mh"],
+                                           dtype=jnp.float32),
+        "disk": ParticleSystem.from_arrays(ic["xd"], ic["vd"], ic["md"],
+                                           dtype=jnp.float32),
+    }
+    st, regs, coef, diag = runner.init_state(flat)
+
+    def diagnose(st):
+        counts = runner.level_counts(st)
+        # live particles gathered per component for the Clausius virial
+        pops, fc = [], []
+        for n, force in (("halo", halo), ("disk", disk)):
+            xs = np.concatenate([np.asarray(b.x) for b in st[n]])
+            vs = np.concatenate([np.asarray(b.v) for b in st[n]])
+            ms = np.concatenate([np.asarray(b.mass) for b in st[n]])
+            live = ms > 0
+            x, v, m = xs[live], vs[live], ms[live]
+            pops.append((x, v, m))
+            c = force.coefficients(jnp.asarray(x), jnp.asarray(m))
+            fc.append((force, c))
+        return counts, virial_ratio(pops, fc)
+
+    c0, vr0 = diagnose(st)
+    print(json.dumps({"bigstep": 0, "virial": round(vr0, 5),
+                      "levels": c0}), flush=True)
+    t0 = time.perf_counter()
+    for k in range(1, nbig + 1):
+        st, regs, coef, diag = runner.bigstep(st, regs)
+        st, regs = runner.relevel(st, regs)
+        if k % 10 == 0 or k == nbig:
+            cts, vr = diagnose(st)
+            print(json.dumps({"bigstep": k, "virial": round(vr, 5),
+                              "levels": cts,
+                              "sec_per_bigstep": round(
+                                  (time.perf_counter() - t0) / k, 3)}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
