@@ -61,9 +61,12 @@ class TaperedMestelDF:
     def log_f(self, E, L):
         """ln f(E, L) (log space: L^q overflows for cold disks)."""
         L = np.abs(np.asarray(L, float))
+        # guard L = 0 before the log so q * log(L) never produces the
+        # (masked-out anyway) 0 * -inf = nan warning
+        Ls = np.where(L > 0, L, 1.0)
         with np.errstate(divide="ignore"):
-            out = (np.log(self.F) + self.q * np.log(L) - E / self.sig2
-                   + np.log(self.t_inner(L)) + np.log(self.t_outer(L)))
+            out = (np.log(self.F) + self.q * np.log(Ls) - E / self.sig2
+                   + np.log(self.t_inner(Ls)) + np.log(self.t_outer(Ls)))
         return np.where(L > 0, out, -np.inf)
 
     def distf(self, E, L):
