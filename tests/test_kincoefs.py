@@ -406,3 +406,21 @@ def test_makecoefs_coefstoh5(tmp_path, capsys):
     # the monopole dominates an equilibrium sample
     arr = c(c.times()[0])
     assert np.abs(arr[0, 0, 0]).max() > 5 * np.abs(arr[0, 2]).max()
+
+
+def test_every_tool_help():
+    """Every registered CLI tool has a main() whose --help exits 0 —
+    catches argparse wiring/option-conflict regressions across the
+    whole 54-tool registry."""
+    import contextlib
+    import importlib
+    import io
+
+    from exp_tpu.cli import TOOLS
+
+    for t in TOOLS:
+        mod = importlib.import_module(f"exp_tpu.cli.{t}")
+        with pytest.raises(SystemExit) as e, \
+                contextlib.redirect_stdout(io.StringIO()):
+            mod.main(["--help"])
+        assert e.value.code in (0, None), t
