@@ -14,11 +14,12 @@ the reference's OutputContainer factory + writers (src/OutputContainer.cc:48-
 Coverage note vs the reference's 18-writer factory (OutputContainer.cc:48-
 123): OutPS/OutPSN/OutHDF5/OutCHKPT(+Q via nbak)/OutLog/OutCoef/OutDiag/
 OutFrac/OutMulti/OutCalbr/OutSample/OutVel/OutAscii/OrbTrace are here;
-OutRelaxation is the generateRelaxation operator.  OutPSP/OutPSQ/OutPSR are
-MPI-rank file-splitting variants (one piece per rank + assembly
-instructions) with no TPU analogue: a jax run is a single controller
-process and sharded arrays gather through the runtime, so the single-file
-writers cover their use cases.
+OutRelaxation is the generateRelaxation operator.  OutSPL (ids
+`outspl`/`outpsp`) writes the reference's split SPL master+blob format
+(OutPSP.cc) with a configurable part count — on TPU the split is a file-
+layout choice rather than an MPI-rank artifact (single controller process;
+sharded arrays gather through the runtime), which also covers
+OutPSQ/OutPSR's use cases.
 """
 
 from __future__ import annotations
@@ -297,6 +298,26 @@ class OutPSN(Output):
         path = os.path.join(sim.outdir, f"OUT.{sim.runtag}.{istep:05d}")
         write_psp(path, self._dump(sim), real4=self.real4,
                   indexing=self.indexing)
+
+
+class OutSPL(OutPSN):
+    """Split-PSP snapshot per nint steps: SPL.runtag.NNNNN master +
+    per-part blobs (the reference's OutPSP per-node writer, OutPSP.cc —
+    here the split count is a parameter rather than the MPI rank count;
+    reassemble with `spl2psp` or read directly via io.psp.read_spl)."""
+
+    def __init__(self, sim, nint=100, real4=True, indexing=False,
+                 nparts=0, **kw):
+        super().__init__(sim, nint, real4=real4, indexing=indexing)
+        self.nparts = int(nparts) or max(
+            1, int(getattr(sim.mesh.devices, "size", 1)))
+
+    def write(self, sim, istep):
+        from exp_tpu.io.psp import write_spl
+
+        path = os.path.join(sim.outdir, f"SPL.{sim.runtag}.{istep:05d}")
+        write_spl(path, self._dump(sim), nparts=self.nparts,
+                  real4=self.real4, indexing=self.indexing)
 
 
 class OutPS(OutPSN):

@@ -1247,7 +1247,7 @@ class Simulation:
 
         from exp_tpu.nbody.output import (OutVel, OutSamp, OrbTrace,
                                           OutDiag, OutFrac, OutCalbr,
-                                          OutPS, OutHDF5)
+                                          OutPS, OutHDF5, OutSPL)
 
         if oc.id == "outchkptq":        # quick = single-precision variant
             return OutChkpt(self, real4=True, **oc.parameters)
@@ -1257,7 +1257,8 @@ class Simulation:
                "outsamp": OutSamp, "orbtrace": OrbTrace,
                "outdiag": OutDiag, "outfrac": OutFrac,
                "outcalbr": OutCalbr, "outps": OutPS,
-               "outhdf5": OutHDF5}.get(oc.id)
+               "outhdf5": OutHDF5, "outpsp": OutSPL,
+               "outspl": OutSPL}.get(oc.id)
         if cls is None:
             raise ConfigError(f"output id {oc.id!r} not implemented yet")
         return cls(self, **oc.parameters)

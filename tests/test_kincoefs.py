@@ -424,3 +424,46 @@ def test_every_tool_help():
                 contextlib.redirect_stdout(io.StringIO()):
             mod.main(["--help"])
         assert e.value.code in (0, None), t
+
+
+def test_outspl_writer(tmp_path):
+    """The outspl writer emits the reference's split SPL format from a
+    real run; readable directly and via spl2psp assembly."""
+    import yaml
+
+    from exp_tpu.cli.spl2psp import main as spl2psp
+    from exp_tpu.io.psp import read_psp, read_spl
+    from exp_tpu.nbody.simulation import Simulation
+    from exp_tpu.config import RunConfig
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.ic.eddington import sample_spherical_model
+    from exp_tpu.nbody.particles import write_ascii_bodies
+
+    m = hernquist_model(rmin=1e-3, rmax=20.0)
+    x, v, mass = sample_spherical_model(m, 1500, seed=2)
+    bods = str(tmp_path / "h.bods")
+    write_ascii_bodies(bods, (x, v, mass))
+    conf = {
+        "Global": {"dtime": 0.02, "nsteps": 4, "runtag": "spltest",
+                   "outdir": str(tmp_path)},
+        "Components": [{"name": "halo", "bodyfile": bods,
+                        "force": {"id": "sphereSL",
+                                  "parameters": {"lmax": 1, "nmax": 4,
+                                                 "modelname":
+                                                 "hernquist"}}}],
+        "Output": [{"id": "outspl",
+                    "parameters": {"nint": 2, "nparts": 3}}],
+    }
+    cfg = str(tmp_path / "run.yml")
+    with open(cfg, "w") as fh:
+        yaml.safe_dump(conf, fh)
+    sim = Simulation(RunConfig.from_file(cfg), workdir=str(tmp_path))
+    sim.run()
+    master = tmp_path / "SPL.spltest.00004"
+    assert master.exists()
+    d = read_spl(str(master))
+    assert len(d.components[0].mass) == 1500
+    assert spl2psp(["-d", str(tmp_path), "-r", "spltest", "-s", "4"]) == 0
+    back = read_psp(str(tmp_path / "OUT.spltest.00004"))
+    np.testing.assert_allclose(back.components[0].x.sum(),
+                               d.components[0].x.sum(), rtol=1e-6)
