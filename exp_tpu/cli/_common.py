@@ -81,7 +81,7 @@ def iter_psp_sequence(a):
     """Yield (time, component) for each snapshot of the sequence."""
     import os
 
-    from exp_tpu.io.psp import read_psp, read_spl
+    from exp_tpu.io.psp import read_psp_any
 
     if a.files:
         files = a.files
@@ -93,12 +93,7 @@ def iter_psp_sequence(a):
                 break
             files.append(f)
     for f in files:
-        if "SPL" in os.path.basename(f):
-            dump = read_spl(f, new_dir=a.dir if a.dir != "./" else None)
-        else:
-            dump = read_psp(f)
-            if isinstance(dump, list):
-                dump = dump[-1]
+        dump = read_psp_any(f, new_dir=a.dir if a.dir != "./" else None)
         comp = next((c for c in dump.components if c.name == a.name),
                     None)
         if comp is None:

@@ -64,6 +64,13 @@ def main(argv=None):
         from exp_tpu.ic.diskhalo import virial_ratio
         from exp_tpu.ic.diskhalo2d import diskhalo2d_ics
 
+        # same taper-extension rule as the light path: truncating a
+        # mestel/zang realization mid-taper (Sigma still ~50% at the
+        # taper center) seeds spurious transients AND mis-states the
+        # disk monopole the halo DF responds to
+        rmax_eff = a.rmax * a.acyl
+        if a.model in ("mestel", "zang"):
+            rmax_eff = max(rmax_eff, 40.0 * a.acyl)
         halo_model = load_model(a.halo)
         ts = build_sph_sl_tables(halo_model, lmax=a.lmax, nmax=a.nmaxh,
                                  numr=1000, cmap=1, rmap=1.0)
@@ -77,7 +84,7 @@ def main(argv=None):
                              halo_force=halo_force, disk_force=disk_force,
                              model=a.model,
                              Q=a.Q if a.Q is not None else 0.0,
-                             sig0=a.sig0, rdmax=a.rmax * a.acyl,
+                             sig0=a.sig0, rdmax=rmax_eff,
                              seed=a.seed)
         write_ascii_bodies(a.output, (ics.x_disk, ics.v_disk, ics.m_disk))
         write_ascii_bodies(a.ohalo, (ics.x_halo, ics.v_halo,

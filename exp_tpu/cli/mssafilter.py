@@ -46,23 +46,32 @@ def main(argv=None):
     from exp_tpu.analysis.coefs import Coefs
     from exp_tpu.analysis.mssa import expMSSA
 
-    runs = {}
+    # epochs are matched after rounding to 10 significant decimals —
+    # exact float equality would split grids whose times differ in the
+    # last bit (dt-accumulated vs stored exactly)
+    def _keyed(times):
+        return np.round(np.asarray(times, np.float64), 10)
+
+    runs, raw_times = {}, {}
     common = None
     for k, path in enumerate(a.datafile):
         coefs = Coefs.from_file(path)
         times = np.asarray(coefs.times())
         keep_t = (times >= a.tmin) & (times <= a.tmax)
         times = times[keep_t]
-        common = times if common is None else \
-            np.intersect1d(common, times)
-        runs[f"c{k}"] = coefs
+        key = f"c{k}"
+        raw_times[key] = times
+        common = _keyed(times) if common is None else \
+            np.intersect1d(common, _keyed(times))
+        runs[key] = coefs
     # restrict every run to the common (windowed) epoch grid — the
     # exp_haloN joint analysis needs one shared time axis
     for key, coefs in list(runs.items()):
-        times = np.asarray(coefs.times())
-        if len(common) != len(times) or not np.allclose(common, times):
+        times = raw_times[key]
+        sel = times[np.isin(_keyed(times), common)]
+        if len(sel) != len(np.asarray(coefs.times())):
             sub = Coefs(coefs.geometry, coefs.name, coefs.meta)
-            for t in common:
+            for t in sel:
                 sub.add(float(t), coefs(float(t)))
             runs[key] = sub
     if len(common) < 2 * a.numW:
@@ -86,15 +95,18 @@ def main(argv=None):
 
     multi = len(runs) > 1
     for k, (key, coefs) in enumerate(runs.items()):
+        # this run's OWN stored times (the rounded `common` keys need
+        # not be exact dict keys of the coefficient container)
+        rts = list(coefs.times())
         recon = m.reconstruct_coefs(coefs, groups=groups, name=key)
         diff = coefs.deepcopy()
-        for t in common:
+        for t in rts:
             diff._data[float(t)] = coefs(float(t)) - recon(float(t))
         if a.zero:
             # channels never entered the MSSA analysis keep their
             # original values in reconstruct_coefs; --zero zeroes them
             analyzed = {j for (nm, j) in m.keys if nm == key}
-            for t in common:
+            for t in rts:
                 flat = recon(float(t)).reshape(-1).copy()
                 mask = np.ones(flat.size, bool)
                 mask[list(analyzed)] = False

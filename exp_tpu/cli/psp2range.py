@@ -28,17 +28,10 @@ def main(argv=None):
                     help="rewrite directory location for SPL files")
     a = ap.parse_args(argv)
 
-    import os
-
-    from exp_tpu.io.psp import read_psp, read_spl
+    from exp_tpu.io.psp import read_psp_any
 
     for f in a.files:
-        if "SPL" in os.path.basename(f):
-            dump = read_spl(f, new_dir=a.dir)
-        else:
-            dump = read_psp(f)
-            if isinstance(dump, list):
-                dump = dump[-1]
+        dump = read_psp_any(f, new_dir=a.dir)
         print(f"{f}: time={dump.time:.8g}")
         for c in dump.components:
             if a.name is not None and c.name != a.name:

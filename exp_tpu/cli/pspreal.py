@@ -25,6 +25,8 @@ def main(argv=None):
     if "SPL" in os.path.basename(a.file):
         dumps = [read_spl(a.file, new_dir=a.dir)]
     else:
+        # keep EVERY dump of a multi-dump OUT file (unlike the
+        # single-snapshot read_psp_any sites)
         dumps = read_psp(a.file)
         if not isinstance(dumps, list):
             dumps = [dumps]

@@ -292,11 +292,21 @@ def psphisto(argv=None):
         pot = np.concatenate([c.pot for c in cs])
         vals["pot"] = pot
         vals["E"] = 0.5 * vals["v2"] + pot
+    def _edges(q, nb, fieldname):
+        if not a.log:
+            return np.linspace(q.min(), q.max(), nb + 1)
+        if not (q > 0).any():
+            raise SystemExit(
+                f"--log needs positive values; field {fieldname!r} has "
+                "none (use linear bins)")
+        lo = max(q[q > 0].min(), 1e-12)
+        return np.geomspace(lo, q.max(), nb + 1)
+
     if a.field2 is not None:
         q1, q2 = vals[a.field], vals[a.field2]
         nb2 = a.nbins2 or a.nbins
-        e1 = np.linspace(q1.min(), q1.max(), a.nbins + 1)
-        e2 = np.linspace(q2.min(), q2.max(), nb2 + 1)
+        e1 = _edges(q1, a.nbins, a.field)
+        e2 = _edges(q2, nb2, a.field2)
         H, _, _ = np.histogram2d(q1, q2, bins=[e1, e2], weights=m)
         out = a.output or f"{a.file}.histo.{a.field}.{a.field2}"
         with open(out, "w") as f:
@@ -311,15 +321,7 @@ def psphisto(argv=None):
         print(f"wrote {out}")
         return
     q = vals[a.field]
-    if a.log:
-        if not (q > 0).any():
-            raise SystemExit(
-                f"--log needs positive values; field {a.field!r} has none "
-                f"(use linear bins)")
-        lo = max(q[q > 0].min(), 1e-12)
-        edges = np.geomspace(lo, q.max(), a.nbins + 1)
-    else:
-        edges = np.linspace(q.min(), q.max(), a.nbins + 1)
+    edges = _edges(q, a.nbins, a.field)
     H, _ = np.histogram(q, bins=edges, weights=m)
     out = a.output or f"{a.file}.histo.{a.field}"
     with open(out, "w") as f:

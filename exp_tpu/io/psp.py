@@ -98,6 +98,41 @@ def write_psp(path, dump: PSPDump, real4=False, indexing=False, append=False):
             fh.write(rec.tobytes())
 
 
+def _info_indexing(info: str) -> bool:
+    """The component config's `indexing` flag, parsed as YAML like the
+    reference (PSP.cc PSPspl cconf['indexing']); falls back to a per-line
+    scan if the info string is not valid YAML."""
+    try:
+        import yaml
+
+        conf = yaml.safe_load(info)
+        if isinstance(conf, dict):
+            v = conf.get("indexing", False)
+            return bool(v) if not isinstance(v, str) else \
+                v.strip().lower() in ("true", "1", "yes", "on")
+    except Exception:
+        pass
+    for line in str(info).splitlines():
+        if line.strip().startswith("indexing"):
+            _, _, val = line.partition(":")
+            return val.strip().lower() in ("true", "1", "yes", "on")
+    return False
+
+
+def read_psp_any(path, new_dir=None, dump_index=-1):
+    """Read a monolithic OUT file or a split SPL master into ONE dump:
+    the filename dispatch the reference uses everywhere (psp2rings.cc:
+    a path containing 'SPL' is a split master), with multi-dump OUT
+    files unwrapped at dump_index.  The single helper behind every
+    CLI/reader call site."""
+    import os
+
+    if "SPL" in os.path.basename(str(path)):
+        return read_spl(path, new_dir=new_dir)
+    d = read_psp(path)
+    return d[dump_index] if isinstance(d, list) else d
+
+
 def write_spl(master_path, dump: PSPDump, nparts=2, real4=False,
               indexing=False):
     """Write a dump as a split SPL set (master + per-part blobs).
@@ -118,11 +153,19 @@ def write_spl(master_path, dump: PSPDump, nparts=2, real4=False,
         fh.write(np.int32(len(dump.components)).tobytes())
         for ci, c in enumerate(dump.components):
             info = c.info or f"name: {c.name}\n"
-            if indexing and "indexing" not in info:
-                # SPL readers learn the layout from the YAML config
-                # (PSP.cc:PSPspl cconf["indexing"]), not from boundary
-                # detection like the monolithic reader
-                info = info.rstrip("\n") + "\nindexing: true\n"
+            # SPL readers learn the layout from the YAML config
+            # (PSP.cc:PSPspl cconf["indexing"]), not from boundary
+            # detection like the monolithic reader — the header must
+            # MATCH the records, so rewrite a contradicting value
+            if _info_indexing(info) != indexing:
+                import re
+
+                if re.search(r"^\s*indexing\s*:", info, re.M):
+                    info = re.sub(r"^(\s*indexing\s*:).*$",
+                                  rf"\1 {str(indexing).lower()}",
+                                  info, flags=re.M)
+                elif indexing:
+                    info = info.rstrip("\n") + "\nindexing: true\n"
             ib = info.encode()
             fh.write(np.uint64(PSP_MAGIC + rsize).tobytes())
             fh.write(np.int32(nparts).tobytes())
@@ -184,8 +227,7 @@ def read_spl(master_path, new_dir=None):
         info = data[off:off + int(ninfo)].split(b"\x00")[0].decode(
             errors="replace")
         off += int(ninfo)
-        indexing = "indexing" in info and ("true" in info.lower()
-                                           or ": 1" in info)
+        indexing = _info_indexing(info)
         dt = _component_record_dtype(rsize, int(niatr), int(ndatr), indexing)
         recs = []
         for _k in range(nparts):

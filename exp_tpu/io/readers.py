@@ -50,17 +50,9 @@ def read_ascii(path, time=0.0, name="comp"):
 
 
 def read_psp_snapshot(path, dump_index=-1, new_dir=None):
-    from exp_tpu.io.psp import read_psp, read_spl
-    import os
+    from exp_tpu.io.psp import read_psp_any
 
-    # the reference dispatches on the filename (psp2rings.cc: a path
-    # containing "SPL" is a split master, else a monolithic OUT)
-    if "SPL" in os.path.basename(str(path)):
-        d = read_spl(path, new_dir=new_dir)
-    else:
-        d = read_psp(path)
-    if isinstance(d, list):
-        d = d[dump_index]
+    d = read_psp_any(path, new_dir=new_dir, dump_index=dump_index)
     s = Snapshot(d.time)
     for c in d.components:
         s.add(c.name, c.x, c.v, c.mass, pot=c.pot)

@@ -267,7 +267,10 @@ def _pad_cap(n: int, quantum: int, headroom: int = 1) -> int:
     p = 1
     while p < target:
         p *= 2
+    # grid step must stay a multiple of the shard quantum or the
+    # resulting capacity won't divide across a non-pow2 device mesh
     step = max(p // 8, quantum)
+    step = ((step + quantum - 1) // quantum) * quantum
     return ((target + step - 1) // step) * step
 
 
@@ -510,7 +513,9 @@ class MultistepRunner:
         self.fused = bool(fused)
         #: eqmotion: false freezes x/v (Global eqmotion, incpos.cc:75)
         self.eqmotion = bool(eqmotion)
-        #: 'sortgather' (default) or 'sortfull' — see _make_rebucket
+        #: permutation engine: 'sortfull' (default; measured fastest at
+        #: every size), 'sortgather' / 'incremental' opt-ins — see
+        #: _make_rebucket / _make_relevel_incremental for the numbers
         self.rebucket_style = str(rebucket_style)
         self._fns = {}
         self._init_fns = {}
@@ -556,6 +561,11 @@ class MultistepRunner:
         centers = centers or self._zero_centers()
         rots = rots or self._eye_rots()
         extras = (extras_fn or self._default_extras)(t0)
+        # fill pointers describe the PREVIOUS trajectory's bucket
+        # occupancy: a fresh particle set can reuse a capacity signature,
+        # and stale pointers would let the incremental relevel append
+        # arrivals over live rows — silent particle loss
+        self._fill = {}
         # first pass: everything at level 0 to get accelerations
         state = {n: bucketize(ps, self.M, self.quantum, mesh=self.mesh,
                               headroom=self.cap_headroom)

@@ -467,3 +467,37 @@ def test_outspl_writer(tmp_path):
     back = read_psp(str(tmp_path / "OUT.spltest.00004"))
     np.testing.assert_allclose(back.components[0].x.sum(),
                                d.components[0].x.sum(), rtol=1e-6)
+
+
+def test_spl_indexing_yaml_parse(tmp_path):
+    """Reference-style component configs with 'indexing: false' next to
+    other true/1 values must NOT be sniffed as indexed (the naive
+    substring check misread them); write_spl rewrites a contradicting
+    header so the reference reader's cconf['indexing'] stays truthful."""
+    from exp_tpu.io.psp import (PSPComponent, PSPDump, _info_indexing,
+                                read_spl, write_spl)
+
+    info = ("name: halo\nindexing: false\nnlevel: 1\n"
+            "self_consistent: true\n")
+    assert _info_indexing(info) is False
+    assert _info_indexing("name: x\nindexing: true\n") is True
+    assert _info_indexing("name: x\n") is False
+
+    rng = np.random.default_rng(4)
+    c = PSPComponent(name="halo", info=info, mass=rng.uniform(1, 2, 20),
+                     x=rng.normal(size=(20, 3)),
+                     v=rng.normal(size=(20, 3)), pot=np.zeros(20))
+    # records carry indices -> the header must be rewritten to true
+    m1 = str(tmp_path / "SPL.ix.00000")
+    write_spl(m1, PSPDump(time=0.0, components=[c]), nparts=2,
+              indexing=True)
+    back = read_spl(m1)
+    np.testing.assert_array_equal(back.components[0].indx,
+                                  np.arange(1, 21))
+    # records carry NO indices -> 'indexing: false' header preserved
+    m2 = str(tmp_path / "SPL.ix.00001")
+    write_spl(m2, PSPDump(time=0.0, components=[c]), nparts=2,
+              indexing=False)
+    back2 = read_spl(m2)
+    assert back2.components[0].indx is None
+    np.testing.assert_allclose(back2.components[0].mass, c.mass)
