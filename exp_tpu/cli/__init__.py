@@ -26,7 +26,7 @@ TOOLS = [
     "pspinfo", "pspstat", "psp2ascii", "ascii2psp", "snap2ascii", "diffpsp",
     "psp2hdf5", "shrinkics", "psphisto", "pspbox", "snapconvert", "snap2vtk",
     "diskprof", "haloprof", "sphprof", "slabprof", "mssaprof", "viewcoefs",
-    "h5compare",
+    "h5compare", "h5power",
     "slcheck", "orthochk", "cylcache", "eofinfo", "crossval",
     "diskfreqs", "kldiv", "yamldiff",
     "modelfit", "addring", "addsphmod", "forcetest",

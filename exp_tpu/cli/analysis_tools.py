@@ -653,3 +653,31 @@ def coefstoh5(argv=None):
     print(f"coefstoh5: wrote {len(c.times())} time(s) "
           f"({c.geometry}) to {out}")
     return 0
+
+
+def h5power(argv=None):
+    """h5power — full time x harmonic power table of a coefficient file
+    (expui/h5power.cc; viewcoefs prints only the first/last rows)."""
+    ap = make_parser("h5power", h5power.__doc__)
+    ap.add_argument("file")
+    ap.add_argument("-o", "--output", default=None,
+                    help="output table (default: stdout)")
+    a = ap.parse_args(argv)
+    import sys
+
+    from exp_tpu.analysis.coefs import Coefs
+
+    c = Coefs.from_file(a.file)
+    ts = np.asarray(c.times())
+    P = np.atleast_2d(np.asarray(c.power()))
+    if P.shape[0] != len(ts):
+        P = P.T
+    out = open(a.output, "w") if a.output else sys.stdout
+    ncol = P.shape[1]
+    out.write("# time " + " ".join(f"P[{j}]" for j in range(ncol)) + "\n")
+    for t, row in zip(ts, P):
+        out.write(f"{t:.10g} " + " ".join(f"{v:.8g}" for v in row) + "\n")
+    if a.output:
+        out.close()
+        print(f"h5power: wrote {len(ts)} x {ncol} table to {a.output}")
+    return 0

@@ -501,3 +501,22 @@ def test_spl_indexing_yaml_parse(tmp_path):
     back2 = read_spl(m2)
     assert back2.components[0].indx is None
     np.testing.assert_allclose(back2.components[0].mass, c.mass)
+
+
+def test_h5power(tmp_path, capsys):
+    from exp_tpu.analysis.coefs import Coefs
+    from exp_tpu.cli.analysis_tools import h5power
+
+    rng = np.random.default_rng(7)
+    c = Coefs(geometry="sphere", name="t", meta={"lmax": 2, "nmax": 3})
+    base = rng.normal(size=(2, 3, 3, 3))
+    for i in range(5):
+        c.add(0.1 * i, base * (1 + i))
+    f = str(tmp_path / "p.h5")
+    c.to_file(f)
+    out = str(tmp_path / "p.pow")
+    assert h5power([f, "-o", out]) == 0
+    tab = np.loadtxt(out)
+    assert tab.shape[0] == 5 and tab.shape[1] >= 2
+    # power grows with the (1+i) scaling: strictly increasing rows
+    assert np.all(np.diff(tab[:, 1]) > 0)
