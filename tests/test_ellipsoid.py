@@ -114,3 +114,47 @@ def test_user_ellipsoid_external():
     f = build_external({"id": "userellipsoid",
                         "parameters": {"mass": 0.1, "omega": 2.0}})
     assert isinstance(f, UserEllipsoid)
+
+
+def test_user_ellipsoid_in_simulation(tmp_path):
+    """The rotating ellipsoid bar drives a live run through the YAML
+    External stanza: the bisection+Newton lambda solve and the autodiff
+    force trace inside the jitted KDK step."""
+    import yaml
+
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.config import RunConfig
+    from exp_tpu.ic.eddington import sample_spherical_model
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+
+    m = hernquist_model(rmin=1e-3, rmax=20.0)
+    x, v, mass = sample_spherical_model(m, 1200, seed=9)
+    bods = str(tmp_path / "h.bods")
+    write_ascii_bodies(bods, (x, v, mass))
+    conf = {
+        "Global": {"dtime": 0.02, "nsteps": 3, "runtag": "ebar",
+                   "outdir": str(tmp_path)},
+        "Components": [{"name": "halo", "bodyfile": bods,
+                        "force": {"id": "sphereSL",
+                                  "parameters": {"lmax": 1, "nmax": 4,
+                                                 "modelname":
+                                                 "hernquist"}}}],
+        "External": [{"id": "userellipsoid",
+                      "parameters": {"a": [0.5, 0.25, 0.125],
+                                     "mass": 0.2, "omega": 1.0,
+                                     "Ton": -1e9}}],
+        "Output": [{"id": "outlog", "parameters": {"nint": 1}}],
+    }
+    cfg = str(tmp_path / "run.yml")
+    with open(cfg, "w") as fh:
+        yaml.safe_dump(conf, fh)
+    sim = Simulation(RunConfig.from_file(cfg), workdir=str(tmp_path))
+    sim.run()
+    import glob
+
+    logs = glob.glob(str(tmp_path / "*.outlog")) + \
+        glob.glob(str(tmp_path / "OUTLOG*"))
+    assert logs, "outlog written"
+    txt = open(logs[0]).read()
+    assert "nan" not in txt.lower().split("#")[-1]
