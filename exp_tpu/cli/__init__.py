@@ -12,7 +12,8 @@ utils/ inventory (SURVEY section 2.5):
   PhaseSpace:  pspinfo, pspstat, psp2ascii, ascii2psp, snap2ascii, diffpsp,
                psp2hdf5, psporbv, pspmono (monopole model table),
                psp2bess/psp2lagu/psp2rings (kinematic Fourier series),
-               psp2range, pspreal, spl2psp (split-PSP assembly)
+               psp2range, pspreal, spl2psp (split-PSP assembly),
+               tipstd2psp (+ snapconvert --to tipsy writer), psp2vtu
   Analysis:    diskprof (+--coef), haloprof, sphprof (coefficient-based
                field profiles), mssaprof, viewcoefs, h5compare, diskfreqs,
                diskeof (empirical basis re-orthogonalization), makecoefs,
@@ -35,4 +36,5 @@ TOOLS = [
     "zangics", "pspmono",
     "psp2bess", "psp2lagu", "psp2rings", "psp2range", "pspreal", "spl2psp",
     "diskeof", "hdf52accel", "makecoefs", "coefstoh5",
+    "tipstd2psp", "psp2vtu",
 ]

@@ -372,14 +372,15 @@ def snapconvert(argv=None):
     """snapconvert — universal snapshot format converter (the generic
     replacement for the reference's per-pair converters: ascii2psp2,
     spl2psp, tipstd2psp, psp2hdf5, ...).  Reads any supported format and
-    writes psp / ascii / gadget / gadget_hdf5."""
+    writes psp / ascii / gadget / gadget_hdf5 / tipsy-standard."""
     ap = make_parser("snapconvert", snapconvert.__doc__)
     ap.add_argument("file")
     ap.add_argument("--from", dest="src", default="psp",
                     choices=["psp", "gadget", "gadgetnative", "gadgethdf5",
                              "tipsy", "bonsai", "ascii"])
     ap.add_argument("--to", dest="dst", default="psp",
-                    choices=["psp", "ascii", "gadget", "gadgethdf5"])
+                    choices=["psp", "ascii", "gadget", "gadgethdf5",
+                             "tipsy"])
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("--comp", default=None, help="component (default: all)")
     ap.add_argument("--time", type=float, default=None)
@@ -416,9 +417,13 @@ def snapconvert(argv=None):
         snap = Snapshot(time)
         for n in names:
             x, v, m = s.GetParticles(n)
-            snap.add(n, x, v, m)
+            snap.add(n, x, v, m, pot=s[n].get("pot"))
         if a.dst == "gadgethdf5":
             write_gadget_hdf5(out, snap)
+        elif a.dst == "tipsy":
+            from exp_tpu.io.readers import write_tipsy
+
+            write_tipsy(out, snap)
         else:
             write_gadget_native(out, snap)
         print(f"wrote {out}")

@@ -152,6 +152,56 @@ def read_tipsy(path):
     return s
 
 
+def write_tipsy(path, snapshot: Snapshot, eps=0.0):
+    """Tipsy 'standard' (XDR) binary writer: big-endian, unpadded 28-byte
+    header, then gas/dark/star records (utils/PhaseSpace/tipsydefs.h +
+    tipsyxdr.c xdr_header/xdr_gas/xdr_dark/xdr_star).  Components named
+    'gas' or 'star'/'stars' map to their tipsy type; everything else is
+    written as dark matter.  `eps` fills the softening field."""
+    f4, f8, i4 = np.dtype(">f4"), np.dtype(">f8"), np.dtype(">i4")
+    gas_t = np.dtype([("mass", f4), ("pos", f4, (3,)), ("vel", f4, (3,)),
+                      ("rho", f4), ("temp", f4), ("hsmooth", f4),
+                      ("metals", f4), ("phi", f4)])
+    dark_t = np.dtype([("mass", f4), ("pos", f4, (3,)), ("vel", f4, (3,)),
+                       ("eps", f4), ("phi", f4)])
+    star_t = np.dtype([("mass", f4), ("pos", f4, (3,)), ("vel", f4, (3,)),
+                       ("metals", f4), ("tform", f4), ("eps", f4),
+                       ("phi", f4)])
+    groups = {"gas": [], "dark": [], "star": []}
+    for name in snapshot.GetTypes():
+        lo = name.lower()
+        kind = ("gas" if lo == "gas"
+                else "star" if lo in ("star", "stars") else "dark")
+        groups[kind].append(name)
+
+    def pack(kind, dt):
+        rows = []
+        for name in groups[kind]:
+            c = snapshot[name]
+            rec = np.zeros(len(c["mass"]), dt)
+            rec["mass"], rec["pos"], rec["vel"] = c["mass"], c["x"], c["v"]
+            if c.get("pot") is not None:
+                rec["phi"] = c["pot"]
+            if "eps" in dt.names:
+                rec["eps"] = eps
+            rows.append(rec)
+        # np.concatenate silently converts to NATIVE byte order; cast
+        # back so tobytes() stays big-endian
+        return (np.concatenate(rows).astype(dt, copy=False) if rows
+                else np.zeros(0, dt))
+
+    gas, dark, star = pack("gas", gas_t), pack("dark", dark_t), \
+        pack("star", star_t)
+    ntot = len(gas) + len(dark) + len(star)
+    with open(path, "wb") as fh:
+        fh.write(np.asarray(snapshot.time, f8).tobytes())
+        for v in (ntot, 3, len(gas), len(dark), len(star)):
+            fh.write(np.asarray(v, i4).tobytes())
+        fh.write(gas.tobytes())
+        fh.write(dark.tobytes())
+        fh.write(star.tobytes())
+
+
 _GADGET_PTYPES = ("Gas", "Halo", "Disk", "Bulge", "Stars", "Bndry")
 
 

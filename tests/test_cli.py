@@ -447,6 +447,46 @@ def test_snapconvert_and_vtk(tmp_path, monkeypatch):
     assert "SCALARS mass" in txt and "VECTORS velocity" in txt
 
 
+def test_tipstd2psp_and_psp2vtu(tmp_path, monkeypatch):
+    """tipsy-std -> PSP named converter and the XML .vtu point writer
+    (utils/PhaseSpace/tipstd2psp.cc, psp2vtu.cc)."""
+    import numpy as np
+    from exp_tpu.io.readers import Snapshot, write_tipsy
+    from exp_tpu.io.psp import read_psp
+    from exp_tpu.cli.tipstd2psp import main as tipstd2psp
+    from exp_tpu.cli.psp2vtu import main as psp2vtu
+
+    rng = np.random.default_rng(7)
+    n = 60
+    s = Snapshot(0.5)
+    s.add("dark", rng.normal(size=(n, 3)), rng.normal(size=(n, 3)),
+          rng.uniform(0.5, 1.5, n), pot=rng.normal(size=n))
+    tip = tmp_path / "in.tipsy"
+    write_tipsy(str(tip), s)
+
+    psp = tmp_path / "in.psp"
+    assert tipstd2psp([str(tip), str(psp)]) == 0
+    dump = read_psp(str(psp))
+    assert dump.time == 0.5
+    assert dump.components[0].name == "dark"
+    x0, _, m0 = s.GetParticles("dark")
+    np.testing.assert_allclose(dump.components[0].mass, m0, rtol=1e-6)
+    np.testing.assert_allclose(dump.components[0].x, x0, rtol=1e-6)
+
+    monkeypatch.chdir(tmp_path)
+    assert psp2vtu(["-c", "dark", "-w", str(tmp_path), "-T", "t0",
+                    "--dens", "8", str(psp)]) == 0
+    vtu = (tmp_path / "t0_00000.vtu").read_text()
+    assert f'NumberOfPoints="{n}"' in vtu
+    assert 'Name="masses"' in vtu and 'Name="velocities"' in vtu
+    assert 'Name="density"' in vtu
+    # the density column is positive everywhere
+    import re
+    dens = re.search(r'Name="density"[^>]*>([^<]*)<', vtu).group(1)
+    vals = np.fromstring(dens, sep=" ")
+    assert len(vals) == n and (vals > 0).all()
+
+
 def test_modelfit_addring_forcetest(tmp_path, capsys):
     """ICs toolbox: fit a profile to a realization, add a ring, and
     measure BFE force errors vs the direct sum (utils/ICs ModelFit.cc /

@@ -117,6 +117,39 @@ def test_tipsy_read(tmp_path):
     assert x[3, 1] == 10.0
 
 
+def test_tipsy_write_roundtrip(tmp_path):
+    """write_tipsy emits the XDR 'standard' layout (big-endian, 28-byte
+    header) that read_tipsy and the reference's tipsyxdr.c expect."""
+    import numpy as np
+    from exp_tpu.io.readers import Snapshot, write_tipsy
+
+    rng = np.random.default_rng(3)
+    s = Snapshot(1.25)
+    s.add("gas", rng.normal(size=(7, 3)), rng.normal(size=(7, 3)),
+          rng.uniform(0.1, 1, 7), pot=rng.normal(size=7))
+    s.add("dark", rng.normal(size=(11, 3)), rng.normal(size=(11, 3)),
+          rng.uniform(0.1, 1, 11), pot=rng.normal(size=11))
+    s.add("star", rng.normal(size=(5, 3)), rng.normal(size=(5, 3)),
+          rng.uniform(0.1, 1, 5))
+    p = tmp_path / "out.tipsy"
+    write_tipsy(str(p), s, eps=0.01)
+    # unpadded 28-byte header + full payload, big-endian time
+    raw = p.read_bytes()
+    assert len(raw) == 28 + 7 * 48 + 11 * 36 + 5 * 44
+    assert np.frombuffer(raw, ">f8", 1)[0] == 1.25
+    back = read_tipsy(str(p))
+    assert back.time == 1.25
+    assert sorted(back.GetTypes()) == ["dark", "gas", "star"]
+    for name in ("gas", "dark", "star"):
+        x0, v0, m0 = s.GetParticles(name)
+        x1, v1, m1 = back.GetParticles(name)
+        np.testing.assert_allclose(x1, x0, rtol=1e-6)
+        np.testing.assert_allclose(v1, v0, rtol=1e-6)
+        np.testing.assert_allclose(m1, m0, rtol=1e-6)
+    np.testing.assert_allclose(back["gas"]["pot"], s["gas"]["pot"],
+                               rtol=1e-6)
+
+
 def test_outpsn_driver(tmp_path):
     from exp_tpu.basis.model import hernquist_model
     from exp_tpu.ic.eddington import sample_spherical_model
