@@ -18,7 +18,8 @@ utils/ inventory (SURVEY section 2.5):
                field profiles), mssaprof, viewcoefs, h5compare, diskfreqs,
                diskeof (empirical basis re-orthogonalization), makecoefs,
                coefstoh5 (native coefficient file converter)
-  MSSA:        mssafilter (exp_halo_noise / exp_disk_noise)
+  MSSA:        mssafilter (exp_halo_noise / exp_disk_noise), expmssa
+               (standalone M-SSA analysis + grouped reconstruction)
   SL/basis:    slcheck, orthochk, cylcache, eofinfo, slshift
 """
 
@@ -36,5 +37,5 @@ TOOLS = [
     "zangics", "pspmono",
     "psp2bess", "psp2lagu", "psp2rings", "psp2range", "pspreal", "spl2psp",
     "diskeof", "hdf52accel", "makecoefs", "coefstoh5",
-    "tipstd2psp", "psp2vtu",
+    "tipstd2psp", "psp2vtu", "expmssa",
 ]

@@ -651,6 +651,58 @@ def test_mssafilter(tmp_path, capsys):
     assert len(out.strip().splitlines()) > 3
 
 
+def test_expmssa_tool(tmp_path, capsys):
+    """The standalone expmssa analysis tool writes the reference's text
+    products and a grouped reconstruction (utils/MSSA/expmssa.cc)."""
+    import os
+    from exp_tpu.cli.expmssa import main as expmssa
+    from exp_tpu.analysis.coefs import Coefs
+
+    rng = np.random.default_rng(11)
+    c = Coefs(geometry="sphere", name="t", meta={"lmax": 1, "nmax": 3})
+    base = rng.normal(0, 1, (2, 2, 2, 3))
+    for l in range(2):
+        base[:, l, l + 1:] = 0.0
+    base[1, :, 0] = 0.0
+    T = 48
+    for i in range(T):
+        sig = base * (1.0 + 0.5 * np.sin(2 * np.pi * i / 24.0))
+        noise = 0.01 * rng.normal(0, 1, base.shape)
+        for l in range(2):
+            noise[:, l, l + 1:] = 0.0
+        noise[1, :, 0] = 0.0
+        c.add(i * 0.1, sig + noise)
+    f1 = str(tmp_path / "c.h5")
+    c.to_file(f1)
+
+    pre = str(tmp_path / "em")
+    grp = tmp_path / "group.list"
+    grp.write_text("0 1\n2 3\n")
+    assert expmssa(["-d", f1, "-o", pre, "-W", "12", "-C", "-H",
+                    "-G", str(grp)]) == 0
+    for suf in (".data", ".ev", ".evec", ".pc", ".f_contrib",
+                ".wcorr", ".g0.recon", ".g1.recon"):
+        assert os.path.exists(pre + suf), suf
+    ev = np.loadtxt(pre + ".ev")
+    assert (np.diff(ev[:, 0]) <= 1e-12).all()       # sorted eigenvalues
+    assert abs(ev[-1, 1] - 1.0) < 1e-10             # cumfrac ends at 1
+    fc = np.loadtxt(pre + ".f_contrib")
+    assert np.allclose(fc.sum(axis=0), 1.0)         # per-channel norm
+    w = np.loadtxt(pre + ".wcorr")
+    assert np.allclose(np.diag(w), 1.0, atol=1e-8)
+    # the leading group carries the oscillation (both reconstructions
+    # re-add the channel means, so compare the time-variation)
+    rec0 = Coefs.from_file(pre + ".g0.recon").as_array()
+    rec1 = Coefs.from_file(pre + ".g1.recon").as_array()
+    assert rec0.std(axis=0).sum() > 10 * rec1.std(axis=0).sum()
+
+    # kmeans grouping path
+    pre2 = str(tmp_path / "km")
+    assert expmssa(["-d", f1, "-o", pre2, "-W", "12",
+                    "--kmeans", "2"]) == 0
+    assert os.path.exists(pre2 + ".g0.recon")
+
+
 def test_slshift(tmp_path, capsys):
     from exp_tpu.cli.slshift import main as slshift
 
