@@ -30,15 +30,27 @@ def pspinfo(argv=None):
 
 
 def pspstat(argv=None):
-    """pspstat — per-component mass/COM/velocity statistics."""
+    """pspstat — per-component mass/COM/velocity statistics
+    (utils/PhaseSpace/pspstat.cc); --all iterates every dump of a
+    multi-dump OUT file as a time series (the pspstatT variant)."""
     ap = make_parser("pspstat", pspstat.__doc__)
     ap.add_argument("file")
     ap.add_argument("--dump", type=int, default=-1)
+    ap.add_argument("--all", action="store_true",
+                    help="statistics for EVERY dump in the file")
     a = ap.parse_args(argv)
     from exp_tpu.io.psp import read_psp
 
     dumps = read_psp(a.file)
-    d = dumps[a.dump] if isinstance(dumps, list) else dumps
+    if not isinstance(dumps, list):
+        dumps = [dumps]
+    selected = dumps if a.all else [dumps[a.dump]]
+    for d in selected:
+        _pspstat_one(d)
+    return 0
+
+
+def _pspstat_one(d):
     print(f"time = {d.time:.8g}")
     for c in d.components:
         M = c.mass.sum()

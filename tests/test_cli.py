@@ -30,6 +30,18 @@ def test_gensph_and_stats(workdir, capsys):
     out = capsys.readouterr().out
     assert "N=2000" in out
 
+    # --all iterates every dump of a multi-dump OUT file (pspstatT)
+    from exp_tpu.io.psp import read_psp, write_psp
+
+    d = read_psp(psp)
+    multi = str(workdir / "h.out")
+    write_psp(multi, d)
+    d.time = 0.5
+    write_psp(multi, d, append=True)
+    pspstat([multi, "--all"])
+    out = capsys.readouterr().out
+    assert out.count("N=2000") == 2 and "time = 0.5" in out
+
     psp2ascii([psp, "-o", str(workdir / "back")])
     assert os.path.exists(str(workdir / "back.halo.ascii"))
 
