@@ -531,19 +531,44 @@ def cylcache(argv=None):
 def eofinfo(argv=None):
     """eofinfo — inspect an EOF cache file (utils/ICs empinfo); --dump
     writes the midplane basis functions U^m_n(R, z=0) to an ascii table
-    (utils/ICs empdump/eofpeek)."""
+    (utils/ICs empdump/eofpeek); --compare reports per-m max |diff| /
+    max |value| against a second cache (utils/ICs/eof_compare.cc +
+    EmpCylSL::compare_basis, EmpCylSL.cc:6931-7030)."""
     ap = make_parser("eofinfo", eofinfo.__doc__)
     ap.add_argument("file")
     ap.add_argument("--dump", action="store_true",
                     help="write <file>.midplane with R, U^m_n(R, 0)")
     ap.add_argument("--m", type=int, default=None,
                     help="dump only this azimuthal order")
+    ap.add_argument("--compare", default=None, metavar="OTHER",
+                    help="second EOF cache to compare table-by-table")
     a = ap.parse_args(argv)
     from exp_tpu.basis.empcyl import EmpCylTables
     t = EmpCylTables.read_cache(a.file)
     print(f"EOF cache: mmax={t.mmax} nmax={t.nmax} grid={t.numx}x{t.numy} "
           f"acyl={t.acyl} hcyl={t.hcyl} rcylmax={t.rcylmax}")
     print(f"even counts per m: {t.even_count.tolist()}")
+    if a.compare:
+        o = EmpCylTables.read_cache(a.compare)
+        if (t.mmax, t.nmax, t.numx, t.numy) != (o.mmax, o.nmax,
+                                                o.numx, o.numy):
+            raise SystemExit(
+                f"incompatible caches: {t.mmax},{t.nmax},{t.numx},{t.numy}"
+                f" vs {o.mmax},{o.nmax},{o.numx},{o.numy}")
+        print(f"{'table':8s} {'m':>3s} {'max|dif|':>12s} {'max|val|':>12s}"
+              f" {'rel':>10s}")
+        worst = 0.0
+        for lab in ("pot", "rforce", "zforce", "dens"):
+            A, B = getattr(t, lab), getattr(o, lab)
+            for mm in range(t.mmax + 1):
+                dif = float(np.abs(A[:, :, mm] - B[:, :, mm]).max())
+                mx = float(np.abs(A[:, :, mm]).max())
+                rel = dif / mx if mx > 0 else 0.0
+                worst = max(worst, rel)
+                print(f"{lab:8s} {mm:3d} {dif:12.4e} {mx:12.4e} "
+                      f"{rel:10.3e}")
+        print(f"worst relative difference: {worst:.3e}")
+        return 0
     if a.dump:
         xg = t.xmin + t.dx * np.arange(t.numx)
         Rg = np.asarray(t.R_of_x(xg))

@@ -239,6 +239,21 @@ def test_eofinfo_dump(tmp_path, capsys):
     # the m=0, n=0 potential function is largest near the disk center
     assert np.abs(tab[:5, 1]).max() > np.abs(tab[-5:, 1]).max()
 
+    # --compare against itself: zero difference (eof_compare.cc)
+    eofinfo([cache, "--compare", cache])
+    out = capsys.readouterr().out
+    assert "worst relative difference: 0.000e+00" in out
+
+    # --compare against a different-conditioning cache: nonzero, finite
+    cache2 = str(tmp_path / "eof2.h5")
+    build_empcyl_tables(mmax=1, nmax=4, lmaxfid=8, nmaxfid=6,
+                        acyl=0.012, hcyl=0.002, numx=48, numy=24,
+                        rnum=50, tnum=16, cachename=cache2)
+    eofinfo([cache, "--compare", cache2])
+    out = capsys.readouterr().out
+    worst = float(out.strip().splitlines()[-1].split()[-1])
+    assert worst > 0
+
 
 def test_umbrella_dispatch(capsys, monkeypatch):
     import sys
