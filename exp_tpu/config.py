@@ -65,7 +65,7 @@ KNOWN_FORCES = {
 KNOWN_OUTPUTS = {
     "outlog", "outcoef", "outchkpt", "outchkptq", "outpsn", "outascii", "outmulti",
     "outvel", "outsamp", "orbtrace", "outdiag", "outfrac", "outcalbr",
-    "outps", "outhdf5", "outspl", "outpsp",
+    "outps", "outhdf5", "outspl", "outpsp", "outpsq", "outpsr",
 }
 
 

@@ -18,8 +18,10 @@ OutRelaxation is the generateRelaxation operator.  OutSPL (ids
 `outspl`/`outpsp`) writes the reference's split SPL master+blob format
 (OutPSP.cc) with a configurable part count — on TPU the split is a file-
 layout choice rather than an MPI-rank artifact (single controller process;
-sharded arrays gather through the runtime), which also covers
-OutPSQ/OutPSR's use cases.
+sharded arrays gather through the runtime).  The `outpsq`/`outpsr` ids map
+onto it with the reference's `nbeg` sequential dump counter
+(src/OutPSQ.H:6-24, OutPSR.H); their `threads` knob is an MPI-write detail
+with no TPU analogue.
 """
 
 from __future__ import annotations
@@ -272,10 +274,21 @@ class OutPSN(Output):
     """PSP binary snapshot per nint steps (OUT.runtag.NNNNN files —
     the reference's OutPSN writer)."""
 
-    def __init__(self, sim, nint=100, real4=True, indexing=False, **kw):
+    def __init__(self, sim, nint=100, real4=True, indexing=False,
+                 nbeg=None, **kw):
         super().__init__(sim, nint)
         self.real4 = bool(real4)
         self.indexing = bool(indexing)
+        # reference OutPSN/OutPSQ/OutPSR number dumps with a sequence
+        # counter starting at `nbeg`, incremented per file written
+        # (OutPSQ.H:10-13); default keeps the step-number suffix.
+        self._seq = None if nbeg is None else int(nbeg)
+
+    def _suffix(self, istep):
+        if self._seq is None:
+            return istep
+        s, self._seq = self._seq, self._seq + 1
+        return s
 
     def _dump(self, sim):
         from exp_tpu.io.psp import PSPDump, PSPComponent
@@ -295,7 +308,8 @@ class OutPSN(Output):
     def write(self, sim, istep):
         from exp_tpu.io.psp import write_psp
 
-        path = os.path.join(sim.outdir, f"OUT.{sim.runtag}.{istep:05d}")
+        path = os.path.join(sim.outdir,
+                            f"OUT.{sim.runtag}.{self._suffix(istep):05d}")
         write_psp(path, self._dump(sim), real4=self.real4,
                   indexing=self.indexing)
 
@@ -307,15 +321,17 @@ class OutSPL(OutPSN):
     reassemble with `spl2psp` or read directly via io.psp.read_spl)."""
 
     def __init__(self, sim, nint=100, real4=True, indexing=False,
-                 nparts=0, **kw):
-        super().__init__(sim, nint, real4=real4, indexing=indexing)
+                 nparts=0, nbeg=None, **kw):
+        super().__init__(sim, nint, real4=real4, indexing=indexing,
+                         nbeg=nbeg)
         self.nparts = int(nparts) or max(
             1, int(getattr(sim.mesh.devices, "size", 1)))
 
     def write(self, sim, istep):
         from exp_tpu.io.psp import write_spl
 
-        path = os.path.join(sim.outdir, f"SPL.{sim.runtag}.{istep:05d}")
+        path = os.path.join(sim.outdir,
+                            f"SPL.{sim.runtag}.{self._suffix(istep):05d}")
         write_spl(path, self._dump(sim), nparts=self.nparts,
                   real4=self.real4, indexing=self.indexing)
 

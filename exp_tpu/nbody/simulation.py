@@ -1251,6 +1251,14 @@ class Simulation:
 
         if oc.id == "outchkptq":        # quick = single-precision variant
             return OutChkpt(self, real4=True, **oc.parameters)
+        if oc.id in ("outpsq", "outpsr"):
+            # reference split-piece writers with an nbeg dump counter
+            # (src/OutPSQ.H:6-24, OutPSR.H); the piece count replaces
+            # the MPI rank count, threads is an MPI-write knob → n/a
+            p = dict(oc.parameters)
+            p.pop("threads", None)
+            p.setdefault("nbeg", 0)
+            return OutSPL(self, **p)
         cls = {"outlog": OutLog, "outcoef": OutCoef, "outchkpt": OutChkpt,
                "outascii": OutAscii, "outpsn": OutPSN,
                "outmulti": OutMulti, "outvel": OutVel,

@@ -520,3 +520,42 @@ def test_h5power(tmp_path, capsys):
     assert tab.shape[0] == 5 and tab.shape[1] >= 2
     # power grows with the (1+i) scaling: strictly increasing rows
     assert np.all(np.diff(tab[:, 1]) > 0)
+
+
+def test_outpsq_id_nbeg_counter(tmp_path):
+    """The outpsq/outpsr ids write split dumps numbered by the nbeg
+    sequence counter (src/OutPSQ.H:6-24), not the step number."""
+    import yaml
+
+    from exp_tpu.io.psp import read_spl
+    from exp_tpu.nbody.simulation import Simulation
+    from exp_tpu.config import RunConfig
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.ic.eddington import sample_spherical_model
+    from exp_tpu.nbody.particles import write_ascii_bodies
+
+    m = hernquist_model(rmin=1e-3, rmax=20.0)
+    x, v, mass = sample_spherical_model(m, 400, seed=3)
+    bods = str(tmp_path / "h.bods")
+    write_ascii_bodies(bods, (x, v, mass))
+    conf = {
+        "Global": {"dtime": 0.02, "nsteps": 4, "runtag": "qtest",
+                   "outdir": str(tmp_path)},
+        "Components": [{"name": "halo", "bodyfile": bods,
+                        "force": {"id": "sphereSL",
+                                  "parameters": {"lmax": 1, "nmax": 4,
+                                                 "modelname":
+                                                 "hernquist"}}}],
+        "Output": [{"id": "outpsq",
+                    "parameters": {"nint": 2, "nparts": 2, "nbeg": 7}}],
+    }
+    cfg = str(tmp_path / "run.yml")
+    with open(cfg, "w") as fh:
+        yaml.safe_dump(conf, fh)
+    sim = Simulation(RunConfig.from_file(cfg), workdir=str(tmp_path))
+    sim.run()
+    # dumps at steps 0,2,4 -> sequence suffixes 7,8,9
+    for suf in (7, 8, 9):
+        assert (tmp_path / f"SPL.qtest.{suf:05d}").exists()
+    d = read_spl(str(tmp_path / "SPL.qtest.00009"))
+    assert len(d.components[0].mass) == 400
