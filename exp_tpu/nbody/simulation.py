@@ -426,6 +426,29 @@ class Simulation:
 
                 self.components[cc.name].playback = Coefs.from_file(
                     os.path.join(workdir, pb))
+            # coefficient NOISE experiment (SphericalBasis.cc:2109-2214):
+            # replace the live coefficients each step with Gaussian draws
+            # scaled by the one-particle moments of a background model —
+            # delivered through the playback channel
+            fp = cc.force.parameters
+            if fp.get("NOISE") and cc.force.id in ("sphereSL", "bessel"):
+                from exp_tpu.nbody.noise import SphereNoise
+
+                nmf = str(fp.get("noise_model_file",
+                                 fp.get("modelname", "SLGridSph.model")))
+                nmp = os.path.join(workdir, nmf)
+                if os.path.exists(nmp):
+                    from exp_tpu.basis.model import SphericalModelTable
+
+                    nmodel = SphericalModelTable.from_file(nmp)
+                else:
+                    from exp_tpu.cli._common import load_model
+
+                    nmodel = load_model(nmf)
+                self.components[cc.name].playback = SphereNoise.build(
+                    c0.force, nmodel,
+                    noiseN=float(fp.get("noiseN", 1.0e-6)),
+                    seedN=int(fp.get("seedN", 11)))
             # coefficient smoothing config (npca/nsamples/tk_type knobs,
             # AxisymmetricBasis.H:20-43)
             self.components[cc.name].npca = int(cp.get("npca", 0))
