@@ -332,7 +332,7 @@ def flatten_buckets(lb: LevelBuckets) -> ParticleSystem:
 def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     ms: int, mesh, accum_dtype=jnp.float32,
                     axis_name: str = "p", externals=(), feats=None,
-                    wrappers=(), extras_sig=((), ()), fuse_all=False,
+                    wrappers=(), extras_sig=((), (), ()), fuse_all=False,
                     eqmotion: bool = True):
     """One compiled SUBSTEP (fine step `ms` of the hierarchy) — or, with
     fuse_all=True, the whole 2^M-substep BIG step chained into one jit.
@@ -361,7 +361,9 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
     mint = mintvl_table(M)
     names = list(forces)
     feats = feats or {n: CompFeats() for n in names}
-    pb_names, hall_names = extras_sig
+    pb_names, hall_names, rst_names = (
+        extras_sig if len(extras_sig) == 3
+        else (*extras_sig, ()))
     ms_list = tuple(range(Mstep)) if fuse_all else (ms,)
 
     def substep(state, regs, t0, centers, rots, extras):
@@ -420,23 +422,28 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
             # -- assemble full coefficients at mdrft (static weights) -----
             coef_full = {}
             for n in names:
-                if n in pb_names:
-                    coef_full[n] = ex["playback"][n]
-                    continue
                 if feats[n].needs_sources:
                     coef_full[n] = jnp.zeros((1,), state[n][0].x.dtype)
                     continue
-                tot = None
-                for l in range(M + 1):
-                    w = ((ms_ % mint[l]) + 1) / mint[l]
-                    c = _tmap(lambda L, N: L * (1.0 - w) + N * w,
-                              regs[n][0][l], regs[n][1][l])
-                    tot = c if tot is None else _tmap(jnp.add, tot, c)
-                if n in hall_names:
-                    from exp_tpu.nbody.pca import apply_hall
+                if n in pb_names:
+                    tot = ex["playback"][n]
+                else:
+                    tot = None
+                    for l in range(M + 1):
+                        w = ((ms_ % mint[l]) + 1) / mint[l]
+                        c = _tmap(lambda L, N: L * (1.0 - w) + N * w,
+                                  regs[n][0][l], regs[n][1][l])
+                        tot = c if tot is None else _tmap(jnp.add, tot, c)
+                    if n in hall_names:
+                        from exp_tpu.nbody.pca import apply_hall
 
-                    tot = _tmap(lambda v: apply_hall(v, ex["hall"][n]),
-                                tot)
+                        tot = _tmap(lambda v: apply_hall(v, ex["hall"][n]),
+                                    tot)
+                if n in rst_names:
+                    # harmonic restriction / FIX_L0 over the assembled set
+                    # (SphericalBasis.cc:1568-1600, 1689-1694)
+                    mk, off = ex["restrict"][n]
+                    tot = tot * mk + off
                 coef_full[n] = tot
 
             # -- closing half-kick for levels at their end boundary -------
@@ -471,7 +478,9 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
     center_specs = {n: P() for n in names}
     rot_specs = {n: P() for n in names}
     extras_specs = {"playback": {n: P() for n in pb_names},
-                    "hall": {n: P() for n in hall_names}}
+                    "hall": {n: P() for n in hall_names},
+                    "restrict": {n: (P(), P())
+                                 for n in rst_names}}
     if fuse_all:
         extras_specs = tuple(extras_specs for _ in range(Mstep))
 
@@ -544,12 +553,13 @@ class MultistepRunner:
 
     @staticmethod
     def _default_extras(t):
-        return {"playback": {}, "hall": {}}
+        return {"playback": {}, "hall": {}, "restrict": {}}
 
     @staticmethod
     def _extras_sig(extras):
         return (tuple(sorted(extras["playback"])),
-                tuple(sorted(extras["hall"])))
+                tuple(sorted(extras["hall"])),
+                tuple(sorted(extras.get("restrict", {}))))
 
     def init_state(self, flat: dict[str, ParticleSystem], t0=0.0,
                    centers=None, extras_fn=None, rots=None):
@@ -1015,7 +1025,9 @@ def init_regs_sm(forces: dict, couples: dict, M: int, mesh,
 
     names = list(forces)
     feats = feats or {n: CompFeats() for n in names}
-    pb_names, hall_names = extras_sig
+    pb_names, hall_names, rst_names = (
+        extras_sig if len(extras_sig) == 3
+        else (*extras_sig, ()))
 
     def init(state, t0, centers, rots, extras):
         ctr = _com_centers(state, feats, centers, axis_name)
@@ -1028,8 +1040,11 @@ def init_regs_sm(forces: dict, couples: dict, M: int, mesh,
                 z = jnp.zeros((1,), state[n][0].x.dtype)
                 regs[n] = (tuple(z for _ in range(M + 1)),
                            tuple(z for _ in range(M + 1)))
-                coef_full[n] = (extras["playback"][n] if n in pb_names
-                                else z)
+                cf = (extras["playback"][n] if n in pb_names else z)
+                if n in pb_names and n in rst_names:
+                    mk, off = extras["restrict"][n]
+                    cf = cf * mk + off
+                coef_full[n] = cf
                 continue
             if n in tc:
                 cs = [_project_tc(f, feats[n], b.x, b.mass, t0, ctr[n],
@@ -1047,6 +1062,9 @@ def init_regs_sm(forces: dict, couples: dict, M: int, mesh,
                 from exp_tpu.nbody.pca import apply_hall
 
                 tot = _tmap(lambda v: apply_hall(v, extras["hall"][n]), tot)
+            if n in rst_names:
+                mk, off = extras["restrict"][n]
+                tot = tot * mk + off
             coef_full[n] = tot
         out = {}
         diag = {}
@@ -1075,7 +1093,9 @@ def init_regs_sm(forces: dict, couples: dict, M: int, mesh,
     center_specs = {n: P() for n in names}
     rot_specs = {n: P() for n in names}
     extras_specs = {"playback": {n: P() for n in pb_names},
-                    "hall": {n: P() for n in hall_names}}
+                    "hall": {n: P() for n in hall_names},
+                    "restrict": {n: (P(), P())
+                                 for n in rst_names}}
     return shard_map(
         init, mesh,
         (state_specs, P(), center_specs, rot_specs, extras_specs),

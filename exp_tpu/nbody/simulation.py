@@ -359,6 +359,9 @@ class Simulation:
 
         # components
         self.components: dict[str, Component] = {}
+        #: harmonic-restriction state per component: {"mask": (2,L+1,L+1,n)
+        #: 0/1 array, "fix_l0": bool, "c0": captured monopole or None}
+        self._restrict: dict[str, dict] = {}
         for cc in config.components:
             if cc.bodyfile is None:
                 raise ConfigError(f"component {cc.name}: no bodyfile")
@@ -449,6 +452,53 @@ class Simulation:
                     c0.force, nmodel,
                     noiseN=float(fp.get("noiseN", 1.0e-6)),
                     seedN=int(fp.get("seedN", 11)))
+            # harmonic restrictions (SphericalBasis valid_keys,
+            # SphericalBasis.cc:33-39; applied in the force loop
+            # :1568-1600, FIX_L0 :1689-1694).  TPU-native: a static 0/1
+            # mask over the coefficient array — the force is linear in
+            # the coefficients, so masking them equals skipping terms.
+            rkeys = ("NO_L0", "NO_L1", "EVEN_L", "EVEN_M", "M0_ONLY",
+                     "FIX_L0")
+            if cc.force.id in ("sphereSL", "bessel") and any(
+                    fp.get(k) for k in rkeys):
+                f0 = c0.force
+                L, nm = f0.lmax, f0.nmax
+                mask = np.ones((2, L + 1, L + 1, nm), np.float32)
+                if fp.get("NO_L0"):
+                    mask[:, 0] = 0.0
+                if fp.get("NO_L1") and L >= 1:
+                    mask[:, 1] = 0.0
+                if fp.get("EVEN_L"):
+                    mask[:, np.arange(L + 1) % 2 == 1] = 0.0
+                if fp.get("EVEN_M"):
+                    mask[:, :, np.arange(L + 1) % 2 == 1] = 0.0
+                if fp.get("M0_ONLY"):
+                    mask[:, :, 1:] = 0.0
+                self._restrict[cc.name] = {
+                    "mask": mask, "fix_l0": bool(fp.get("FIX_L0")),
+                    "c0": None}
+            # polar/cylinder analogues (PolarBasis.cc:36-45: NO_M0/NO_M1/
+            # EVEN_M/M0_ONLY/mlim; Cylinder.cc valid_keys: EVEN_M/mlim)
+            # over the (2, mmax+1, nmax) coefficient layout
+            mkeys = ("NO_M0", "NO_M1", "EVEN_M", "M0_ONLY", "mlim")
+            if cc.force.id in ("cylinder", "flatdisk", "CBDisk") and any(
+                    fp.get(k) is not None and fp.get(k) is not False
+                    for k in mkeys):
+                f0 = c0.force
+                Mm, nm = f0.mmax, f0.nmax
+                mask = np.ones((2, Mm + 1, nm), np.float32)
+                if fp.get("NO_M0"):
+                    mask[:, 0] = 0.0
+                if fp.get("NO_M1") and Mm >= 1:
+                    mask[:, 1] = 0.0
+                if fp.get("EVEN_M"):
+                    mask[:, np.arange(Mm + 1) % 2 == 1] = 0.0
+                if fp.get("M0_ONLY"):
+                    mask[:, 1:] = 0.0
+                if fp.get("mlim") is not None:
+                    mask[:, int(fp["mlim"]) + 1:] = 0.0
+                self._restrict[cc.name] = {
+                    "mask": mask, "fix_l0": False, "c0": None}
             # coefficient smoothing config (npca/nsamples/tk_type knobs,
             # AxisymmetricBasis.H:20-43)
             self.components[cc.name].npca = int(cp.get("npca", 0))
@@ -682,6 +732,11 @@ class Simulation:
                     coefs[n] = jax.tree_util.tree_map(
                         lambda t_: apply_hall(t_, extras["hall"][n]),
                         coefs[n])
+            # harmonic restriction / FIX_L0 (SphericalBasis.cc:1568-1600,
+            # 1689-1694): affine (mask, offset) over the coefficient array
+            if n in extras.get("restrict", {}):
+                mk, off = extras["restrict"][n]
+                coefs[n] = coefs[n] * mk + off
         accs = {}
         pots = {}
         for n, ps in state.items():
@@ -810,6 +865,31 @@ class Simulation:
         for n, c in self.components.items():
             if not c.self_consistent and n not in self._frozen:
                 self._frozen[n] = np.asarray(self._coefs[n])
+        # FIX_L0: save the monopole on the first evaluation
+        # (SphericalBasis.cc:1689-1694)
+        for n, r in self._restrict.items():
+            if r["fix_l0"] and r["c0"] is None and n in (self._coefs or {}):
+                r["c0"] = np.asarray(self._coefs[n])[:, 0, 0, :].copy()
+
+    def _restrict_arrays(self):
+        """Traced (mask, offset) per restricted component: coefficients
+        are consumed as `c * mask + offset`."""
+        out = {}
+        for n, r in self._restrict.items():
+            mk = r["mask"]
+            # f64 staging: a float32 offset would round the captured
+            # monopole before the accum-dtype cast
+            off = np.zeros(mk.shape, np.float64)
+            if r["fix_l0"] and r["c0"] is not None:
+                mk = mk.copy()
+                mk[:, 0, 0, :] = 0.0
+                off[:, 0, 0, :] = r["c0"]
+            # accum dtype: the mask/offset combine with the coefficient
+            # accumulators (a compute-dtype offset would round the frozen
+            # monopole relative to the captured prime value)
+            adt = getattr(self, "accum_dtype", self.compute_dtype)
+            out[n] = (jnp.asarray(mk, adt), jnp.asarray(off, adt))
+        return out
 
     def run(self, nsteps=None):
         """Main loop (expand.cc:422-424)."""
@@ -837,7 +917,8 @@ class Simulation:
                 kk = min(kk, min(dues))
             extras = self._make_extras()
             sig = (kk, tuple(sorted(extras["playback"])),
-                   tuple(sorted(extras["hall"])))
+                   tuple(sorted(extras["hall"])),
+                   tuple(sorted(extras["restrict"])))
             fn = self._step_fns.get(sig)
             if fn is None:
                 fn = self._step_fns[sig] = self._make_step_fn(kk)
@@ -1007,7 +1088,8 @@ class Simulation:
                 pb[n] = jnp.asarray(self._frozen[n], self.compute_dtype)
             if n in self._hall:
                 hall[n] = jnp.asarray(self._hall[n], self.compute_dtype)
-        return {"playback": pb, "hall": hall}
+        return {"playback": pb, "hall": hall,
+                "restrict": self._restrict_arrays()}
 
     def _ms_sanity_check(self):
         """Diverging-run force stop (multistep.cc:296-341): if a component
@@ -1119,7 +1201,8 @@ class Simulation:
                 pb[n] = jnp.asarray(self._frozen[n], self.compute_dtype)
             if n in self._hall:
                 hall[n] = jnp.asarray(self._hall[n], self.compute_dtype)
-        return {"playback": pb, "hall": hall}
+        return {"playback": pb, "hall": hall,
+                "restrict": self._restrict_arrays()}
 
     def _rot_arrays(self):
         """Per-component body-frame rotations as traced arrays."""
