@@ -48,6 +48,9 @@ def main():
 
     n = int(os.environ.get("BENCH_N", 1_048_576))
     reps = int(os.environ.get("BENCH_REPS", 20))
+    # composite rows run at multistep=4 — the reference CI gate depth
+    # (tests/Halo/config.yml); *_m2 variants are selectable via
+    # BENCH_CONFIGS for continuity with the r01-r03 M=2 records.
     # composite10m (the BASELINE.md north-star scale) runs last so the
     # wall-clock budget guard can shed it if the warm-up ran cold
     default_cfgs = ("sphere,sphere10m,disk,disk10m,composite,cube,pyexp,"
@@ -61,7 +64,9 @@ def main():
     # the remote runtime is expensive; results are cached across runs).
     # Enforced as soon as ANYTHING has run — a failed primary must not
     # unlock unlimited time for the 10M configs.
-    budget = float(os.environ.get("BENCH_BUDGET", 1200))
+    # M=4 composite warmups are compile-heavy (~530 s one-time at 10.5M,
+    # measured scripts/probe_composite_m4.py) — budget sized to fit them
+    budget = float(os.environ.get("BENCH_BUDGET", 2200))
     t_start = time.perf_counter()
     for c in cfgs:
         c = c.strip()
@@ -82,10 +87,15 @@ def main():
                 r = bench_suite.bench_disk(n=10_485_760, reps=5)
             elif c == "composite":
                 r = bench_suite.bench_composite()
+            elif c == "composite_m2":
+                r = bench_suite.bench_composite(M=2)
             elif c == "composite10m":
                 # BASELINE.md north-star scale: 8M halo + 2M disk
                 r = bench_suite.bench_composite(n_halo=8_388_608,
                                                 n_disk=2_097_152)
+            elif c == "composite10m_m2":
+                r = bench_suite.bench_composite(n_halo=8_388_608,
+                                                n_disk=2_097_152, M=2)
             elif c == "cube":
                 r = bench_suite.bench_cube(n=min(4 * n, 4_194_304),
                                            reps=max(5, reps // 2))

@@ -199,9 +199,16 @@ def composite_ics(halo_force, disk_force, n_halo, n_disk, seed=3):
     return out
 
 
-def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2,
+def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=4,
                     max_warmup=8):
     """Config #3: disk+halo composite with multistep bins.
+
+    M defaults to 4 — the reference's own CI gate depth
+    (tests/Halo/config.yml `multistep: 4`); BENCH_M overrides.  Measured
+    on the v5e (scripts/probe_composite_m4.py): M=4 at 10.5M runs
+    4.3e7 particle-substeps/s vs 3.2e7 at M=2 — the deeper hierarchy
+    concentrates work on the few fast particles, and the capacity
+    signature stays stable after one relevel.
 
     Reports per-BIG-step time (= 2^M substeps) and aggregate
     particle-substeps/s, the multistep figure of merit.  Warmup runs
@@ -218,6 +225,7 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=2,
     from exp_tpu.nbody.particles import ParticleSystem
     from exp_tpu.nbody.multistep import MultistepRunner
 
+    M = int(os.environ.get("BENCH_M", M))
     ts = sphere_tables(lmax=4, nmax=10)
     halo = SphereSL.from_tables(ts, dtype=jnp.float32, backend="pallas")
     os.makedirs(CACHE_DIR, exist_ok=True)

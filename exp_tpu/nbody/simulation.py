@@ -356,6 +356,12 @@ class Simulation:
             mesh = particle_mesh()
         self.mesh = mesh
         self.n_shards = mesh.devices.size
+        #: multi-process world (jax.distributed initialized by run.py
+        #: --distributed or the caller): body reads become process-sharded,
+        #: output writing is process-0-gated, and host materialization of
+        #: particle state goes through a cross-process allgather
+        self.dist = jax.process_count() > 1
+        self.is_primary = jax.process_index() == 0
 
         # components
         self.components: dict[str, Component] = {}
@@ -368,19 +374,40 @@ class Simulation:
             # bodyfile may be reference ascii OR a PSP binary snapshot
             # (sniffed by magic) — the name inside a multi-component PSP
             # defaults to this component's name
-            ps = read_bodies(os.path.join(workdir, cc.bodyfile),
-                             dtype=self.compute_dtype,
-                             pad_to=self.n_shards,
-                             component=(cc.parameters or {}).get(
-                                 "psp_component", cc.name))
+            if self.dist:
+                # process-sharded ingest: each process parses only its
+                # contiguous row block (Component.H:202-204's MPI scatter)
+                from exp_tpu.parallel.distributed import (
+                    read_bodies_distributed, allgather_ps)
+
+                ps = read_bodies_distributed(
+                    os.path.join(workdir, cc.bodyfile), mesh,
+                    dtype=self.compute_dtype,
+                    component=(cc.parameters or {}).get(
+                        "psp_component", cc.name))
+            else:
+                ps = read_bodies(os.path.join(workdir, cc.bodyfile),
+                                 dtype=self.compute_dtype,
+                                 pad_to=self.n_shards,
+                                 component=(cc.parameters or {}).get(
+                                     "psp_component", cc.name))
             if g.nbodmax and ps.n > g.nbodmax:
                 raise ConfigError(
                     f"component {cc.name}: {ps.n} bodies exceeds "
                     f"nbodmax={g.nbodmax}")
+            if (self.dist and cc.force.id == "cylinder"
+                    and (cc.force.parameters or {}).get(
+                        "conditioning") == "particles"):
+                hp = allgather_ps(ps)
+                cond_particles = (hp.x, hp.mass)
+            elif self.dist:
+                cond_particles = None   # only cylinder conditioning uses it
+            else:
+                cond_particles = (np.asarray(ps.x), np.asarray(ps.mass))
             force = build_force(cc.force, self.compute_dtype, workdir,
-                                particles=(np.asarray(ps.x),
-                                           np.asarray(ps.mass)))
-            ps = ps.shard(mesh)
+                                particles=cond_particles)
+            if not self.dist:
+                ps = ps.shard(mesh)
             cp = cc.parameters or {}
             orient = None
             # EJ is the reference's orient bitmask (Orient.H:129:
@@ -1339,7 +1366,15 @@ class Simulation:
         copy instead of each paying a per-field device round-trip
         (~10-30 ms apiece through a remote runtime)."""
         if self._host_cache_step.get(name) != self.istep:
-            self._host_cache[name] = jax.device_get(self._state[name])
+            if self.dist:
+                # COLLECTIVE: every process must reach this gather (the
+                # run loop pre-gathers on all processes before gating the
+                # writes to process 0)
+                from exp_tpu.parallel.distributed import allgather_ps
+
+                self._host_cache[name] = allgather_ps(self._state[name])
+            else:
+                self._host_cache[name] = jax.device_get(self._state[name])
             self._host_cache_step[name] = self.istep
         return self._host_cache[name]
 

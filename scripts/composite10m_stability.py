@@ -28,6 +28,7 @@ def main():
     from exp_tpu.ic.diskhalo import virial_ratio
 
     nbig = int(os.environ.get("NBIG", 30))
+    M = int(os.environ.get("M", 2))
     ts = bench_suite.sphere_tables(lmax=4, nmax=10)
     halo = SphereSL.from_tables(ts, dtype=jnp.float32, backend="pallas")
     tc = build_empcyl_tables(
@@ -40,7 +41,7 @@ def main():
     runner = MultistepRunner(
         {"halo": halo, "disk": disk},
         {"halo": ["halo", "disk"], "disk": ["halo", "disk"]},
-        2e-3, 2, mesh, dynparams={"dynfracV": 0.01, "dynfracA": 0.03},
+        2e-3, M, mesh, dynparams={"dynfracV": 0.01, "dynfracA": 0.03},
         cap_headroom=2, fused=True)
     flat = {
         "halo": ParticleSystem.from_arrays(ic["xh"], ic["vh"], ic["mh"],
@@ -66,13 +67,14 @@ def main():
         return counts, virial_ratio(pops, fc)
 
     c0, vr0 = diagnose(st)
-    print(json.dumps({"bigstep": 0, "virial": round(vr0, 5),
+    print(json.dumps({"bigstep": 0, "M": M, "virial": round(vr0, 5),
                       "levels": c0}), flush=True)
     t0 = time.perf_counter()
+    every = int(os.environ.get("DIAG_EVERY", 10))
     for k in range(1, nbig + 1):
         st, regs, coef, diag = runner.bigstep(st, regs)
         st, regs = runner.relevel(st, regs)
-        if k % 10 == 0 or k == nbig:
+        if k % every == 0 or k == nbig:
             cts, vr = diagnose(st)
             print(json.dumps({"bigstep": k, "virial": round(vr, 5),
                               "levels": cts,
