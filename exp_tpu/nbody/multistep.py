@@ -191,8 +191,12 @@ def _sources_of(bs):
 # ---------------------------------------------------------------------------
 
 def dtreq_fn(ps: ParticleSystem, dynfracV=0.01, dynfracA=0.03, dynfracP=0.05,
-             dynfracD=1.0e32):
-    """Per-particle requested timestep (multistep.cc:94-130)."""
+             dynfracD=1.0e32, dynfracS=1.0):
+    """Per-particle requested timestep (multistep.cc:94-130).
+
+    dts = dynfracS * scale / |v| uses the per-particle internal size
+    scale (Particle.H:60-61); scale <= 0 disables the criterion for that
+    particle (multistep.cc:110-112)."""
     eps = 1.0e-10
     vtot = jnp.sum(ps.v * ps.v, axis=-1)
     atot = jnp.sum(ps.acc * ps.acc, axis=-1)
@@ -203,8 +207,12 @@ def dtreq_fn(ps: ParticleSystem, dynfracV=0.01, dynfracA=0.03, dynfracP=0.05,
     dtv = dynfracV * jnp.sqrt(vtot / (atot + eps))
     dta = dynfracA * ptot / (dtr + eps)
     dtA = dynfracP * jnp.sqrt(ptot / (atot + eps))
+    dts = jnp.where(ps.scale > 0,
+                    dynfracS * ps.scale / (jnp.sqrt(vtot) + eps),
+                    1.0 / eps)
 
-    dt = jnp.minimum(jnp.minimum(dtd, dtv), jnp.minimum(dta, dtA))
+    dt = jnp.minimum(jnp.minimum(jnp.minimum(dtd, dtv),
+                                 jnp.minimum(dta, dtA)), dts)
     return jnp.maximum(dt, eps)
 
 
@@ -283,7 +291,7 @@ def bucketize(ps: ParticleSystem, M: int, quantum: int,
     live = mass > 0
     x = np.asarray(ps.x); v = np.asarray(ps.v)
     acc = np.asarray(ps.acc); pot = np.asarray(ps.pot)
-    indx = np.asarray(ps.indx)
+    indx = np.asarray(ps.indx); scale = np.asarray(ps.scale)
 
     new_caps = []
     buckets = []
@@ -296,16 +304,17 @@ def bucketize(ps: ParticleSystem, M: int, quantum: int,
         new_caps.append(cap)
         xb = np.zeros((cap, 3)); vb = np.zeros((cap, 3))
         ab = np.zeros((cap, 3)); pb = np.zeros(cap); mb = np.zeros(cap)
-        ib = np.zeros(cap, np.int32)
+        ib = np.zeros(cap, np.int32); sb = np.full(cap, -1.0)
         xb[:n] = x[sel]; vb[:n] = v[sel]; ab[:n] = acc[sel]; pb[:n] = pot[sel]
-        mb[:n] = mass[sel]; ib[:n] = indx[sel]
+        mb[:n] = mass[sel]; ib[:n] = indx[sel]; sb[:n] = scale[sel]
         b = ParticleSystem(
             x=jnp.asarray(xb, ps.x.dtype), v=jnp.asarray(vb, ps.v.dtype),
             mass=jnp.asarray(mb, ps.mass.dtype),
             acc=jnp.asarray(ab, ps.acc.dtype),
             pot=jnp.asarray(pb, ps.pot.dtype),
             level=jnp.full(cap, l, jnp.int32),
-            indx=jnp.asarray(ib))
+            indx=jnp.asarray(ib),
+            scale=jnp.asarray(sb, ps.scale.dtype))
         if mesh is not None:
             b = b.shard(mesh)
         buckets.append(b)
@@ -322,6 +331,7 @@ def flatten_buckets(lb: LevelBuckets) -> ParticleSystem:
         pot=jnp.concatenate([b.pot for b in lb.buckets]),
         level=jnp.concatenate([b.level for b in lb.buckets]),
         indx=jnp.concatenate([b.indx for b in lb.buckets]),
+        scale=jnp.concatenate([b.scale for b in lb.buckets]),
     )
 
 
@@ -701,7 +711,7 @@ class MultistepRunner:
         """Device-side rebucketing at FIXED capacities, then a contiguous
         `dynamic_slice` per bucket.  Two equivalent permutation engines:
 
-        'sortfull' — ONE stable `lax.sort` carrying the 11 per-particle
+        'sortfull' — ONE stable `lax.sort` carrying the 12 per-particle
         field columns as value operands (dead rows keyed last).  Sort
         networks move the payload in full vector lanes; measured at 1M
         particles on a v5e (assess+rebucket jit): sort+slice 28 ms vs
@@ -710,7 +720,7 @@ class MultistepRunner:
         capacities) and 278 ms for a counting-sort row scatter.
 
         'sortgather' — sort only (key, iota) and realize the permutation
-        with ONE row-gather of the 11 float columns packed (Npad, 11)
+        with ONE row-gather of the 12 float columns packed (Npad, 12)
         plus a 1-D indx gather.  MEASURED WORSE at scale and kept only
         as the equivalence cross-check: TPU gathers of sub-tile rows
         lower to per-ELEMENT loads (~4 ns each), so the 10.5M composite
@@ -729,20 +739,20 @@ class MultistepRunner:
                 cols = [ps.x[:, 0], ps.x[:, 1], ps.x[:, 2],
                         ps.v[:, 0], ps.v[:, 1], ps.v[:, 2],
                         ps.acc[:, 0], ps.acc[:, 1], ps.acc[:, 2],
-                        ps.mass, ps.pot, ps.indx]
+                        ps.mass, ps.pot, ps.scale, ps.indx]
                 if style == "sortgather":
                     npad = key.shape[0]
                     iota = jax.lax.iota(jnp.int32, npad)
                     _, sidx = jax.lax.sort([key, iota], num_keys=1,
                                            is_stable=True)
-                    # the 11 float columns share the compute dtype and
+                    # the 12 float columns share the compute dtype and
                     # ride ONE row-gather; indx keeps its integer dtype
                     # via its own 1-D gather (packing it into the float
                     # matrix would round the identity bits)
-                    packed = jnp.stack(cols[:11], axis=1)
+                    packed = jnp.stack(cols[:12], axis=1)
                     sp = jnp.take(packed, sidx, axis=0)
-                    scols = [sp[:, j] for j in range(11)] + [
-                        jnp.take(cols[11], sidx)]
+                    scols = [sp[:, j] for j in range(12)] + [
+                        jnp.take(cols[12], sidx)]
                 else:
                     sorted_ops = jax.lax.sort([key] + cols, num_keys=1,
                                               is_stable=True)
@@ -776,7 +786,7 @@ class MultistepRunner:
                         acc=jnp.stack(G[6:9], axis=1),
                         mass=G[9], pot=G[10],
                         level=jnp.full(cap, l, jnp.int32),
-                        indx=G[11]))
+                        indx=G[12], scale=G[11]))
                 st[n] = tuple(bs)
             return st
 
@@ -866,7 +876,7 @@ class MultistepRunner:
                 cols = [ps.x[:, 0], ps.x[:, 1], ps.x[:, 2],
                         ps.v[:, 0], ps.v[:, 1], ps.v[:, 2],
                         ps.acc[:, 0], ps.acc[:, 1], ps.acc[:, 2],
-                        ps.mass, ps.pot, ps.indx]
+                        ps.mass, ps.pot, ps.scale, ps.indx]
                 offs = np.concatenate(
                     [[0], np.cumsum([caps[n][l]
                                      for l in range(M + 1)])]).astype(int)
@@ -895,7 +905,7 @@ class MultistepRunner:
                         acc=jnp.stack(newcols[6:9], axis=1),
                         mass=newcols[9], pot=newcols[10],
                         level=jnp.full(cap, l, jnp.int32),
-                        indx=newcols[11]))
+                        indx=newcols[12], scale=newcols[11]))
                 st2[n] = tuple(bs)
                 arrivals[n] = a
             st3, regs3, _, _ = init_sm(st2, t0, centers, rots, extras)

@@ -190,7 +190,7 @@ class OutChkpt(Output):
                 ps = sim.host_ps(n)
                 g = f.create_group(n)
                 for k in ("x", "v", "mass", "pot", "level",
-                          "indx"):
+                          "indx", "scale"):
                     a = np.asarray(getattr(ps, k))
                     if self.real4 and a.dtype == np.float64:
                         a = a.astype(np.float32)
@@ -246,7 +246,8 @@ def restore_checkpoint(sim, path=None, as_new=False):
             ps = ParticleSystem.from_arrays(
                 g["x"][...], g["v"][...], g["mass"][...],
                 dtype=sim.compute_dtype,
-                indx=g["indx"][...] if "indx" in g else None)
+                indx=g["indx"][...] if "indx" in g else None,
+                scale=g["scale"][...] if "scale" in g else None)
             state[n] = ps.shard(sim.mesh)
     sim._state = state
     _reset_derived_state(sim)

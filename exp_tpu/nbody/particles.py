@@ -29,7 +29,10 @@ class ParticleSystem:
     x, v, acc: (N, 3); mass, pot: (N,).  level: (N,) int32 multistep
     level; indx: (N,) int32 persistent 1-based particle identity (the
     reference's Particle::indx — stable across multistep rebucketing;
-    0 marks zero-mass padding rows).  N may include padding rows.
+    0 marks zero-mass padding rows).  scale: (N,) per-particle internal
+    size scale for the `dts` timestep criterion (Particle.H:60-61;
+    <= 0 means ignore, the reference's default of -1).  N may include
+    padding rows.
     """
 
     x: jax.Array
@@ -39,6 +42,7 @@ class ParticleSystem:
     pot: jax.Array
     level: jax.Array
     indx: jax.Array
+    scale: jax.Array
 
     @property
     def n(self) -> int:
@@ -47,19 +51,22 @@ class ParticleSystem:
     @classmethod
     def from_arrays(cls, x, v, mass, dtype=jnp.float32,
                     pad_to: int | None = None,
-                    indx=None) -> "ParticleSystem":
+                    indx=None, scale=None) -> "ParticleSystem":
         x = np.asarray(x, dtype=np.float64)
         v = np.asarray(v, dtype=np.float64)
         mass = np.asarray(mass, dtype=np.float64)
         n = x.shape[0]
         ix = (np.arange(1, n + 1, dtype=np.int32) if indx is None
               else np.asarray(indx, dtype=np.int32))
+        sc = (np.full(n, -1.0) if scale is None
+              else np.asarray(scale, dtype=np.float64))
         if pad_to is not None and n % pad_to:
             npad = pad_to - n % pad_to
             x = np.concatenate([x, np.ones((npad, 3)) * 0.0])
             v = np.concatenate([v, np.zeros((npad, 3))])
             mass = np.concatenate([mass, np.zeros(npad)])
             ix = np.concatenate([ix, np.zeros(npad, np.int32)])
+            sc = np.concatenate([sc, np.full(npad, -1.0)])
         m = x.shape[0]
         return cls(
             x=jnp.asarray(x, dtype=dtype),
@@ -69,6 +76,7 @@ class ParticleSystem:
             pot=jnp.zeros((m,), dtype=dtype),
             level=jnp.zeros((m,), dtype=jnp.int32),
             indx=jnp.asarray(ix),
+            scale=jnp.asarray(sc, dtype=dtype),
         )
 
     def shard(self, mesh, axis: str = "p") -> "ParticleSystem":
@@ -82,7 +90,7 @@ class ParticleSystem:
         return ParticleSystem(
             x=put(self.x), v=put(self.v), mass=put(self.mass),
             acc=put(self.acc), pot=put(self.pot), level=put(self.level),
-            indx=put(self.indx),
+            indx=put(self.indx), scale=put(self.scale),
         )
 
 
@@ -109,9 +117,28 @@ def read_ascii_arrays(path):
     return data[:, 1:4], data[:, 4:7], data[:, 0]
 
 
-def read_ascii_bodies(path, dtype=jnp.float32, pad_to=None) -> ParticleSystem:
+def read_ascii_dattr(path, k: int):
+    """Host-side read of dattr column `k` (0-based) of an ascii bodyfile:
+    columns are `mass x y z u v w [iattr...] [dattr...]` with the counts in
+    the header (Component::read_bodies_and_distribute_ascii)."""
+    with open(path) as f:
+        header = f.readline().split()
+        n, niattrib, ndattrib = (int(header[0]), int(header[1]),
+                                 int(header[2]))
+        if k < 0 or k >= ndattrib:
+            raise ValueError(f"{path}: dattr index {k} out of range "
+                             f"(ndattrib={ndattrib})")
+        data = np.loadtxt(f, max_rows=n, usecols=(7 + niattrib + k,))
+    return np.atleast_1d(data)
+
+
+def read_ascii_bodies(path, dtype=jnp.float32, pad_to=None,
+                      scale_dattr: int | None = None) -> ParticleSystem:
     x, v, mass = read_ascii_arrays(path)
-    return ParticleSystem.from_arrays(x, v, mass, dtype=dtype, pad_to=pad_to)
+    scale = (read_ascii_dattr(path, scale_dattr)
+             if scale_dattr is not None else None)
+    return ParticleSystem.from_arrays(x, v, mass, dtype=dtype, pad_to=pad_to,
+                                      scale=scale)
 
 
 def is_psp_file(path) -> bool:
@@ -132,16 +159,20 @@ def is_psp_file(path) -> bool:
 
 
 def read_bodies(path, dtype=jnp.float32, pad_to=None,
-                component: str | None = None) -> ParticleSystem:
+                component: str | None = None,
+                scale_dattr: int | None = None) -> ParticleSystem:
     """Read a body file, sniffing the format: reference ascii bodyfiles and
     PSP binary phase-space files both work (Component.H:202-204 reads
     ascii, PSP and split binary — this is the PSP ingestion path, enabling
     init/restart from reference-produced snapshots).
 
     `component`: for multi-component PSP files, select the named component
-    (default: single component required)."""
+    (default: single component required).
+    `scale_dattr`: 0-based dattr column holding the per-particle `scale`
+    for the dts timestep criterion (Particle.H:60-61)."""
     if not is_psp_file(path):
-        return read_ascii_bodies(path, dtype=dtype, pad_to=pad_to)
+        return read_ascii_bodies(path, dtype=dtype, pad_to=pad_to,
+                                 scale_dattr=scale_dattr)
 
     from exp_tpu.io.psp import read_psp
 
@@ -159,8 +190,11 @@ def read_bodies(path, dtype=jnp.float32, pad_to=None,
         raise ValueError(
             f"{path}: {len(comps)} components "
             f"({[c.name for c in comps]}) and none named {component!r}")
+    scale = (c.dattr[:, scale_dattr]
+             if scale_dattr is not None and c.dattr is not None else None)
     return ParticleSystem.from_arrays(c.x, c.v, c.mass, dtype=dtype,
-                                      pad_to=pad_to, indx=c.indx)
+                                      pad_to=pad_to, indx=c.indx,
+                                      scale=scale)
 
 
 def write_ascii_bodies(path, ps_or_arrays, niattrib=0, ndattrib=0):

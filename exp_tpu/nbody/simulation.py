@@ -384,13 +384,16 @@ class Simulation:
                     os.path.join(workdir, cc.bodyfile), mesh,
                     dtype=self.compute_dtype,
                     component=(cc.parameters or {}).get(
-                        "psp_component", cc.name))
+                        "psp_component", cc.name),
+                    scale_dattr=(cc.parameters or {}).get("scale_dattr"))
             else:
                 ps = read_bodies(os.path.join(workdir, cc.bodyfile),
                                  dtype=self.compute_dtype,
                                  pad_to=self.n_shards,
                                  component=(cc.parameters or {}).get(
-                                     "psp_component", cc.name))
+                                     "psp_component", cc.name),
+                                 scale_dattr=(cc.parameters or {}).get(
+                                     "scale_dattr"))
             if g.nbodmax and ps.n > g.nbodmax:
                 raise ConfigError(
                     f"component {cc.name}: {ps.n} bodies exceeds "
@@ -685,7 +688,8 @@ class Simulation:
                 accum_dtype=self.accum_dtype,
                 externals=getattr(self, "externals", ()),
                 dynparams={"dynfracV": g.dynfracV, "dynfracA": g.dynfracA,
-                           "dynfracP": g.dynfracP, "dynfracD": g.dynfracD},
+                           "dynfracP": g.dynfracP, "dynfracD": g.dynfracD,
+                           "dynfracS": g.dynfracS},
                 shiftlevl=g.shiftlevl, feats=feats, wrappers=self.wrappers,
                 fused=g.fused_bigstep,
                 eqmotion=bool(getattr(g, "eqmotion", True)))

@@ -103,7 +103,7 @@ def _ps_specs(axis_name):
     return ParticleSystem(
         x=P(axis_name, None), v=P(axis_name, None), mass=P(axis_name),
         acc=P(axis_name, None), pot=P(axis_name), level=P(axis_name),
-        indx=P(axis_name),
+        indx=P(axis_name), scale=P(axis_name),
     )
 
 

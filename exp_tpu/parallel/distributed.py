@@ -93,7 +93,7 @@ def row_block(n_global: int, mesh) -> tuple[int, int]:
     return lo, hi
 
 
-def ps_from_local(x, v, mass, mesh, n_global: int, lo: int,
+def ps_from_local(x, v, mass, mesh, n_global: int, lo: int, scale=None,
                   dtype=None, indx=None) -> ParticleSystem:
     """Global sharded ParticleSystem from THIS process's row block.
 
@@ -125,6 +125,8 @@ def ps_from_local(x, v, mass, mesh, n_global: int, lo: int,
 
     z3 = np.zeros((n_loc, 3))
     z1 = np.zeros(n_loc)
+    sc = (np.full(n_loc, -1.0) if scale is None
+          else np.asarray(scale, np.float64))
     return ParticleSystem(
         x=put(x.astype(np.dtype(dtype)), 2),
         v=put(v.astype(np.dtype(dtype)), 2),
@@ -132,7 +134,8 @@ def ps_from_local(x, v, mass, mesh, n_global: int, lo: int,
         acc=put(z3.astype(np.dtype(dtype)), 2),
         pot=put(z1.astype(np.dtype(dtype)), 1),
         level=put(np.zeros(n_loc, np.int32), 1),
-        indx=put(ix, 1))
+        indx=put(ix, 1),
+        scale=put(sc.astype(np.dtype(dtype)), 1))
 
 
 def pad_global_count(n: int, mesh) -> int:
@@ -142,7 +145,9 @@ def pad_global_count(n: int, mesh) -> int:
 
 
 def read_bodies_distributed(path, mesh, dtype=None,
-                            component: str | None = None) -> ParticleSystem:
+                            component: str | None = None,
+                            scale_dattr: int | None = None
+                            ) -> ParticleSystem:
     """Process-sharded body read: each process parses ONLY its contiguous
     row block (Component.H:202-204 read_bodies_and_distribute_ascii's MPI
     scatter, without the scatter — every process seeks to its own rows).
@@ -169,11 +174,14 @@ def read_bodies_distributed(path, mesh, dtype=None,
         else:
             raise ValueError(f"{path}: no component named {component!r}")
         xg, vg, mg, ixg = c.x, c.v, c.mass, c.indx
+        sg = (c.dattr[:, scale_dattr]
+              if scale_dattr is not None and c.dattr is not None else None)
         n = len(mg)
     else:
         with open(path) as f:
-            n = int(f.readline().split()[0])
-        xg = vg = mg = ixg = None
+            hdr = f.readline().split()
+            n, niattrib = int(hdr[0]), int(hdr[1])
+        xg = vg = mg = ixg = sg = None
 
     n_global = pad_global_count(n, mesh)
     lo, hi = row_block(n_global, mesh)
@@ -197,14 +205,25 @@ def read_bodies_distributed(path, mesh, dtype=None,
             if data.ndim == 1:
                 data = data[None]
             xl, vl, ml = data[:, 1:4], data[:, 4:7], data[:, 0]
+            if scale_dattr is not None:
+                with open(path) as f:
+                    for _ in range(1 + lo_live):
+                        f.readline()
+                    sl = np.atleast_1d(np.loadtxt(
+                        f, max_rows=hi_live - lo_live,
+                        usecols=(7 + niattrib + scale_dattr,)))
+            else:
+                sl = None
         else:
             xl = np.zeros((0, 3)); vl = np.zeros((0, 3)); ml = np.zeros(0)
+            sl = np.zeros(0) if scale_dattr is not None else None
         ixl = None
     else:
         xl, vl, ml = xg[lo_live:hi_live], vg[lo_live:hi_live], \
             mg[lo_live:hi_live]
         ixl = (None if ixg is None
                else np.asarray(ixg[lo_live:hi_live], np.int64))
+        sl = None if sg is None else sg[lo_live:hi_live]
 
     npad = (hi - lo) - (hi_live - lo_live)
     if npad:
@@ -213,8 +232,10 @@ def read_bodies_distributed(path, mesh, dtype=None,
         ml = np.concatenate([ml, np.zeros(npad)])
         if ixl is not None:
             ixl = np.concatenate([ixl, np.zeros(npad, np.int64)])
+        if sl is not None:
+            sl = np.concatenate([sl, np.full(npad, -1.0)])
     return ps_from_local(xl, vl, ml, mesh, n_global, lo, dtype=dtype,
-                         indx=ixl)
+                         indx=ixl, scale=sl)
 
 
 def allgather_ps(ps: ParticleSystem) -> ParticleSystem:
@@ -228,8 +249,8 @@ def allgather_ps(ps: ParticleSystem) -> ParticleSystem:
     if jax.process_count() == 1:
         return ParticleSystem(
             **{k: np.asarray(getattr(ps, k)) for k in
-               ("x", "v", "mass", "acc", "pot", "level", "indx")})
+               ("x", "v", "mass", "acc", "pot", "level", "indx", "scale")})
     out = multihost_utils.process_allgather(ps, tiled=True)
     return ParticleSystem(
         **{k: np.asarray(getattr(out, k)) for k in
-           ("x", "v", "mass", "acc", "pot", "level", "indx")})
+           ("x", "v", "mass", "acc", "pot", "level", "indx", "scale")})

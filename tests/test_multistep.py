@@ -254,3 +254,44 @@ def test_incremental_relevel_fallback(setup):
     sig = r._caps_sig(st)
     counts = r.level_counts(st)
     assert r._fill[sig]["h"] == counts["h"]   # compaction reset fill
+
+
+def test_dts_scale_criterion(tmp_path):
+    """The dts timestep criterion (multistep.cc:110-118): dts =
+    dynfracS*scale/|v| for particles with scale > 0; scale <= 0 (the
+    reference's default of -1, Particle.H:60-61) leaves the particle on
+    the minimum of the other criteria."""
+    from exp_tpu.nbody.multistep import dtreq_fn
+    from exp_tpu.nbody.particles import read_bodies
+
+    n = 4
+    ps = ParticleSystem.from_arrays(
+        np.zeros((n, 3)), np.tile([2.0, 0.0, 0.0], (n, 1)), np.ones(n),
+        dtype=jnp.float64, scale=[-1.0, 0.0, 0.1, 40.0])
+    ps = replace(
+        ps,
+        acc=jnp.tile(jnp.asarray([0.1, 0.0, 0.0], jnp.float64), (n, 1)),
+        pot=jnp.full(n, -1.0, jnp.float64))
+    # vtot=4, atot=0.01, |v.a|=0.2, |pot|=1:
+    #   dtv=0.01*20=0.2, dta=0.03*1/0.2=0.15, dtA=0.05*10=0.5 -> base 0.15
+    dt = np.asarray(dtreq_fn(ps))
+    np.testing.assert_allclose(dt[0], 0.15, rtol=1e-6)   # scale=-1 inactive
+    np.testing.assert_allclose(dt[1], 0.15, rtol=1e-6)   # scale=0 inactive
+    np.testing.assert_allclose(dt[2], 0.05, rtol=1e-6)   # 1.0*0.1/2
+    np.testing.assert_allclose(dt[3], 0.15, rtol=1e-6)   # dts=20 not binding
+
+    # dynfracS rescales the criterion
+    dt2 = np.asarray(dtreq_fn(ps, dynfracS=0.5))
+    np.testing.assert_allclose(dt2[2], 0.025, rtol=1e-6)
+
+    # ascii ingest: scale from a dattr column (Component ascii bodyfile
+    # layout: mass x y z u v w [iattr...] [dattr...])
+    f = tmp_path / "bodies.txt"
+    rows = []
+    for i in range(3):
+        rows.append(f"1.0 {i}.0 0.0 0.0 0.5 0.0 0.0 7 {0.25 * (i + 1)} 9.0")
+    f.write_text("3 1 2\n" + "\n".join(rows) + "\n")
+    ps2 = read_bodies(str(f), dtype=jnp.float64, scale_dattr=0)
+    np.testing.assert_allclose(np.asarray(ps2.scale), [0.25, 0.5, 0.75])
+    ps3 = read_bodies(str(f), dtype=jnp.float64)     # default: inactive
+    np.testing.assert_allclose(np.asarray(ps3.scale), [-1.0, -1.0, -1.0])
