@@ -230,14 +230,18 @@ class SlabForce:
             from exp_tpu.ops import pallas_slab as pk
 
             _, ak = self._pallas_kernels()
-            Ct = pk.contract_slab_tables(coef.astype(self._cdtype(dtype)),
-                                         self.phi_s, self.dphi_s,
+            cf = coef.astype(self._cdtype(dtype))
+            Ct = pk.contract_slab_tables(cf, self.phi_s, self.dphi_s,
                                          self.nmaxx, self.nmaxy)
+            # outside-|z|>zmax vacuum continuation runs IN-kernel from
+            # the boundary rows of the full-resolution tables
+            Aux = pk.slab_accel_aux(cf, self.phi_t[-1], self.phi_t[0],
+                                    self.dphi_t[-1], self.dphi_t[0],
+                                    self.nmaxx, self.nmaxy)
             xp, _, n = self._pad1024(x)
-            out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], dtype)), Ct)
-            return self._outside_continuation(
-                coef, x, out[0:3, :n].T.astype(dtype),
-                out[3, :n].astype(dtype))
+            out = ak(pk.pack_xyzm(xp, jnp.zeros(xp.shape[0], dtype)),
+                     Ct, Aux)
+            return out[0:3, :n].T.astype(dtype), out[3, :n].astype(dtype)
         cd = self._cdtype(dtype)
         coef = coef.astype(cd)
         z = jnp.clip(x[:, 2], -self.zmax, self.zmax)

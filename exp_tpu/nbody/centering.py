@@ -10,14 +10,19 @@ step as a traced argument — no recompilation when it moves.
 TPU-native: the top-K selection is jax.lax.top_k on -(E) over the sharded
 particle arrays (replacing the per-rank sorted EL3 merge).
 
-Note on PseudoAccel (include/PseudoAccel.H; Component::getPseudoAccel,
-Component.cc:4407-4425): the reference adds fictitious accelerations
-(frame acceleration + Coriolis/centrifugal terms) when a component is
-integrated in its moving/rotating expansion frame.  exp_tpu always
-integrates in the inertial frame — the tracked center (EJ or CenterFile)
-only offsets the *expansion origin* passed to the basis evaluation, never
-the coordinates being integrated — so no pseudo-acceleration terms are
-needed; energy/momentum conservation is checked directly in the tests.
+PseudoAccel (include/PseudoAccel.H; Component::getPseudoAccel,
+Component.cc:4407-4425): when a component is declared to live in its
+moving/rotating expansion frame (`nEJaccel > 0`), the reference estimates
+the frame acceleration by a quadratic least-squares fit over the last
+Naccel tracked centers (accel = 2a of a t^2 + b t + c, per axis) plus the
+axis angular velocity omega = n x dn/dt and its derivative, and subtracts
+accel + 2 omega x v + domega/dt x r + omega x (omega x r) from every
+self-gravity acceleration (Component.H:913-921 AddAcc — externals,
+AddAccExt, are NOT corrected).  exp_tpu integrates inertial coordinates
+by default (the tracked center only offsets the expansion origin), so the
+correction is the same opt-in: PseudoAccel below is fed by EJOrient
+updates or prescribed CenterFile samples and its output is subtracted in
+the step's force assembly.
 """
 
 from __future__ import annotations
@@ -99,6 +104,61 @@ def _regress(hist, time, damp):
 
 
 @dataclass
+class PseudoAccel:
+    """Frame-acceleration estimator (include/PseudoAccel.H:10-95).
+
+    Keeps the last `nsize` (t, center, axis) samples; when the queue is
+    full, the frame acceleration is 2x the quadratic coefficient of a
+    least-squares fit a t^2 + b t + c per axis (QuadLS), and the axis
+    terms give omega = n x dn/dt and domega/dt = n x d2n/dt2 evaluated
+    at the newest sample time.  `center`/`axis` gate which pieces are
+    active (Orient::CENTER / Orient::AXIS, mirrored from the EJ
+    bitmask)."""
+
+    nsize: int = 8
+    center: bool = True
+    axis: bool = False
+    _queue: deque = field(default_factory=deque)
+
+    def add(self, t, c, a=None):
+        self._queue.append((float(t), np.asarray(c, np.float64),
+                            None if a is None else np.asarray(a,
+                                                              np.float64)))
+        while len(self._queue) > self.nsize:
+            self._queue.popleft()
+
+    def __call__(self):
+        """-> (accel, omega, domdt), each (3,) float64 (zeros until the
+        sample window fills, PseudoAccel.H:64-66)."""
+        accel = np.zeros(3)
+        omega = np.zeros(3)
+        domdt = np.zeros(3)
+        if len(self._queue) < self.nsize or self.nsize < 3:
+            return accel, omega, domdt
+        # shift times to their mean: the quadratic coefficient (and the
+        # evaluation at the newest sample) are shift-invariant, and the
+        # Vandermonde fit stays well-conditioned for t >> window
+        ts = np.array([q[0] for q in self._queue])
+        ts = ts - ts.mean()
+        if self.center:
+            cs = np.array([q[1] for q in self._queue])
+            for k in range(3):
+                accel[k] = 2.0 * np.polyfit(ts, cs[:, k], 2)[0]
+        if self.axis and all(q[2] is not None for q in self._queue):
+            axs = np.array([q[2] for q in self._queue])
+            T = ts[-1]
+            n = np.zeros(3); dndt = np.zeros(3); d2 = np.zeros(3)
+            for k in range(3):
+                a, b, _c = np.polyfit(ts, axs[:, k], 2)
+                n[k] = a * T * T + b * T + _c
+                dndt[k] = 2.0 * a * T + b
+                d2[k] = 2.0 * a
+            omega = np.cross(n, dndt)
+            domdt = np.cross(n, d2)
+        return accel, omega, domdt
+
+
+@dataclass
 class EJOrient:
     """EJ center/axis tracker with the reference's sliding-window
     least-squares regression (src/Orient.cc:560-680): per update, the
@@ -113,6 +173,9 @@ class EJOrient:
     window: int = 16
     damp: float = 1.0
     logfile: str | None = None
+    #: optional frame-acceleration estimator fed the raw per-update
+    #: center1/axis1 samples (Orient.cc:696-697)
+    pseudo: "PseudoAccel | None" = None
     _histC: deque = field(default_factory=deque)
     _histA: deque = field(default_factory=deque)
     center: np.ndarray = field(default_factory=lambda: np.zeros(3))
@@ -131,6 +194,8 @@ class EJOrient:
         nrm = np.linalg.norm(L1)
         a1 = L1 / nrm if nrm > 0 else np.array(self.axis)
         self._push(time, c1, a1)
+        if self.pseudo is not None:
+            self.pseudo.add(time, c1, a1)
         self._refresh(time)
         self._log(time, c1, a1)
         return self.center

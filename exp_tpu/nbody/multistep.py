@@ -140,6 +140,22 @@ def _accel_at(x, t, comp_couples, eff, tc, feats, coef_full, ctr, rots,
     return acc, pot
 
 
+def _pseudo_accel(pa, x, v, center):
+    """Per-particle fictitious acceleration of the non-inertial expansion
+    frame (Component::getPseudoAccel, Component.cc:4407-4425): frame
+    acceleration + Coriolis + Euler + centrifugal terms from the tracked
+    center/axis history.  `pa` = traced (accel, omega, domdt) 3-vectors.
+    Positions enter relative to the expansion center (the rotation axis
+    passes through it); velocities are the current particle velocities."""
+    acc3, om, dom = pa
+    out = jnp.broadcast_to(acc3[None, :], x.shape)
+    rel = x - center[None, :]
+    out = out + (2.0 * jnp.cross(om[None, :], v)
+                 + jnp.cross(dom[None, :], rel)
+                 + jnp.cross(om[None, :], jnp.cross(om[None, :], rel)))
+    return out
+
+
 def _com_centers(state, feats, centers, axis_name):
     """Effective expansion center per component: instantaneous COM over all
     buckets for `com: true` components, else the prescribed center."""
@@ -371,9 +387,8 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
     mint = mintvl_table(M)
     names = list(forces)
     feats = feats or {n: CompFeats() for n in names}
-    pb_names, hall_names, rst_names = (
-        extras_sig if len(extras_sig) == 3
-        else (*extras_sig, ()))
+    sig4 = tuple(extras_sig) + ((),) * (4 - len(extras_sig))
+    pb_names, hall_names, rst_names, psd_names = sig4
     ms_list = tuple(range(Mstep)) if fuse_all else (ms,)
 
     def substep(state, regs, t0, centers, rots, extras):
@@ -466,6 +481,11 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
                     acc, pot = _accel_at(b.x, t_sub, couples[n], eff, tc,
                                          feats, coef_full, ctr, rots,
                                          state, externals, axis_name)
+                    # non-inertial frame correction, ONCE per kick
+                    # (Component.H:913-921 AddAcc; see _pseudo_accel)
+                    if n in psd_names:
+                        acc = acc - _pseudo_accel(ex["pseudo"][n], b.x,
+                                                  b.v, ctr[n])
                     v_new = b.v + acc * (0.5 * DT) if eqmotion else b.v
                     state[n][l] = replace(b, v=v_new, acc=acc, pot=pot)
 
@@ -490,7 +510,8 @@ def make_substep_fn(forces: dict, couples: dict, dtime: float, M: int,
     extras_specs = {"playback": {n: P() for n in pb_names},
                     "hall": {n: P() for n in hall_names},
                     "restrict": {n: (P(), P())
-                                 for n in rst_names}}
+                                 for n in rst_names},
+                    "pseudo": {n: (P(), P(), P()) for n in psd_names}}
     if fuse_all:
         extras_specs = tuple(extras_specs for _ in range(Mstep))
 
@@ -563,13 +584,14 @@ class MultistepRunner:
 
     @staticmethod
     def _default_extras(t):
-        return {"playback": {}, "hall": {}, "restrict": {}}
+        return {"playback": {}, "hall": {}, "restrict": {}, "pseudo": {}}
 
     @staticmethod
     def _extras_sig(extras):
         return (tuple(sorted(extras["playback"])),
                 tuple(sorted(extras["hall"])),
-                tuple(sorted(extras.get("restrict", {}))))
+                tuple(sorted(extras.get("restrict", {}))),
+                tuple(sorted(extras.get("pseudo", {}))))
 
     def init_state(self, flat: dict[str, ParticleSystem], t0=0.0,
                    centers=None, extras_fn=None, rots=None):
@@ -1035,9 +1057,8 @@ def init_regs_sm(forces: dict, couples: dict, M: int, mesh,
 
     names = list(forces)
     feats = feats or {n: CompFeats() for n in names}
-    pb_names, hall_names, rst_names = (
-        extras_sig if len(extras_sig) == 3
-        else (*extras_sig, ()))
+    sig4 = tuple(extras_sig) + ((),) * (4 - len(extras_sig))
+    pb_names, hall_names, rst_names, psd_names = sig4
 
     def init(state, t0, centers, rots, extras):
         ctr = _com_centers(state, feats, centers, axis_name)
@@ -1090,6 +1111,9 @@ def init_regs_sm(forces: dict, couples: dict, M: int, mesh,
                 acc, pot = _accel_at(b.x, t0, couples[n], eff, tc, feats,
                                      coef_full, ctr, rots, state,
                                      externals, axis_name)
+                if n in psd_names:
+                    acc = acc - _pseudo_accel(extras["pseudo"][n], b.x,
+                                              b.v, ctr[n])
                 bs.append(replace(b, acc=acc, pot=pot))
             out[n] = tuple(bs)
             parts = [_diagnostics(b, axis_name=axis_name) for b in bs]
@@ -1105,7 +1129,8 @@ def init_regs_sm(forces: dict, couples: dict, M: int, mesh,
     extras_specs = {"playback": {n: P() for n in pb_names},
                     "hall": {n: P() for n in hall_names},
                     "restrict": {n: (P(), P())
-                                 for n in rst_names}}
+                                 for n in rst_names},
+                    "pseudo": {n: (P(), P(), P()) for n in psd_names}}
     return shard_map(
         init, mesh,
         (state_specs, P(), center_specs, rot_specs, extras_specs),

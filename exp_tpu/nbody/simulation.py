@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from exp_tpu.config import RunConfig, ComponentConfig, ConfigError
 from exp_tpu.nbody.particles import ParticleSystem, read_bodies
 from exp_tpu.nbody.step import shard_map, _diagnostics, _ps_specs, _diag_specs
+from exp_tpu.nbody.multistep import _pseudo_accel
 
 
 # ---------------------------------------------------------------------------
@@ -291,6 +292,11 @@ class Component:
     # expand about the component's instantaneous center of mass
     # (Component.H:155-163 'Local' frame, `com: true`)
     com_system: bool = False
+    # non-inertial expansion-frame correction (include/PseudoAccel.H;
+    # Component.cc:4407-4425): quadratic-LS estimator over the tracked
+    # center history, subtracted from self-gravity (AddAcc) but not
+    # externals (AddAccExt).  Enabled by `nEJaccel > 0`.
+    pseudo: object = None
     # coefficient playback / Hall smoothing
     playback: object = None
     npca: int = 0
@@ -417,6 +423,17 @@ class Simulation:
             # AXIS=1, CENTER=2); a bare `EJ: true` means center tracking
             ejraw = cp.get("EJ", 0)
             ej_flags = 2 if ejraw is True else int(ejraw or 0)
+            # nEJaccel > 0 enables the non-inertial frame correction
+            # (Component.cc:1355 Orient ctor Naccel; PseudoAccel.H)
+            naccel = int(cp.get("nEJaccel", 0))
+            pseudo = None
+            if naccel > 0:
+                from exp_tpu.nbody.centering import PseudoAccel
+
+                pseudo = PseudoAccel(
+                    nsize=naccel,
+                    center=bool(ej_flags & 2) or bool(cp.get("centerfile")),
+                    axis=bool(ej_flags & 1))
             if ej_flags:
                 from exp_tpu.nbody.centering import EJOrient
 
@@ -425,7 +442,7 @@ class Simulation:
                 orient = EJOrient(nkeep=int(cp.get("nEJkeep", 256)),
                                   window=int(cp.get("EJwindow", 16)),
                                   damp=float(cp.get("EJdamp", 1.0)),
-                                  logfile=logf)
+                                  logfile=logf, pseudo=pseudo)
                 if g.infile and os.path.exists(logf):
                     # restart: reload the regression history
                     orient.load_log(logf)
@@ -443,7 +460,7 @@ class Simulation:
                 ton=float(cp.get("ton", 0.0)),
                 twid=float(cp.get("twid", 1.0)),
                 EJ=bool(ej_flags), ej_flags=ej_flags, orient=orient,
-                center_traj=center_traj,
+                center_traj=center_traj, pseudo=pseudo,
                 rtrunc=float(cp.get("rtrunc", 1.0e20)),
                 com_system=bool(cp.get("com", False)),
                 basis_dtime=float(cc.force.parameters.get("dtime", 0.0)
@@ -786,6 +803,12 @@ class Simulation:
                     aa = aa @ rots[a]       # back to the inertial frame
                 acc = acc + aa
                 pot = pot + pp
+            # non-inertial expansion-frame correction: subtracted from
+            # self-gravity (AddAcc, Component.H:913-921) BEFORE externals
+            # are added (AddAccExt applies no correction)
+            if n in extras.get("pseudo", {}):
+                acc = acc - _pseudo_accel(extras["pseudo"][n], xs[n],
+                                          state[n].v, centers[n])
             for ext in self.externals:
                 aa, pp = ext.acceleration(xs[n], t)
                 acc = acc + aa
@@ -858,9 +881,7 @@ class Simulation:
 
         names = list(self.components)
         extras = self._make_extras(t=self.time)
-        for n, c in self.components.items():
-            if c.center_traj is not None:
-                self._centers[n] = c.center_traj(self.time)
+        self._refresh_centerfile()
         cts = {n: jnp.asarray(self._centers[n], self.compute_dtype)
                for n in self.components}
         rts = self._rot_arrays()
@@ -949,13 +970,12 @@ class Simulation:
             extras = self._make_extras()
             sig = (kk, tuple(sorted(extras["playback"])),
                    tuple(sorted(extras["hall"])),
-                   tuple(sorted(extras["restrict"])))
+                   tuple(sorted(extras["restrict"])),
+                   tuple(sorted(extras["pseudo"])))
             fn = self._step_fns.get(sig)
             if fn is None:
                 fn = self._step_fns[sig] = self._make_step_fn(kk)
-            for n, c in self.components.items():
-                if c.center_traj is not None:
-                    self._centers[n] = c.center_traj(self.time)
+            self._refresh_centerfile()
             cts = {n: jnp.asarray(self._centers[n], self.compute_dtype)
                    for n in self.components}
             rts = self._rot_arrays()
@@ -1097,12 +1117,33 @@ class Simulation:
                 if not np.isfinite(arr).all():
                     _dump_and_raise(n, "coefficients")
 
+    def _refresh_centerfile(self):
+        """Evaluate prescribed (CenterFile) centers at the current time and
+        feed the frame-acceleration estimator when enabled (the EJ path
+        feeds it from orient.update instead, Orient.cc:697)."""
+        for n, c in self.components.items():
+            if c.center_traj is None:
+                continue
+            self._centers[n] = c.center_traj(self.time)
+            if c.pseudo is not None and c.orient is None:
+                c.pseudo.add(self.time, self._centers[n])
+
+    def _pseudo_arrays(self):
+        """Traced (accel, omega, domdt) per pseudo-enabled component."""
+        out = {}
+        for n, c in self.components.items():
+            if c.pseudo is None:
+                continue
+            a, w, dw = c.pseudo()
+            out[n] = (jnp.asarray(a, self.compute_dtype),
+                      jnp.asarray(w, self.compute_dtype),
+                      jnp.asarray(dw, self.compute_dtype))
+        return out
+
     def _ms_centers(self):
         """Prescribed expansion centers for the multistep path (EJ orient /
         centerfile); com_system centers are computed in-graph."""
-        for n, c in self.components.items():
-            if c.center_traj is not None:
-                self._centers[n] = c.center_traj(self.time)
+        self._refresh_centerfile()
         return {n: jnp.asarray(self._centers[n], self.compute_dtype)
                 for n in self.components}
 
@@ -1120,7 +1161,8 @@ class Simulation:
             if n in self._hall:
                 hall[n] = jnp.asarray(self._hall[n], self.compute_dtype)
         return {"playback": pb, "hall": hall,
-                "restrict": self._restrict_arrays()}
+                "restrict": self._restrict_arrays(),
+                "pseudo": self._pseudo_arrays()}
 
     def _ms_sanity_check(self):
         """Diverging-run force stop (multistep.cc:296-341): if a component
@@ -1233,7 +1275,8 @@ class Simulation:
             if n in self._hall:
                 hall[n] = jnp.asarray(self._hall[n], self.compute_dtype)
         return {"playback": pb, "hall": hall,
-                "restrict": self._restrict_arrays()}
+                "restrict": self._restrict_arrays(),
+                "pseudo": self._pseudo_arrays()}
 
     def _rot_arrays(self):
         """Per-component body-frame rotations as traced arrays."""

@@ -121,13 +121,25 @@ def make_slab_coef_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
 
 
 def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
-                           interpret=False, interp="linear"):
-    """Returns fn(xyzm8 (8, N), Ct (8*Cp, nzp)) -> (8, N) rows
-    (ax, ay, az, pot, 0...).
+                           interpret=False, interp="linear", zprec=None):
+    """Returns fn(xyzm8 (8, N), Ct (4*Cp, nzp), Aux (Cp, 128)) -> (8, N)
+    rows (ax, ay, az, pot, 0...).
 
-    Ct rows: 4 complex z-profile groups of Cp wavevector rows each,
-    ordered [pot_re | pot_im | x_re | x_im | y_re | y_im | z_re | z_im]
-    (see contract_slab_tables)."""
+    Ct rows: TWO complex z-profile groups of Cp wavevector rows each,
+    [pot_re | pot_im | dz_re | dz_im] (see contract_slab_tables) — the
+    2 pi kx / 2 pi ky horizontal-force factors are per-WAVEVECTOR
+    constants, applied after the z interpolation from Aux columns
+    instead of burning 2x the MXU rows on pre-scaled copies of the same
+    profile (the v2 halving; the v1 8-group layout re-interpolated
+    kx*pot and ky*pot as independent rows).
+
+    Aux columns (slab_accel_aux): per-row 2 pi kx, 2 pi ky, 2 pi |k|,
+    k=0 mask, and the 8 boundary-value rows of the |z| > zmax vacuum
+    continuation (top/bottom pot and dPhi/dz, re/im) — the whole
+    outside-continuation (forces/slab.py's exterior Laplace solution)
+    runs IN-kernel under a pl.when that skips it for blocks with every
+    particle inside the slab (the common case: disk scale heights sit
+    well inside zmax)."""
     kx, ky = 2 * nmaxx + 1, 2 * nmaxy + 1
     C = kx * ky
     Cp = _round_up(C, 8)
@@ -136,8 +148,14 @@ def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
     nzp = _round_up(zrows, 128)
     Pm, Qm = _select_mats(kx, ky, kxp, kyp, Cp)
     dz = 2.0 * zmax / (nzc - 1)
+    zp = jax.lax.Precision.HIGHEST if zprec is None else zprec
 
-    def kernel(xs_ref, ct_ref, pm_ref, qm_ref, out_ref):
+    def _zdot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=zp)
+
+    def kernel(xs_ref, ct_ref, aux_ref, pm_ref, qm_ref, out_ref):
         xs = xs_ref[:]
         x, y, z = xs[0:1], xs[1:2], xs[2:3]
         zc = jnp.clip(z, -zmax, zmax)
@@ -149,28 +167,57 @@ def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
         Wz = jnp.pad(Wz, ((0, nzp - Wz.shape[0]), (0, 0))) \
             if Wz.shape[0] < nzp else Wz
 
-        # ONE (8 Cp, nzp) x (nzp, B) matmul for all four complex
-        # z-profile groups (was 8 separate M = Cp matmuls starving the
-        # MXU's 128-row tiles)
-        vall = _dotn(ct_ref[:], Wz)
-
-        def zprof(q):
-            return (vall[(2 * q) * Cp:(2 * q + 1) * Cp],
-                    vall[(2 * q + 1) * Cp:(2 * q + 2) * Cp])
-
-        v0r, v0i = zprof(0)      # pot profile
-        v1r, v1i = zprof(1)      # 2 pi kx pot
-        v2r, v2i = zprof(2)      # 2 pi ky pot
-        v3r, v3i = zprof(3)      # d/dz
-        pot = jnp.sum(xyr * v0r - xyi * v0i, axis=0, keepdims=True)
-        ax = jnp.sum(xyr * v1i + xyi * v1r, axis=0, keepdims=True)
-        ay = jnp.sum(xyr * v2i + xyi * v2r, axis=0, keepdims=True)
+        # ONE (4 Cp, nzp) x (nzp, B) matmul for the two complex
+        # z-profile groups
+        vall = _zdot(ct_ref[:], Wz)
+        v0r, v0i = vall[0 * Cp:1 * Cp], vall[1 * Cp:2 * Cp]   # pot
+        v3r, v3i = vall[2 * Cp:3 * Cp], vall[3 * Cp:4 * Cp]   # d/dz
+        kxw = aux_ref[:, 0:1]        # 2 pi kx per wavevector row
+        kyw = aux_ref[:, 1:2]
+        TEr = xyr * v0r - xyi * v0i
+        TEi = xyr * v0i + xyi * v0r
+        pot = jnp.sum(TEr, axis=0, keepdims=True)
+        ax = jnp.sum(kxw * TEi, axis=0, keepdims=True)
+        ay = jnp.sum(kyw * TEi, axis=0, keepdims=True)
         az = -jnp.sum(xyr * v3r - xyi * v3i, axis=0, keepdims=True)
         zero = jnp.zeros_like(ax)
         out_ref[:] = jnp.concatenate(
             [ax, ay, az, pot, zero, zero, zero, zero], axis=0)
 
-    def fn(xyzm8, Ct):
+        dzp = jnp.maximum(jnp.abs(z) - zmax, 0.0)        # (1, B)
+        outside = dzp > 0.0
+
+        @pl.when(jnp.any(outside))
+        def _():
+            km = aux_ref[:, 2:3]                         # 2 pi |k|
+            k0 = aux_ref[:, 3:4]                         # k = 0 row mask
+            top = (z >= 0).astype(jnp.float32)           # (1, B)
+            bot = 1.0 - top
+            szn = 2.0 * top - 1.0
+            Tir = aux_ref[:, 4:5] * top + aux_ref[:, 6:7] * bot
+            Tii = aux_ref[:, 5:6] * top + aux_ref[:, 7:8] * bot
+            Tdr = aux_ref[:, 8:9] * top + aux_ref[:, 10:11] * bot
+            Tdi = aux_ref[:, 9:10] * top + aux_ref[:, 11:12] * bot
+            att = jnp.exp(-km * dzp)                     # (Cp, B)
+            OEr = (Tir * xyr - Tii * xyi) * att
+            OEi = (Tir * xyi + Tii * xyr) * att
+            TdEr = Tdr * xyr - Tdi * xyi                 # att = 1 at k = 0
+            pot_o = (jnp.sum(OEr, axis=0, keepdims=True)
+                     + jnp.sum(k0 * TdEr, axis=0, keepdims=True)
+                     * dzp * szn)
+            ax_o = jnp.sum(kxw * OEi, axis=0, keepdims=True)
+            ay_o = jnp.sum(kyw * OEi, axis=0, keepdims=True)
+            az_o = jnp.sum(k0 * (-TdEr) + km * (szn * OEr),
+                           axis=0, keepdims=True)
+            merged = jnp.concatenate(
+                [jnp.where(outside, ax_o, ax),
+                 jnp.where(outside, ay_o, ay),
+                 jnp.where(outside, az_o, az),
+                 jnp.where(outside, pot_o, pot),
+                 zero, zero, zero, zero], axis=0)
+            out_ref[:] = merged
+
+    def fn(xyzm8, Ct, Aux):
         n = xyzm8.shape[1]
         assert n % block == 0, (
             f"particle count {n} not a multiple of block {block}: pad "
@@ -182,7 +229,9 @@ def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
             in_specs=[
                 pl.BlockSpec((8, block), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8 * Cp, nzp), lambda i: (0, 0),
+                pl.BlockSpec((4 * Cp, nzp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Cp, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Cp, kxp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -192,7 +241,7 @@ def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
             out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(xyzm8, Ct, Pm, Qm)
+        )(xyzm8, Ct, Aux, Pm, Qm)
 
     return fn
 
@@ -228,9 +277,9 @@ def contract_coef_output(G, phi_s, sgn):
 
 
 def contract_slab_tables(coef, phi_s, dphi_s, nmaxx, nmaxy):
-    """coef (A, B2, n) complex x signed z-tables -> Ct (8*Cp, nzp) f32 for
-    the accel kernel: complex z-profiles T_q[j, ab] for q = pot, 2 pi kx,
-    2 pi ky, d/dz."""
+    """coef (A, B2, n) complex x signed z-tables -> Ct (4*Cp, nzp) f32 for
+    the accel kernel: complex z-profiles T_q[j, ab] for q = pot, d/dz
+    (the 2 pi k horizontal factors ride the Aux table, slab_accel_aux)."""
     nzc, A, B2, nn = phi_s.shape
     C = A * B2
     Cp = _round_up(C, 8)
@@ -244,15 +293,60 @@ def contract_slab_tables(coef, phi_s, dphi_s, nmaxx, nmaxy):
     T = jnp.einsum("abn,jabn->jab", coef, phi,
                    precision=hi)                      # (nzc, A, B2)
     Tz = jnp.einsum("abn,jabn->jab", coef, dphi, precision=hi)
-    tpi = 2.0 * math.pi
-    kxv = (tpi * jnp.arange(-nmaxx, nmaxx + 1,
-                            dtype=jnp.float32))[None, :, None]
-    kyv = (tpi * jnp.arange(-nmaxy, nmaxy + 1,
-                            dtype=jnp.float32))[None, None, :]
     rows = []
-    for Tq in (T, T * kxv, T * kyv, Tz):
+    for Tq in (T, Tz):
         M = Tq.reshape(nzc, C).T                      # (C, nzc)
         for part in (jnp.real(M), jnp.imag(M)):
             rows.append(jnp.pad(part.astype(jnp.float32),
                                 ((0, Cp - C), (0, nzp - nzc))))
     return jnp.concatenate(rows, axis=0)
+
+
+def slab_accel_aux(coef, phi_top, phi_bot, dphi_top, dphi_bot,
+                   nmaxx, nmaxy):
+    """Per-wavevector constants + vacuum-continuation boundary rows for
+    the accel kernel's Aux operand (Cp, 128) f32.
+
+    Columns: 0 = 2 pi kx, 1 = 2 pi ky, 2 = 2 pi |k|, 3 = k=0 mask,
+    4..7 = top/bottom boundary potential (re, im) and 8..11 = top/bottom
+    boundary dPhi/dz (re, im) — Sum_n coef * phi_n(+-zmax), the two fixed
+    table rows of forces/slab.py _outside_continuation.
+
+    phi_*/dphi_* are the UNSIGNED (A1, B1, n) boundary rows of the full-
+    resolution z-table (phi_t[-1], phi_t[0], ...)."""
+    tpi = 2.0 * math.pi
+    kxv = np.arange(-nmaxx, nmaxx + 1, dtype=np.float32)
+    kyv = np.arange(-nmaxy, nmaxy + 1, dtype=np.float32)
+    A, B2 = 2 * nmaxx + 1, 2 * nmaxy + 1
+    C = A * B2
+    Cp = _round_up(C, 8)
+    kmag = np.sqrt(kxv[:, None] ** 2 + kyv[None, :] ** 2)
+
+    def expand(v):          # (nx+1, ny+1, n) -> signed-k layout
+        a = jnp.concatenate([v[:0:-1], v], axis=0)
+        return jnp.concatenate([a[:, :0:-1], a], axis=1)
+
+    cols = [
+        jnp.asarray(np.broadcast_to((tpi * kxv)[:, None],
+                                    (A, B2)).reshape(C), jnp.float32),
+        jnp.asarray(np.broadcast_to((tpi * kyv)[None, :],
+                                    (A, B2)).reshape(C), jnp.float32),
+        jnp.asarray((tpi * kmag).reshape(C), jnp.float32),
+        jnp.asarray((kmag == 0).astype(np.float32).reshape(C)),
+    ]
+    hi = jax.lax.Precision.HIGHEST
+    for tab in (phi_top, phi_bot):
+        Tb = jnp.einsum("abn,abn->ab", coef,
+                        expand(tab).astype(coef.dtype),
+                        precision=hi).reshape(C)
+        cols += [jnp.real(Tb).astype(jnp.float32),
+                 jnp.imag(Tb).astype(jnp.float32)]
+    # reorder to (top_re, top_im, bot_re, bot_im) then dPhi/dz rows
+    for tab in (dphi_top, dphi_bot):
+        Td = jnp.einsum("abn,abn->ab", coef,
+                        expand(tab).astype(coef.dtype),
+                        precision=hi).reshape(C)
+        cols += [jnp.real(Td).astype(jnp.float32),
+                 jnp.imag(Td).astype(jnp.float32)]
+    aux = jnp.stack(cols, axis=1)                    # (C, 12)
+    return jnp.pad(aux, ((0, Cp - C), (0, 128 - aux.shape[1])))

@@ -1,9 +1,7 @@
 """Micro-probe: slab Pallas coef/accel pass times @1M on the real chip.
 
 Times the production kernels (backend='pallas', default geometry
-nmaxx=nmaxy=4, nmax=6, nzc=128) and variants under env knobs while the
-kernels are being tuned:
-  SLAB_BLOCK   — particle block width (default from pallas_slab)
+nmaxx=nmaxy=4, nmax=6, SlabForce's default nzc=126 vertical grid).
 
 Usage:  python scripts/probe_slab_kernel.py  [N]
 """

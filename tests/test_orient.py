@@ -162,3 +162,103 @@ Output:
     Rm = sim._rots["halo"]
     np.testing.assert_allclose(Rm @ Rm.T, np.eye(3), atol=1e-10)
     assert os.path.exists(tmp_path / "ej3.orient.halo")
+
+
+def test_pseudoaccel_estimator():
+    """Quadratic-LS frame acceleration (include/PseudoAccel.H:60-90):
+    exact for a quadratic center trajectory once the window fills; axis
+    samples give omega = n x dn/dt."""
+    from exp_tpu.nbody.centering import PseudoAccel
+
+    g = np.array([0.3, -0.1, 0.05])
+    pa = PseudoAccel(nsize=5, center=True, axis=True)
+    w = 0.2    # axis precession rate about y
+    for k in range(5):
+        t = 0.1 * k
+        c = 0.5 * g * t * t
+        ax = np.array([np.sin(w * t), 0.0, np.cos(w * t)])
+        a, om, dom = pa()
+        if k < 5:
+            # window not yet full before the 5th add
+            assert np.all(a == 0.0) if k < 5 else True
+        pa.add(t, c, ax)
+    a, om, dom = pa()
+    np.testing.assert_allclose(a, g, rtol=1e-8)
+    # omega = n x dn/dt: the z -> x precession is a rotation about +y
+    np.testing.assert_allclose(om, [0.0, w, 0.0], atol=5e-4)
+
+
+def test_pseudo_collapses_uniform_field(tmp_path):
+    """The reference's non-inertial frame option (Component.cc:4407-4425,
+    VERDICT r3 #7): an equilibrium halo in a uniform external field g,
+    with its expansion center prescribed on the free-fall trajectory
+    X(t) = g t^2 / 2, free-falls when `nEJaccel` is off (COM ~ X(t)); with
+    the pseudo-acceleration enabled the estimated frame acceleration
+    cancels the bulk field and the COM stays put."""
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.ic.eddington import sample_spherical_model
+    from exp_tpu.nbody.particles import write_ascii_bodies
+    from exp_tpu.nbody.simulation import Simulation
+    from exp_tpu.forces.external import ExternalField, register_external
+
+    gx = 0.05
+    nstep = 40
+    dt = 0.01
+
+    class UniformX(ExternalField):
+        def acceleration(self, x, t):
+            acc = jnp.zeros_like(x).at[:, 0].set(gx)
+            return acc, -gx * x[:, 0]
+
+    register_external("test_uniform_x", UniformX)
+
+    m = hernquist_model(rmin=1e-3, rmax=10.0)
+    m.to_file(tmp_path / "halo.model")
+    x, v, mass = sample_spherical_model(m, 2000, seed=7)
+    write_ascii_bodies(tmp_path / "halo.bods", (x, v, mass))
+    ts = np.arange(0, (nstep + 2) * dt, dt)
+    np.savetxt(tmp_path / "ctr.dat",
+               np.column_stack([ts, 0.5 * gx * ts * ts,
+                                np.zeros_like(ts), np.zeros_like(ts)]))
+
+    def com_path(naccel):
+        tag = f"ps{naccel}"
+        (tmp_path / f"c{naccel}.yml").write_text(f"""\
+Global: {{dtime: {dt}, nsteps: {nstep}, runtag: {tag}}}
+Components:
+  - name: halo
+    bodyfile: halo.bods
+    parameters: {{centerfile: ctr.dat, nEJaccel: {naccel}}}
+    force:
+      id: sphereSL
+      parameters: {{numr: 600, Lmax: 2, nmax: 6, rmapping: 1.0,
+                   modelname: halo.model}}
+External:
+  - id: test_uniform_x
+Output: []
+""")
+        sim = Simulation.from_file(str(tmp_path / f"c{naccel}.yml"),
+                                   steps_per_block=1)
+        sim.prime()
+        coms = []
+        for _ in range(nstep):
+            sim.run(nsteps=1)
+            d = sim._diag["halo"]
+            coms.append(float(np.asarray(d["com"])[0])
+                        / float(np.asarray(d["mass"])))
+        return np.array(coms)
+
+    com_off = com_path(0)     # plain free fall
+    com_on = com_path(3)      # frame correction on
+    T = nstep * dt
+    # free-fall displacement at the end ~ g T^2 / 2
+    np.testing.assert_allclose(com_off[-1], 0.5 * gx * T * T, rtol=0.1)
+    # corrected run: residual only from the 3-sample fill transient
+    assert abs(com_on[-1]) < 0.2 * abs(com_off[-1]), (com_on[-1],
+                                                      com_off[-1])
+    # and its residual ACCELERATION (quadratic coefficient) collapses
+    tt = (np.arange(nstep) + 1) * dt
+    a_off = 2.0 * np.polyfit(tt, com_off, 2)[0]
+    a_on = 2.0 * np.polyfit(tt[5:], com_on[5:], 2)[0]
+    np.testing.assert_allclose(a_off, gx, rtol=0.1)
+    assert abs(a_on) < 0.05 * gx, (a_on, gx)

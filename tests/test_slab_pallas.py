@@ -81,3 +81,31 @@ Output: []
     sim.prime()
     sim.run()
     assert np.isfinite(np.asarray(sim._state["slab"].x)).all()
+
+
+def test_slab_pallas_outside_continuation(tables):
+    """Particles beyond |z| = zmax take the in-kernel vacuum continuation;
+    must match the XLA _outside_continuation path of the einsum backend."""
+    rng = np.random.default_rng(11)
+    n = 600
+    # half inside, half outside (up to 3x zmax), mixed signs
+    z_in = rng.normal(0, 0.02, n // 2)
+    z_out = rng.uniform(0.1, 0.3, n - n // 2) * rng.choice([-1, 1],
+                                                           n - n // 2)
+    x = np.stack([rng.uniform(0, 1, n), rng.uniform(0, 1, n),
+                  np.concatenate([z_in, z_out])], -1)
+    m = rng.uniform(0.5, 1.5, n) / n
+    x = jnp.asarray(x, jnp.float32)
+    m = jnp.asarray(m, jnp.float32)
+
+    fx = SlabForce.from_tables(tables, backend="einsum")
+    fp = SlabForce.from_tables(tables, backend="pallas", nzc=126)
+    cx = fx.coefficients_local(x, m)
+    ax, px = fx.acceleration(cx, x)
+    ap, pp = fp.acceleration(cx, x)
+    asc = float(jnp.abs(ax).max())
+    assert float(jnp.abs(ap - ax).max()) / asc < 5e-3
+    assert float(jnp.abs(pp - px).max()) / float(jnp.abs(px).max()) < 5e-3
+    # the far exterior decays: no blowups past the boundary
+    far = np.abs(np.asarray(x[:, 2])) > 0.25
+    assert np.isfinite(np.asarray(ap)[far]).all()
