@@ -148,9 +148,38 @@ def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
     nzp = _round_up(zrows, 128)
     Pm, Qm = _select_mats(kx, ky, kxp, kyp, Cp)
     dz = 2.0 * zmax / (nzc - 1)
-    zp = jax.lax.Precision.HIGHEST if zprec is None else zprec
+    zp = "bf16x3" if zprec is None else zprec
 
     def _zdot(a, b):
+        if zp == "bf16x3":
+            # 3-pass bf16 error compensation: a = ah + al, b = bh + bl
+            # (each half carries ~8 more mantissa bits); dropping only
+            # the al*bl term leaves ~1e-5 relative error at HALF the
+            # 6-pass cost of Precision.HIGHEST (which Mosaic runs f32
+            # matmuls at; Precision.HIGH is not lowered on TPU).
+            # Measured (probe_slab_block): HIGHEST 7.0 ms / DEFAULT
+            # 4.8 ms at 1M, err(DEFAULT) = 5e-3.  Operands stay f32
+            # (Mosaic rejects bf16 vregs in tpu.matmul) with VALUES
+            # pre-rounded to bf16 — DEFAULT's single bf16 pass then
+            # truncates them losslessly.
+            def split(u):
+                hi = u.astype(jnp.bfloat16).astype(jnp.float32)
+                lo = (u - hi).astype(jnp.bfloat16).astype(jnp.float32)
+                return hi, lo
+
+            ah, al = split(a)
+            bh, bl = split(b)
+
+            def d(u, v):
+                # explicit DEFAULT: one bf16 MXU pass (an unset
+                # precision resolved to the fp32 6-pass contract here,
+                # tripling the cost — measured 13.5 ms vs 8.1 HIGHEST)
+                return jax.lax.dot_general(
+                    u, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=zp)

@@ -66,9 +66,18 @@ def main():
             fc.append((force, c))
         return counts, virial_ratio(pops, fc)
 
+    def etot(diag):
+        # KE + 1/2 sum m pot summed over components: pot carries the
+        # coupled field, so the halo-disk interaction energy is counted
+        # once (each pair term split half-half between the components)
+        d = jax.device_get(diag)
+        return float(sum(float(d[n]["KE"]) + float(d[n]["PE"])
+                         for n in d))
+
     c0, vr0 = diagnose(st)
+    e0 = etot(diag)
     print(json.dumps({"bigstep": 0, "M": M, "virial": round(vr0, 5),
-                      "levels": c0}), flush=True)
+                      "Etot": e0, "levels": c0}), flush=True)
     t0 = time.perf_counter()
     every = int(os.environ.get("DIAG_EVERY", 10))
     for k in range(1, nbig + 1):
@@ -76,7 +85,9 @@ def main():
         st, regs = runner.relevel(st, regs)
         if k % every == 0 or k == nbig:
             cts, vr = diagnose(st)
+            ek = etot(diag)
             print(json.dumps({"bigstep": k, "virial": round(vr, 5),
+                              "dE_over_E": (ek - e0) / abs(e0),
                               "levels": cts,
                               "sec_per_bigstep": round(
                                   (time.perf_counter() - t0) / k, 3)}),

@@ -11,6 +11,15 @@ The coefficient reduction is one psum of a few kB per step
 (SphericalBasis.cc:871-896's Allreduce analogue), so the expected
 overhead is ~0.
 
+Two sections:
+  kdk       — single-rate sphere KDK (the round-2 artifact)
+  composite — the FLAGSHIP shape: disk+halo multistep bigstep
+              (sphere+cylinder, allcouples) + boundary relevel at fixed
+              particles/device, with the bigstep and the relevel timed
+              SEPARATELY (the relevel's 13-operand bitonic sort is the
+              piece with nontrivial scaling).  WEAK_SKIP_COMPOSITE=1
+              skips it.
+
 Writes doc/weak_scaling.json.
 """
 import json
@@ -72,8 +81,102 @@ for r in rows:
     print(f"ndev={r['ndev']}: overhead vs linear single-core scaling "
           f"{r['overhead_vs_linear']*100:+.1f}%")
 
+# ---------------------------------------------------------------------------
+# composite flagship: multistep bigstep + relevel, fixed particles/device
+
+comp_rows = []
+if os.environ.get("WEAK_SKIP_COMPOSITE", "0") != "1":
+    from exp_tpu.basis.empcyl import build_empcyl_tables
+    from exp_tpu.forces.cylinder import CylinderForce
+    from exp_tpu.ic.diskhalo import diskhalo_ics
+    from exp_tpu.nbody.multistep import MultistepRunner
+
+    HALO_PER_DEV = int(os.environ.get("WEAK_HALO_PER_DEV", 8192))
+    DISK_PER_DEV = int(os.environ.get("WEAK_DISK_PER_DEV", 4096))
+    M = int(os.environ.get("WEAK_M", 4))
+    CREPS = int(os.environ.get("WEAK_COMPOSITE_REPS", 3))
+
+    tc = build_empcyl_tables(mmax=2, nmax=6, lmaxfid=16, nmaxfid=12,
+                             acyl=0.01, hcyl=0.002,
+                             cachename="/tmp/weak_eof_m2n6.h5")
+    # einsum backends: pallas would run in interpret mode on CPU
+    halo_f = SphereSL.from_tables(t, dtype=jnp.float32)
+    disk_f = CylinderForce.from_tables(tc, dtype=jnp.float32)
+
+    for ndev in (1, 2, 4, 8):
+        nh, nd = HALO_PER_DEV * ndev, DISK_PER_DEV * ndev
+        cache = f"/tmp/weak_comp_ics_h{nh}_d{nd}.npz"
+        if os.path.exists(cache):
+            z = np.load(cache)
+            ic = {k: z[k] for k in z.files}
+        else:
+            ics = diskhalo_ics(m, n_halo=nh, n_disk=nd, Mdisk=0.05,
+                               acyl=0.01, hcyl=0.002, halo_force=halo_f,
+                               disk_force=disk_f, seed=13)
+            ic = {"xh": ics.x_halo, "vh": ics.v_halo,
+                  "mh": np.maximum(ics.m_halo, 0.0),
+                  "xd": ics.x_disk, "vd": ics.v_disk, "md": ics.m_disk}
+            np.savez(cache, **{k: v.astype(np.float32)
+                               for k, v in ic.items()})
+        mesh = particle_mesh(ndev)
+        forces = {"halo": halo_f, "disk": disk_f}
+        couples = {"halo": ["halo", "disk"], "disk": ["halo", "disk"]}
+        runner = MultistepRunner(forces, couples, 2e-3, M, mesh,
+                                 dynparams={"dynfracV": 0.01,
+                                            "dynfracA": 0.03},
+                                 cap_headroom=2)
+        flat = {"halo": ParticleSystem.from_arrays(ic["xh"], ic["vh"],
+                                                   ic["mh"],
+                                                   dtype=jnp.float32),
+                "disk": ParticleSystem.from_arrays(ic["xd"], ic["vd"],
+                                                   ic["md"],
+                                                   dtype=jnp.float32)}
+        st, regs, coef, diag = runner.init_state(flat)
+        # warm to a stable capacity signature (compiles outside the timer)
+        sig = runner._caps_sig(st)
+        for _ in range(6):
+            st, regs, coef, diag = runner.bigstep(st, regs)
+            st, regs = runner.relevel(st, regs)
+            jax.block_until_ready(st["halo"][0].x)
+            s2 = runner._caps_sig(st)
+            if s2 == sig:
+                break
+            sig = s2
+        tb = tr = 0.0
+        for _ in range(CREPS):
+            t0 = time.perf_counter()
+            st, regs, coef, diag = runner.bigstep(st, regs)
+            jax.block_until_ready(st["halo"][0].x)
+            t1 = time.perf_counter()
+            st, regs = runner.relevel(st, regs)
+            jax.block_until_ready(st["halo"][0].x)
+            t2 = time.perf_counter()
+            tb += t1 - t0
+            tr += t2 - t1
+        tb /= CREPS
+        tr /= CREPS
+        n = nh + nd
+        comp_rows.append({"ndev": ndev, "n": n, "multistep": M,
+                          "bigstep_ms": tb * 1e3, "relevel_ms": tr * 1e3,
+                          "bigstep_us_per_particle": tb / n * 1e6,
+                          "relevel_us_per_particle": tr / n * 1e6})
+        print(f"composite ndev={ndev} n={n} bigstep={tb*1e3:8.1f} ms "
+              f"relevel={tr*1e3:8.1f} ms "
+              f"({tb/n*1e6:6.3f}/{tr/n*1e6:6.3f} us/particle)")
+
+    b1, r1 = comp_rows[0]["bigstep_ms"], comp_rows[0]["relevel_ms"]
+    for r in comp_rows:
+        r["bigstep_overhead_vs_linear"] = (r["bigstep_ms"]
+                                           / (r["ndev"] * b1) - 1.0)
+        r["relevel_overhead_vs_linear"] = (r["relevel_ms"]
+                                           / (r["ndev"] * r1) - 1.0)
+        print(f"composite ndev={r['ndev']}: bigstep overhead "
+              f"{r['bigstep_overhead_vs_linear']*100:+.1f}%  relevel "
+              f"{r['relevel_overhead_vs_linear']*100:+.1f}%")
+
 out = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "doc", "weak_scaling.json")
 with open(out, "w") as f:
-    json.dump({"per_dev": PER_DEV, "rows": rows}, f, indent=1)
+    json.dump({"per_dev": PER_DEV, "rows": rows,
+               "composite": comp_rows}, f, indent=1)
 print("wrote", out)
