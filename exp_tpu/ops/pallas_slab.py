@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from exp_tpu.ops.pallas_cube import (_axis_phases, _select_mats,
-                                     _outer_complex, _round_up, _dotT,
+                                     _outer_complex, _outer_bcast,
+                                     _round_up, _dotT,
                                      _dotNT, pack_xyzm)  # noqa: F401
 
 _PREC = jax.lax.Precision.DEFAULT
@@ -48,6 +49,29 @@ def _dotp(a, b):
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=_PREC)
+
+
+def _outer_select_c2(P, Q, ar, ai, br, bi):
+    """Compact complex outer product via 2-pass bf16-COMPENSATED selection
+    matmuls.
+
+    The v1 path ran the four selection matmuls P.a / Q.b at
+    Precision.HIGHEST (6 bf16 passes each) because a single DEFAULT pass
+    rounds the phase VALUES to bf16 (~4e-3).  But the selection matrices
+    are 0/1 — exact in bf16 — so splitting only the phase operand
+    a = ah + al (each half bf16-exact) and summing two DEFAULT passes
+    reconstructs P.a to ~1e-5 at a third of the MXU cost.  (Same trick as
+    the accel kernel's bf16x3 z-profile matmul, minus the al*bl term that
+    is exactly zero here.)"""
+    def sel(S, u):
+        hi = u.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = (u - hi).astype(jnp.bfloat16).astype(jnp.float32)
+        d = jax.lax.Precision.DEFAULT
+        return _dotNT(S, hi, d) + _dotNT(S, lo, d)
+
+    Ar, Ai = sel(P, ar), sel(P, ai)
+    Br, Bi = sel(Q, br), sel(Q, bi)
+    return Ar * Br - Ai * Bi, Ar * Bi + Ai * Br
 
 
 def _dotn(a, b):
@@ -67,14 +91,20 @@ def make_slab_coef_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
     coefficients when interp='spline')."""
     kx, ky = 2 * nmaxx + 1, 2 * nmaxy + 1
     C = kx * ky
-    Cp = _round_up(C, 8)
     kxp, kyp = _round_up(kx, 8), _round_up(ky, 8)
+    Cq = kxp * kyp
     zrows = nzc + 2 if interp == "spline" else nzc
     nzp = _round_up(zrows, 128)
-    Pm, Qm = _select_mats(kx, ky, kxp, kyp, Cp)
     dz = 2.0 * zmax / (nzc - 1)
 
-    def kernel(xs_ref, pm_ref, qm_ref, out_ref):
+    # v3 (cube-v2 recipe): the v1 selection-matmul outer product ran 4
+    # HIGHEST matmuls with K = 16 (~12% MXU utilization) and dominated
+    # the whole pass (probe_slab_decomp: coef kernel 4.35 of 4.46 ms at
+    # 1M).  The (kx, ky) outer product is VPU broadcast work on a padded
+    # 16x16 row lattice; the single stacked (2 Cq, B) x (B, nzp) DEFAULT
+    # matmul is then MXU-shaped.  Holes of the lattice carry zeros and
+    # are sliced off outside.
+    def kernel(xs_ref, out_ref):
         @pl.when(pl.program_id(0) == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
@@ -84,14 +114,15 @@ def make_slab_coef_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
         w = jnp.where(jnp.abs(z) <= zmax, m, 0.0)
         exr, exi = _axis_phases(x - jnp.floor(x), nmaxx, -1.0, pad_to=kxp)
         eyr, eyi = _axis_phases(y - jnp.floor(y), nmaxy, -1.0, pad_to=kyp)
-        xyr, xyi = _outer_complex(pm_ref[:], qm_ref[:], exr, exi, eyr, eyi)
+        # fold the mass weight into the 16 ex rows (not the 256-row
+        # lattice product)
+        xyr, xyi = _outer_bcast(exr * w, exi * w, eyr, eyi,
+                                kxp, kyp, block)
         t = jnp.clip((z + zmax) / dz, 0.0, nzc - 1.0)
         Wz = _w_rows(t, nzc, interp)
         Wz = jnp.pad(Wz, ((0, nzp - Wz.shape[0]), (0, 0))) \
             if Wz.shape[0] < nzp else Wz
-        # one stacked matmul (M = 2 Cp) instead of two M = Cp halves —
-        # the 128-wide MXU is under-tiled at Cp ~ 88 (cube-v2 lesson)
-        XY = jnp.concatenate([xyr * w, xyi * w], axis=0)
+        XY = jnp.concatenate([xyr, xyi], axis=0)          # (2 Cq, B)
         out_ref[:] += _dotp(XY, Wz)
 
     def fn(xyzm8):
@@ -102,20 +133,19 @@ def make_slab_coef_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
         big = pl.pallas_call(
             kernel,
             grid=(n // block,),
-            out_shape=jax.ShapeDtypeStruct((2 * Cp, nzp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((2 * Cq, nzp), jnp.float32),
             in_specs=[
                 pl.BlockSpec((8, block), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Cp, kxp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Cp, kyp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((2 * Cp, nzp), lambda i: (0, 0),
+            out_specs=pl.BlockSpec((2 * Cq, nzp), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(xyzm8, Pm, Qm)
-        return jax.lax.complex(big[:C, :zrows], big[Cp:Cp + C, :zrows])
+        )(xyzm8)
+        re = big[:Cq, :zrows].reshape(kxp, kyp, zrows)[:kx, :ky]
+        im = big[Cq:, :zrows].reshape(kxp, kyp, zrows)[:kx, :ky]
+        return jax.lax.complex(re.reshape(C, zrows),
+                               im.reshape(C, zrows))
 
     return fn
 
@@ -190,7 +220,8 @@ def make_slab_accel_kernel(nmaxx, nmaxy, nzc, zmax, block=1024,
         zc = jnp.clip(z, -zmax, zmax)
         exr, exi = _axis_phases(x - jnp.floor(x), nmaxx, +1.0, pad_to=kxp)
         eyr, eyi = _axis_phases(y - jnp.floor(y), nmaxy, +1.0, pad_to=kyp)
-        xyr, xyi = _outer_complex(pm_ref[:], qm_ref[:], exr, exi, eyr, eyi)
+        xyr, xyi = _outer_select_c2(pm_ref[:], qm_ref[:],
+                                    exr, exi, eyr, eyi)
         t = jnp.clip((zc + zmax) / dz, 0.0, nzc - 1.0)
         Wz = _w_rows(t, nzc, interp)
         Wz = jnp.pad(Wz, ((0, nzp - Wz.shape[0]), (0, 0))) \
