@@ -302,8 +302,14 @@ class SphereSL:
                 # hat-difference derivative requires exact matmuls
                 coef_prec = accel_prec = hi
             else:
-                coef_prec = lo if pp in ("default", "mixed") else hi
-                accel_prec = lo if pp == "default" else hi
+                coef_prec = lo if pp in ("default", "mixed",
+                                         "mixed3") else hi
+                # 'mixed3': accel interpolation matmul via the 3-pass
+                # bf16-compensated _dotNT_c3 (~1e-5 per-particle force
+                # error at half HIGHEST's MXU cost); probed by
+                # scripts/probe_accel_variants.py + probe_sphere_drift.py
+                accel_prec = ("bf16x3" if pp == "mixed3"
+                              else lo if pp == "default" else hi)
             mk_coef = (pk.make_coef_kernel_poly if harm_c == "poly"
                        else pk.make_coef_kernel)
             mk_accel = (pk.make_accel_kernel_poly if harm_a == "poly"

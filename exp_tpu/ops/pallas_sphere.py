@@ -64,6 +64,8 @@ SPHERE_BLOCK = 4096   # f32 MXU passes (Mosaic default is bf16)
 
 def _dotT(a, b, prec=_PREC):
     """a (C, I) x b (J, I) -> (C, J): contract the last dims."""
+    if prec == "bf16x3":
+        return _dotNT_c3(a, b.T)
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=prec)
@@ -71,6 +73,8 @@ def _dotT(a, b, prec=_PREC):
 
 def _dotTT(a, b, prec=_PREC):
     """a (J, C) x b (J, I) -> (C, I): contract the first dims."""
+    if prec == "bf16x3":
+        return _dotNT_c3(a.T, b)
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=prec)
@@ -78,9 +82,37 @@ def _dotTT(a, b, prec=_PREC):
 
 def _dotNT(a, b, prec=_PREC):
     """a (C, J) x b (J, I) -> (C, I): plain matmul."""
+    if prec == "bf16x3":
+        return _dotNT_c3(a, b)
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=prec)
+
+
+def _dotNT_c3(a, b):
+    """3-pass bf16 error-compensated (C, J) x (J, I) matmul: both
+    operands split u = uh + ul (each half bf16-exact, ~16 mantissa
+    bits total) and the al*bl term dropped — ~1e-5 relative error at
+    HALF the MXU cost of Precision.HIGHEST's 6-pass fp32 emulation.
+    The same recipe as pallas_slab's z-profile _zdot; here it is the
+    VERDICT-r3 "pre-differenced-table bf16" sphere probe: the spline
+    tables already tabulate d(pot)/dxi, so no hat-difference
+    cancellation blocks reduced-precision passes."""
+    def split(u):
+        hi = u.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = (u - hi).astype(jnp.bfloat16).astype(jnp.float32)
+        return hi, lo
+
+    ah, al = split(a)
+    bh, bl = split(b)
+    d = jax.lax.Precision.DEFAULT
+
+    def dd(u, v):
+        return jax.lax.dot_general(u, v, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=d)
+
+    return dd(ah, bh) + (dd(ah, bl) + dd(al, bh))
 
 
 def _geometry(xs, cmap, rmap, scale, eps=1e-10):

@@ -27,6 +27,13 @@ def main(argv=None):
                     help="wall-clock budget in seconds (checkpoint + stop)")
     ap.add_argument("--restart-cmd", default=None,
                     help="command launched after a wall-clock stop")
+    ap.add_argument("--distributed", action="store_true",
+                    help="join a multi-process world via "
+                         "jax.distributed.initialize (the mpirun exp "
+                         "analogue, expand.cc:184-187).  Topology from "
+                         "TPU/SLURM autodetection or EXP_COORDINATOR / "
+                         "EXP_NPROCS / EXP_PROCID; body reads become "
+                         "process-sharded, output process-0-gated")
     ap.add_argument("-v", "--version", action="version",
                     version=_version_string())
     args = ap.parse_args(argv)
@@ -37,6 +44,11 @@ def main(argv=None):
                                    + f" --xla_force_host_platform_device_count={nd}")
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.distributed:
+        from exp_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
 
     from exp_tpu.nbody.simulation import Simulation
     from exp_tpu.nbody.output import restore_checkpoint

@@ -146,8 +146,9 @@ out = {"N": N, "M": M, "dtime": DT, "nbig": NBIG,
        "rms_err_A": float(errA), "rms_err_B": float(errB),
        "err_ratio_A_over_B": float(ratio),
        "levels_A": lcA["h"], "levels_B": lcB["h"]}
-path = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "doc", "ab_relevel.json")
+path = os.environ.get("AB_OUT") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "doc", "ab_relevel.json")
 with open(path, "w") as f:
     json.dump(out, f, indent=1)
 print("wrote", path)

@@ -25,7 +25,7 @@ def main():
     from exp_tpu.basis.empcyl import build_empcyl_tables
     from exp_tpu.forces.cylinder import CylinderForce
     from exp_tpu.forces.spherical import SphereSL
-    from exp_tpu.ic.diskhalo import virial_ratio
+    from exp_tpu.ic.diskhalo import virial_ratio  # noqa: F401 (host-side x-check)
 
     nbig = int(os.environ.get("NBIG", 30))
     M = int(os.environ.get("M", 2))
@@ -51,20 +51,19 @@ def main():
     }
     st, regs, coef, diag = runner.init_state(flat)
 
-    def diagnose(st):
+    def diagnose(st, diag):
+        """Level counts + the Clausius virial -2T/VC — all from the
+        runner's device-side per-component diagnostics (KE/PE/VC are
+        computed inside the jitted substeps from the coupled fields,
+        OutLog.cc:24-52 analogues).  The original host-side version
+        gathered ~400 MB of phase space and re-uploaded it through the
+        tunnel per diagnostic (~10 min each at 10.5M) for the same
+        numbers."""
         counts = runner.level_counts(st)
-        # live particles gathered per component for the Clausius virial
-        pops, fc = [], []
-        for n, force in (("halo", halo), ("disk", disk)):
-            xs = np.concatenate([np.asarray(b.x) for b in st[n]])
-            vs = np.concatenate([np.asarray(b.v) for b in st[n]])
-            ms = np.concatenate([np.asarray(b.mass) for b in st[n]])
-            live = ms > 0
-            x, v, m = xs[live], vs[live], ms[live]
-            pops.append((x, v, m))
-            c = force.coefficients(jnp.asarray(x), jnp.asarray(m))
-            fc.append((force, c))
-        return counts, virial_ratio(pops, fc)
+        d = jax.device_get(diag)
+        T = sum(float(d[n]["KE"]) for n in d)
+        VC = sum(float(d[n]["VC"]) for n in d)
+        return counts, (-2.0 * T / VC if VC else float("nan"))
 
     def etot(diag):
         # KE + 1/2 sum m pot summed over components: pot carries the
@@ -74,7 +73,7 @@ def main():
         return float(sum(float(d[n]["KE"]) + float(d[n]["PE"])
                          for n in d))
 
-    c0, vr0 = diagnose(st)
+    c0, vr0 = diagnose(st, diag)
     e0 = etot(diag)
     print(json.dumps({"bigstep": 0, "M": M, "virial": round(vr0, 5),
                       "Etot": e0, "levels": c0}), flush=True)
@@ -84,7 +83,7 @@ def main():
         st, regs, coef, diag = runner.bigstep(st, regs)
         st, regs = runner.relevel(st, regs)
         if k % every == 0 or k == nbig:
-            cts, vr = diagnose(st)
+            cts, vr = diagnose(st, diag)
             ek = etot(diag)
             print(json.dumps({"bigstep": k, "virial": round(vr, 5),
                               "dE_over_E": (ek - e0) / abs(e0),

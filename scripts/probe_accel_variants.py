@@ -50,7 +50,7 @@ def main():
 
     print(f"N = {n}, ref = matmul f32 fine-grid")
     for ncs in (256, 128, 64):
-        for prec in ("mixed", "default"):
+        for prec in ("mixed", "mixed3", "default"):
             f = SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas",
                                      numr_cs=ncs, pallas_precision=prec)
             afn = jax.jit(f.acceleration)

@@ -54,6 +54,8 @@ def main():
                                           pallas_precision="mixed")),
                 ("pallas 128 mixed", dict(backend="pallas", numr_cs=128,
                                           pallas_precision="mixed")),
+                ("pallas 256 mixed3", dict(backend="pallas", numr_cs=256,
+                                           pallas_precision="mixed3")),
                 ("pallas 256 default", dict(backend="pallas", numr_cs=256,
                                             pallas_precision="default")),
                 ("pallas 128 default", dict(backend="pallas", numr_cs=128,

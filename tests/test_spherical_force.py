@@ -292,3 +292,26 @@ def test_pallas_spline_backend_accuracy(setup):
                                rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(np.asarray(psp), np.asarray(pg),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_pallas_mixed3_accuracy(setup):
+    """pallas_precision='mixed3' (accel interpolation matmul via the
+    3-pass bf16-compensated _dotNT_c3) stays within ~1e-4 of the exact
+    'mixed' accel — the compensation recovers ~16 mantissa bits, unlike
+    'default' whose single bf16 pass costs ~1e-3 per-particle force
+    error (doc/benchmarks.md variants table)."""
+    m, t, _, x, mass = setup
+    f1 = SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas",
+                              pallas_precision="mixed")
+    f3 = SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas",
+                              pallas_precision="mixed3")
+    x32, m32 = x.astype(jnp.float32)[:4096], mass.astype(jnp.float32)[:4096]
+    c = f1.coefficients(x32, m32)
+    a1, p1 = f1.acceleration(c, x32)
+    a3, p3 = f3.acceleration(c, x32)
+    a1, a3 = np.asarray(a1), np.asarray(a3)
+    err = (np.abs(a3 - a1).max(1)
+           / np.maximum(np.linalg.norm(a1, axis=1), 1e-8))
+    assert err.max() < 2e-4, err.max()
+    np.testing.assert_allclose(np.asarray(p3), np.asarray(p1),
+                               rtol=2e-4, atol=1e-6)
