@@ -117,6 +117,11 @@ class SphereSL:
     #:     sum) but per-particle force error p50 1.2e-3, p99 3.6e-3.
     #:   'mixed' (the default): coef at bf16 'default' (free — sum error
     #:     unchanged), accel at 'highest' (exact per-particle forces).
+    #:   'mixed3': accel interpolation matmul via the 3-pass
+    #:     bf16-compensated _dotNT_c3 (force err 1.3e-5) — measured only
+    #:     7% faster than 'mixed' (the pass is VPU-dominated) at 1.3x
+    #:     the 1000-step drift; kept as an opt-in, not the default
+    #:     (doc/benchmarks.md round-4 variants table).
     #: 1000-step |dE/E| @262k: highest 1.2e-6, mixed 6.1e-6,
     #: default 5.0e-5.
     #: With the legacy 'hat' interp, 'default' additionally breaks the

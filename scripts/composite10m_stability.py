@@ -28,6 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("STAB_CPU", "0") == "1":
+    # dt-scaling pairs run here: local XLA:CPU compiles take ~1 min
+    # where every fresh bucket-capacity shape costs ~20 min through the
+    # remote TPU compiler (env vars alone do not deselect the axon
+    # plugin — the config update is required)
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import bench_suite

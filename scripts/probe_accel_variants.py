@@ -4,8 +4,12 @@ Accuracy is max relative force error vs the f64 gather backend on 4096
 equilibrium points.  Usage: python scripts/probe_accel_variants.py [N]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax

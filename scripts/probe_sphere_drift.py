@@ -6,8 +6,12 @@ the fine-grid XLA ('matmul') reference.  Usage:
     python scripts/probe_sphere_drift.py [N] [nsteps]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
