@@ -112,9 +112,14 @@ class EmpCylTables:
     # -- cache ----------------------------------------------------------
 
     def write_cache(self, path):
+        import os
+
         import h5py
 
-        with h5py.File(path, "w") as f:
+        # atomic publish: multi-process waiters poll for `path` and must
+        # never observe a half-written file
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with h5py.File(tmp, "w") as f:
             f.attrs["type"] = "EmpCyl"
             f.attrs["version"] = 2
             for k in ("mmax", "nmax", "numx", "numy"):
@@ -125,6 +130,7 @@ class EmpCylTables:
             f.attrs["key"] = self.key
             for k in ("pot", "rforce", "zforce", "dens", "even_count"):
                 f.create_dataset(k, data=getattr(self, k))
+        os.replace(tmp, path)
 
     @classmethod
     def read_cache(cls, path):
@@ -242,6 +248,11 @@ def build_empcyl_tables(
                 return t
         except (OSError, KeyError, ValueError):
             pass
+        from exp_tpu.parallel.distributed import await_primary_cache
+
+        if await_primary_cache(cachename):
+            # multi-process: the primary built + atomically published it
+            return EmpCylTables.read_cache(cachename)
 
     rmin = rcylmin * acyl
     rmax_grid = rcylmax * acyl

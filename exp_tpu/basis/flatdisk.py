@@ -114,6 +114,11 @@ def build_flatdisk_tables(
                 return t
         except (OSError, KeyError, ValueError):
             pass
+        from exp_tpu.parallel.distributed import await_primary_cache
+
+        if await_primary_cache(cachename):
+            # multi-process: the primary built + atomically published it
+            return EmpCylTables.read_cache(cachename)
 
     Sigma = surface_density_model(model, a=acyl, M=Mtot, **model_kw)
     rmin = rcylmin * acyl

@@ -53,9 +53,14 @@ class SlabTables:
     key: str = ""
 
     def write_cache(self, path):
+        import os
+
         import h5py
 
-        with h5py.File(path, "w") as f:
+        # atomic publish: multi-process waiters poll for `path` and must
+        # never observe a half-written file
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with h5py.File(tmp, "w") as f:
             f.attrs["type"] = "SlabSL"
             f.attrs["version"] = 1
             for k in ("nmaxx", "nmaxy", "nmax", "numz"):
@@ -65,6 +70,7 @@ class SlabTables:
             f.attrs["key"] = self.key
             for k in ("phi", "dphi", "dens", "zgrid", "sgn"):
                 f.create_dataset(k, data=getattr(self, k))
+        os.replace(tmp, path)
 
     @classmethod
     def read_cache(cls, path):
@@ -132,6 +138,11 @@ def build_slab_tables(nmaxx: int = 4, nmaxy: int = 4, nmax: int = 6,
                 return t
         except (OSError, KeyError, ValueError):
             pass
+        from exp_tpu.parallel.distributed import await_primary_cache
+
+        if await_primary_cache(cachename):
+            # multi-process: the primary built + atomically published it
+            return SlabTables.read_cache(cachename)
 
     # quadrature grid in z and the sech^2 profile (unit surface density)
     zq = np.linspace(-zmax, zmax, knots)
@@ -242,6 +253,11 @@ def _build_slab_tables_sl(nmaxx, nmaxy, nmax, zmax, h, numz, type,
                 return t
         except (OSError, KeyError, ValueError):
             pass
+        from exp_tpu.parallel.distributed import await_primary_cache
+
+        if await_primary_cache(cachename):
+            # multi-process: the primary built + atomically published it
+            return SlabTables.read_cache(cachename)
 
     zq = np.linspace(-zmax, zmax, nsolve)
     dz = zq[1] - zq[0]

@@ -266,7 +266,32 @@ def build_sph_sl_tables(model: SphericalModelTable, lmax: int, nmax: int,
                 return t
         except (OSError, KeyError, ValueError):
             pass
+        import jax
 
+        if jax.process_count() > 1:
+            # multi-process: only the primary builds; the others wait for
+            # the atomic cache rename then load it (the reference farms SL
+            # tables across ranks then broadcasts, SLGridMP2.cc:280-382 —
+            # here the shared filesystem is the broadcast)
+            from exp_tpu.parallel.distributed import shared_cache_build
+
+            def _build(tmp):
+                _build_sph_sl_tables_nocache(
+                    model, lmax, nmax, numr, rmin, rmax, cmap, rmap,
+                    key).write_cache(tmp)
+
+            shared_cache_build(cachename, _build)
+            return SphSLTables.read_cache(cachename)
+
+    t = _build_sph_sl_tables_nocache(model, lmax, nmax, numr, rmin, rmax,
+                                     cmap, rmap, key)
+    if cachename is not None:
+        t.write_cache(cachename)
+    return t
+
+
+def _build_sph_sl_tables_nocache(model, lmax, nmax, numr, rmin, rmax,
+                                 cmap, rmap, key) -> SphSLTables:
     xmin = float(coords.r_to_xi(rmin, cmap, rmap))
     xmax = float(coords.r_to_xi(rmax, cmap, rmap))
     xi = np.linspace(xmin, xmax, numr)
@@ -283,12 +308,10 @@ def build_sph_sl_tables(model: SphericalModelTable, lmax: int, nmax: int,
     for l in range(lmax + 1):
         ev[l], ef[l] = _solve_sl_one_l(l, xi, r, rp, psi, dpsi, d0, nmax)
 
-    t = SphSLTables(lmax=lmax, nmax=nmax, numr=numr, cmap=cmap, rmap=rmap,
-                    rmin=rmin, rmax=rmax, xmin=xmin, xmax=xmax, dxi=float(dxi),
-                    xi=xi, r=r, p0=psi, d0=d0, ev=ev, ef=ef, model_key=key)
-    if cachename is not None:
-        t.write_cache(cachename)
-    return t
+    return SphSLTables(lmax=lmax, nmax=nmax, numr=numr, cmap=cmap,
+                       rmap=rmap, rmin=rmin, rmax=rmax, xmin=xmin,
+                       xmax=xmax, dxi=float(dxi), xi=xi, r=r, p0=psi,
+                       d0=d0, ev=ev, ef=ef, model_key=key)
 
 
 def biorthogonality_matrix(t: SphSLTables, l: int) -> np.ndarray:

@@ -157,6 +157,22 @@ class SphereSL:
                     numr_cs: int = 256,
                     pallas_harmonics: str = "auto",
                     deriv: str = "stencil3") -> "SphereSL":
+        if pallas_precision not in ("default", "mixed", "mixed3",
+                                    "highest"):
+            # a typo would otherwise silently fall through to HIGHEST in
+            # the kernel-precision resolution below
+            raise ValueError(
+                f"pallas_precision={pallas_precision!r}: expected one of "
+                "'default', 'mixed', 'mixed3', 'highest'")
+        if pallas_precision == "mixed3" and pallas_harmonics == "poly":
+            # the bf16x3 compensated path inside the POLY-harmonics accel
+            # kernel has no real-TPU coverage (CI runs interpret mode on
+            # CPU; the benchmarked default resolves to the recurrence
+            # kernel) — keep the validated combination only
+            raise ValueError(
+                "pallas_precision='mixed3' is validated with the "
+                "recurrence accel kernel only; use pallas_harmonics="
+                "'auto'/'recurrence' with mixed3")
         grid = SLGridSph.from_tables(t, dtype=dtype)
         # resample the (numr, L+1, nmax) table onto a coarse uniform xi grid
         import numpy as np

@@ -103,6 +103,16 @@ def _regress(hist, time, damp):
     return est, sig
 
 
+def _quadfit(ts, ys):
+    """Ascending quadratic coefficients (c0, c1, c2) of a least-squares
+    fit ys ~ c0 + c1 t + c2 t^2.  np.polynomial.Polynomial.fit scales the
+    abscissa to [-1, 1] internally, so the Vandermonde stays conditioned
+    at any dt (a raw np.polyfit on a small-dt window warns RankWarning)."""
+    p = np.polynomial.Polynomial.fit(ts, ys, 2).convert()
+    c = p.coef
+    return np.pad(c, (0, 3 - len(c))) if len(c) < 3 else c
+
+
 @dataclass
 class PseudoAccel:
     """Frame-acceleration estimator (include/PseudoAccel.H:10-95).
@@ -121,9 +131,16 @@ class PseudoAccel:
     _queue: deque = field(default_factory=deque)
 
     def add(self, t, c, a=None):
-        self._queue.append((float(t), np.asarray(c, np.float64),
-                            None if a is None else np.asarray(a,
-                                                              np.float64)))
+        rec = (float(t), np.asarray(c, np.float64),
+               None if a is None else np.asarray(a, np.float64))
+        # one sample per time: a repeated t (the center refresh can run
+        # more than once per step) replaces the newest sample instead of
+        # stacking duplicates, which would make the quadratic fit
+        # rank-deficient (distinct abscissae < 3)
+        if self._queue and self._queue[-1][0] == rec[0]:
+            self._queue[-1] = rec
+            return
+        self._queue.append(rec)
         while len(self._queue) > self.nsize:
             self._queue.popleft()
 
@@ -143,13 +160,13 @@ class PseudoAccel:
         if self.center:
             cs = np.array([q[1] for q in self._queue])
             for k in range(3):
-                accel[k] = 2.0 * np.polyfit(ts, cs[:, k], 2)[0]
+                accel[k] = 2.0 * _quadfit(ts, cs[:, k])[2]
         if self.axis and all(q[2] is not None for q in self._queue):
             axs = np.array([q[2] for q in self._queue])
             T = ts[-1]
             n = np.zeros(3); dndt = np.zeros(3); d2 = np.zeros(3)
             for k in range(3):
-                a, b, _c = np.polyfit(ts, axs[:, k], 2)
+                _c, b, a = _quadfit(ts, axs[:, k])
                 n[k] = a * T * T + b * T + _c
                 dndt[k] = 2.0 * a * T + b
                 d2[k] = 2.0 * a
@@ -173,6 +190,10 @@ class EJOrient:
     window: int = 16
     damp: float = 1.0
     logfile: str | None = None
+    #: multi-process: only the primary process appends to the log (the
+    #: reference writes on myid==0, Orient.cc); the tracker state itself
+    #: must still update identically on every process
+    write_log: bool = True
     #: optional frame-acceleration estimator fed the raw per-update
     #: center1/axis1 samples (Orient.cc:696-697)
     pseudo: "PseudoAccel | None" = None
@@ -225,7 +246,7 @@ class EJOrient:
     # -- orient log (Orient.H:60-87 column layout, restart Orient.cc:86) --
 
     def _log(self, time, c1, a1):
-        if not self.logfile:
+        if not self.logfile or not self.write_log:
             return
         import os
 

@@ -302,6 +302,16 @@ def bucketize(ps: ParticleSystem, M: int, quantum: int,
               caps: tuple[int, ...] | None = None,
               mesh=None, headroom: int = 1) -> LevelBuckets:
     """Split a flat ParticleSystem into per-level padded buckets (host)."""
+    import jax as _jax
+
+    if _jax.process_count() > 1 and not isinstance(ps.x, np.ndarray):
+        # multi-process: the flat system's shards span processes; gather
+        # it (collective — every process calls bucketize with the same
+        # state) so each process builds identical host buckets, which
+        # b.shard(mesh) below re-shards by process row block
+        from exp_tpu.parallel.distributed import allgather_ps
+
+        ps = allgather_ps(ps)
     level = np.asarray(ps.level)
     mass = np.asarray(ps.mass)
     live = mass > 0

@@ -34,13 +34,31 @@ import jax
 
 
 class Output:
+    """Writer base.  Multi-process discipline (the reference gates every
+    writer on myid==0, src/OutLog.cc OutCHKPT.H:17-20, and aggregates the
+    phase space first): `gather(sim)` performs ALL collective work —
+    cross-process particle gathers, device computations over global
+    arrays — and must run on EVERY process; `write(sim, istep)` then only
+    touches host data and files and runs on the primary process alone.
+    Single-process runs skip gather (write does its own host pulls)."""
+
     def __init__(self, sim, nint=1, **kw):
         self.sim = sim
         self.nint = int(nint)
 
     def run(self, sim, istep, force=False):
         if force or (self.nint > 0 and istep % self.nint == 0):
-            self.write(sim, istep)
+            if sim.dist:
+                self.gather(sim)
+            if sim.is_primary:
+                self.write(sim, istep)
+
+    def gather(self, sim):
+        """Collective pre-write work; default none (host-data writers)."""
+
+    def _gather_ps(self, sim, names=None):
+        for n in (sim.components if names is None else names):
+            sim.host_ps(n)
 
     def write(self, sim, istep):
         raise NotImplementedError
@@ -73,6 +91,8 @@ class OutLog(Output):
         cols = list(self.GLOBAL_COLS)
         for n in names:
             cols += [f"{n}:{c}" for c in comp_cols]
+        if not sim.is_primary:
+            return                      # files are primary-process-only
         if not _fresh(sim, self.path):
             return                      # restart: append to the old log
         with open(self.path, "w") as f:
@@ -81,6 +101,15 @@ class OutLog(Output):
             f.write("# Columns: global totals then per-component sections; "
                     "energies G=1\n")
             f.write("|".join(f"{c:>16s}" for c in cols) + "\n")
+
+    def gather(self, sim):
+        # live-body count over the GLOBAL sharded arrays: jitted so it is
+        # a collective SPMD program in multi-process mode (np.asarray of a
+        # non-addressable array would fail); result is replicated
+        if not hasattr(self, "_nlive"):
+            cnt = jax.jit(lambda m: (m > 0).sum())
+            self._nlive = sum(int(cnt(c.ps.mass))
+                              for c in sim.components.values())
 
     def write(self, sim, istep):
         d = sim.total_diag()
@@ -130,6 +159,9 @@ class OutCoef(Output):
 
         path = os.path.join(sim.outdir,
                             filename or f"outcoef.{name}.{sim.runtag}.h5")
+        self.file = None
+        if not sim.is_primary:
+            return                      # file handle on process 0 only
         mode = "w"
         if not _fresh(sim, path):
             mode = "a"                  # restart: extend the series
@@ -177,6 +209,9 @@ class OutChkpt(Output):
                                                          + baks[:-1])):
             if os.path.exists(newer):
                 os.replace(newer, older)
+
+    def gather(self, sim):
+        self._gather_ps(sim)
 
     def write(self, sim, istep):
         import h5py
@@ -291,6 +326,9 @@ class OutPSN(Output):
         s, self._seq = self._seq, self._seq + 1
         return s
 
+    def gather(self, sim):
+        self._gather_ps(sim)
+
     def _dump(self, sim):
         from exp_tpu.io.psp import PSPDump, PSPComponent
 
@@ -367,6 +405,9 @@ class OutHDF5(Output):
         self.dtype = np.float32 if real4 else np.float64
         import h5py
 
+        self._count = 0
+        if not sim.is_primary:
+            return                      # files are primary-process-only
         if _fresh(sim, self.path):
             self._count = 0
             with h5py.File(self.path, "w") as f:
@@ -374,6 +415,9 @@ class OutHDF5(Output):
         else:                       # restart: continue the snapshot series
             with h5py.File(self.path, "r") as f:
                 self._count = int(f.attrs.get("count", 0))
+
+    def gather(self, sim):
+        self._gather_ps(sim)
 
     def write(self, sim, istep):
         import h5py
@@ -406,15 +450,24 @@ class OutMulti(Output):
     def __init__(self, sim, nint=1, **kw):
         super().__init__(sim, nint)
         self.path = os.path.join(sim.outdir, f"{sim.runtag}.levels")
-        if not _fresh(sim, self.path):
+        if not sim.is_primary or not _fresh(sim, self.path):
             return
         with open(self.path, "w") as f:
             f.write("# time  component  counts per level 0..M\n")
 
+    def gather(self, sim):
+        # level_counts sums over the global sharded buckets — collective
+        if sim._ms_runner is not None and sim._ms_state is not None:
+            self._counts = sim._ms_runner.level_counts(sim._ms_state)
+            self._counts_step = sim.istep
+
     def write(self, sim, istep):
         if sim._ms_runner is None or sim._ms_state is None:
             return
-        counts = sim._ms_runner.level_counts(sim._ms_state)
+        if getattr(self, "_counts_step", None) == istep:
+            counts = self._counts
+        else:
+            counts = sim._ms_runner.level_counts(sim._ms_state)
         with open(self.path, "a") as f:
             for n, cs in counts.items():
                 f.write(f"{sim.time:.8g} {n} " +
@@ -433,16 +486,31 @@ class OutVel(Output):
         self.fb = FieldBasis(sim.components[self.name].force)
         self.path = os.path.join(sim.outdir,
                                  f"outvel.{self.name}.{sim.runtag}.h5")
-        if _fresh(sim, self.path) and os.path.exists(self.path):
+        if sim.is_primary and _fresh(sim, self.path) \
+                and os.path.exists(self.path):
             os.remove(self.path)
 
-    def write(self, sim, istep):
-        import h5py
+    def _coefs(self, sim):
         import jax.numpy as jnp
 
         ps = sim._state[self.name]
-        coefs = self.fb.coefficients(ps.x, ps.v, ps.mass,
-                                     accum_dtype=jnp.float32)
+        return self.fb.coefficients(ps.x, ps.v, ps.mass,
+                                    accum_dtype=jnp.float32)
+
+    def gather(self, sim):
+        # field-coefficient projection runs over the global arrays
+        # (collective); the psum'd result is replicated, so the host pull
+        # in write() is process-local
+        self._pending = jax.device_get(self._coefs(sim))
+        self._pending_step = sim.istep
+
+    def write(self, sim, istep):
+        import h5py
+
+        if getattr(self, "_pending_step", None) == istep:
+            coefs = self._pending
+        else:
+            coefs = self._coefs(sim)
         mode = "a" if os.path.exists(self.path) else "w"
         with h5py.File(self.path, mode) as f:
             if "fields" not in f.attrs:
@@ -464,17 +532,30 @@ class OutSamp(Output):
         self.nsamples = int(nsamples)
         self.path = os.path.join(sim.outdir,
                                  f"outsamp.{self.name}.{sim.runtag}.h5")
-        if _fresh(sim, self.path) and os.path.exists(self.path):
+        if sim.is_primary and _fresh(sim, self.path) \
+                and os.path.exists(self.path):
             os.remove(self.path)
 
-    def write(self, sim, istep):
-        from exp_tpu.nbody.pca import (subsample_coefficients,
-                                       write_covariance_h5)
+    def _subsample(self, sim):
+        from exp_tpu.nbody.pca import subsample_coefficients
 
         comp = sim.components[self.name]
         ps = sim._state[self.name]
-        cs = subsample_coefficients(comp.force, ps.x, ps.mass,
-                                    nsamples=self.nsamples)
+        return subsample_coefficients(comp.force, ps.x, ps.mass,
+                                      nsamples=self.nsamples)
+
+    def gather(self, sim):
+        # subsample projection over the global arrays — collective
+        self._pending = np.asarray(jax.device_get(self._subsample(sim)))
+        self._pending_step = sim.istep
+
+    def write(self, sim, istep):
+        from exp_tpu.nbody.pca import write_covariance_h5
+
+        if getattr(self, "_pending_step", None) == istep:
+            cs = self._pending
+        else:
+            cs = self._subsample(sim)
         write_covariance_h5(self.path, sim.time, cs, name=self.name)
 
 
@@ -490,11 +571,14 @@ class OrbTrace(Output):
         self.idx = (list(orbitlist) if orbitlist
                     else list(range(1, int(norb) + 1)))
         self.path = os.path.join(sim.outdir, f"ORBTRACE.{sim.runtag}")
-        if not _fresh(sim, self.path):
+        if not sim.is_primary or not _fresh(sim, self.path):
             return
         with open(self.path, "w") as f:
             f.write("# time then (x y z u v w) per traced orbit: "
                     f"{self.idx}" + chr(10))
+
+    def gather(self, sim):
+        self._gather_ps(sim, [self.name])
 
     def write(self, sim, istep):
         ps = sim.host_ps(self.name)
@@ -518,10 +602,13 @@ class OutDiag(Output):
         self.nbins = int(nbins)
         self.rmax = rmax
         self.path = os.path.join(sim.outdir, f"OUTDIAG.{sim.runtag}")
-        if not _fresh(sim, self.path):
+        if not sim.is_primary or not _fresh(sim, self.path):
             return
         with open(self.path, "w") as f:
             f.write("# time r_mid N mass KE PE_avg" + chr(10))
+
+    def gather(self, sim):
+        self._gather_ps(sim, [self.name])
 
     def write(self, sim, istep):
         ps = sim.host_ps(self.name)
@@ -558,11 +645,14 @@ class OutFrac(Output):
         super().__init__(sim, nint)
         self.name = name or next(iter(sim.components))
         self.path = os.path.join(sim.outdir, f"OUTFRAC.{sim.runtag}")
-        if not _fresh(sim, self.path):
+        if not sim.is_primary or not _fresh(sim, self.path):
             return
         with open(self.path, "w") as f:
             f.write("# time then r at mass fractions "
                     f"{self.FRACS}" + chr(10))
+
+    def gather(self, sim):
+        self._gather_ps(sim, [self.name])
 
     def write(self, sim, istep):
         ps = sim.host_ps(self.name)
@@ -592,6 +682,9 @@ class OutCalbr(Output):
         self._prev = None   # (E, L) at last output
         self.Emin = None    # bins fixed lazily at the first write (state
                             # and potentials exist only after prime)
+
+    def gather(self, sim):
+        self._gather_ps(sim, [self.name])
 
     def _energies(self, sim):
         ps = sim.host_ps(self.name)
@@ -639,6 +732,9 @@ class OutAscii(Output):
     def __init__(self, sim, nint=100, name=None, **kw):
         super().__init__(sim, nint)
         self.name = name or next(iter(sim.components))
+
+    def gather(self, sim):
+        self._gather_ps(sim, [self.name])
 
     def write(self, sim, istep):
         from exp_tpu.nbody.particles import write_ascii_bodies

@@ -80,12 +80,23 @@ class ParticleSystem:
         )
 
     def shard(self, mesh, axis: str = "p") -> "ParticleSystem":
-        """Place particle arrays sharded along `axis` of `mesh`."""
+        """Place particle arrays sharded along `axis` of `mesh`.
+
+        Multi-process (jax.process_count() > 1): the host arrays must be
+        identical on every process (e.g. a checkpoint each process read);
+        each process contributes its contiguous row block of the global
+        sharding (device_put cannot target non-addressable devices)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        def put(a):
-            spec = P(axis) if a.ndim == 1 else P(axis, None)
-            return jax.device_put(a, NamedSharding(mesh, spec))
+        if jax.process_count() > 1:
+            from exp_tpu.parallel.distributed import put_global
+
+            def put(a):
+                return put_global(np.asarray(a), mesh, axis=axis)
+        else:
+            def put(a):
+                spec = P(axis) if a.ndim == 1 else P(axis, None)
+                return jax.device_put(a, NamedSharding(mesh, spec))
 
         return ParticleSystem(
             x=put(self.x), v=put(self.v), mass=put(self.mass),

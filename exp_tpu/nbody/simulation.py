@@ -442,7 +442,8 @@ class Simulation:
                 orient = EJOrient(nkeep=int(cp.get("nEJkeep", 256)),
                                   window=int(cp.get("EJwindow", 16)),
                                   damp=float(cp.get("EJdamp", 1.0)),
-                                  logfile=logf, pseudo=pseudo)
+                                  logfile=logf, pseudo=pseudo,
+                                  write_log=self.is_primary)
                 if g.infile and os.path.exists(logf):
                     # restart: reload the regression history
                     orient.load_log(logf)
@@ -1016,7 +1017,12 @@ class Simulation:
                     self._coefs, self._diag = host["c"], host["d"]
                 t3 = time.time()
                 for o in due:
-                    o.write(self, self.istep)
+                    # collective gathers on every process; file writes on
+                    # the primary only (reference myid==0 gating)
+                    if self.dist:
+                        o.gather(self)
+                    if self.is_primary:
+                        o.write(self, self.istep)
                 self.timers["Output"] += time.time() - t3
             # host-side operators (scatterMFP, generateRelaxation): applied
             # once per block, outside the jitted step
@@ -1040,7 +1046,8 @@ class Simulation:
     def _nreport_line(self):
         """Progress report every nreport steps (reference nreport,
         global.H:56: per-step counter print)."""
-        if self.nreport > 0 and self.istep % self.nreport == 0:
+        if self.nreport > 0 and self.istep % self.nreport == 0 \
+                and self.is_primary:
             wall = time.time() - self._wall0
             print(f"[exp_tpu] step {self.istep}  time {self.time:.6g}  "
                   f"wall {wall:.1f}s", flush=True)
@@ -1060,7 +1067,9 @@ class Simulation:
 
             if multistep:
                 self._sync_flat_state()
-            ps = self._state[n]
+            # multi-process: every process needs the identical model (the
+            # rebuilt tables feed the jitted step) — gather collectively
+            ps = self.host_ps(n) if self.dist else self._state[n]
             model = model_from_particles(np.asarray(ps.x),
                                          np.asarray(ps.mass))
             fc = c.config.force
@@ -1100,7 +1109,10 @@ class Simulation:
             from exp_tpu.nbody.output import OutChkpt
             name = f"SPSCHK.{self.runtag}.badvalues"
             path = os.path.join(self.outdir, name)
-            OutChkpt(self, nint=0, filename=name).write(self, self.istep)
+            # every process gathers (collective); the primary writes; the
+            # raise happens on all processes (the reference MPI_Aborts)
+            OutChkpt(self, nint=0, filename=name).run(self, self.istep,
+                                                      force=True)
             raise FloatingPointError(
                 f"non-finite {what} in component {n!r} at step "
                 f"{self.istep}; state dumped to {path}")
@@ -1309,7 +1321,10 @@ class Simulation:
             if c.npca > 0 and self.istep % c.npca == 0:
                 if multistep:
                     self._sync_flat_state()
-                ps = self._state[n]
+                # multi-process: host-materialize via the collective
+                # gather (np.asarray of non-addressable shards fails);
+                # each process then computes the identical Hall weights
+                ps = self.host_ps(n) if self.dist else self._state[n]
                 # project in the SAME frame/weighting as the stepping path
                 # (_project_and_accel): center + body rotation, adiabatic
                 # ramp, rtrunc cutoff — otherwise the subsample variance
@@ -1358,7 +1373,7 @@ class Simulation:
             print(f"[exp_tpu] wall-clock limit reached at step {self.istep}; "
                   "checkpointing and stopping")
             self._write_checkpoint()
-            if self.restart_cmd:
+            if self.restart_cmd and self.is_primary:
                 import subprocess
 
                 print(f"[exp_tpu] launching restart_cmd: {self.restart_cmd}")
@@ -1373,9 +1388,10 @@ class Simulation:
         self._sync_flat_state()
         for o in self.outputs:
             if isinstance(o, OutChkpt):
-                o.write(self, self.istep)
+                o.run(self, self.istep, force=True)
                 return
-        OutChkpt(self, nint=0).write(self, self.istep)
+        o = OutChkpt(self, nint=0)
+        o.run(self, self.istep, force=True)
 
     def install_signal_handlers(self):
         """SIGTERM -> stop after the current block; SIGHUP -> checkpoint

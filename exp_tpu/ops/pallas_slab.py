@@ -15,7 +15,8 @@ coefKernelSlab :245 / force pipeline, collapsed and fused):
       d/dz), interpolated per particle by a z-hat matmul, and closed
       with bulk (Cp, B) multiply-reduce rows on the VPU.
 
-The z-axis is resampled to nzc (default 128) coarse nodes — the slab
+The z-axis is resampled to nzc (default 126; +2 spline ghost rows =
+exactly one 128-lane tile) coarse nodes — the slab
 basis functions are smooth low-order profiles, so the coarse hat
 interpolation error is far below the f32 BFE truncation.  Data layout:
 transposed SoA (8, N), matching the other kernels.
@@ -32,9 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from exp_tpu.ops.pallas_cube import (_axis_phases, _select_mats,
-                                     _outer_complex, _outer_bcast,
-                                     _round_up, _dotT,
-                                     _dotNT, pack_xyzm)  # noqa: F401
+                                     _outer_bcast, _round_up,
+                                     _dotNT, pack_xyzm)  # noqa: F401  (pack_xyzm re-exported)
 
 _PREC = jax.lax.Precision.DEFAULT
 
@@ -59,7 +59,8 @@ def _outer_select_c2(P, Q, ar, ai, br, bi):
     Precision.HIGHEST (6 bf16 passes each) because a single DEFAULT pass
     rounds the phase VALUES to bf16 (~4e-3).  But the selection matrices
     are 0/1 — exact in bf16 — so splitting only the phase operand
-    a = ah + al (each half bf16-exact) and summing two DEFAULT passes
+    a = ah + al (hi+lo carries ~16 mantissa bits, ~1e-5 relative: lo is
+    itself rounded to bf16) and summing two DEFAULT passes
     reconstructs P.a to ~1e-5 at a third of the MXU cost.  (Same trick as
     the accel kernel's bf16x3 z-profile matmul, minus the al*bl term that
     is exactly zero here.)"""

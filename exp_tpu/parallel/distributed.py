@@ -238,6 +238,74 @@ def read_bodies_distributed(path, mesh, dtype=None,
                          indx=ixl, scale=sl)
 
 
+def put_global(a, mesh, axis: str = "p"):
+    """Shard a host array (identical on every process) over `mesh`'s
+    particle axis in a multi-process world: each process contributes its
+    own contiguous row block via jax.make_array_from_process_local_data
+    (device_put cannot target non-addressable devices).  Single-process
+    falls back to a plain sharded device_put."""
+    import jax
+    from exp_tpu.parallel import particle_sharding
+
+    a = np.asarray(a)
+    sh = particle_sharding(mesh, ndim=a.ndim)
+    if jax.process_count() == 1:
+        return jax.device_put(a, sh)
+    lo, hi = row_block(a.shape[0], mesh)
+    return jax.make_array_from_process_local_data(
+        sh, np.ascontiguousarray(a[lo:hi]), a.shape)
+
+
+def shared_cache_build(path, build_fn, timeout: float = 900.0):
+    """Build-once coordination for basis cache files in a multi-process
+    world (the reference builds SL/EOF tables on subsets of ranks and
+    broadcasts, SLGridMP2.cc:280-382; here the primary process builds the
+    HDF5 cache and the others wait for it — the 'broadcast' is the shared
+    filesystem read).
+
+    `build_fn(tmp_path)` must write the cache to tmp_path; the rename to
+    `path` is atomic, so waiters never observe a half-written file.
+    Returns once `path` exists.  Single-process: build directly."""
+    import time
+
+    import jax
+
+    if jax.process_count() == 1 or jax.process_index() == 0:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        build_fn(tmp)
+        os.replace(tmp, path)
+        return
+    t0 = time.time()
+    while not os.path.exists(path):
+        if time.time() - t0 > timeout:
+            raise TimeoutError(
+                f"process {jax.process_index()}: cache {path} not "
+                f"produced by the primary process within {timeout:.0f}s")
+        time.sleep(0.25)
+
+
+def await_primary_cache(path, timeout: float = 900.0) -> bool:
+    """Cache-build coordination for builders that write their own cache
+    file: returns False when THIS process should build (primary process,
+    or single-process world, or no cache path); otherwise blocks until
+    the primary's atomic cache rename lands and returns True (caller then
+    reads the cache instead of building)."""
+    import time
+
+    import jax
+
+    if path is None or jax.process_count() == 1 or jax.process_index() == 0:
+        return False
+    t0 = time.time()
+    while not os.path.exists(path):
+        if time.time() - t0 > timeout:
+            raise TimeoutError(
+                f"process {jax.process_index()}: cache {path} not "
+                f"produced by the primary process within {timeout:.0f}s")
+        time.sleep(0.25)
+    return True
+
+
 def allgather_ps(ps: ParticleSystem) -> ParticleSystem:
     """Gather a (possibly multi-process) sharded ParticleSystem to host
     NumPy arrays, identically on every process — the pre-write gather for

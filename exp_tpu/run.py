@@ -71,7 +71,9 @@ def main(argv=None):
             resource.setrlimit(resource.RLIMIT_AS, (lim, lim))
         except (ValueError, OSError) as e:
             print(f"[exp_tpu] rlimit={g.rlimit} failed: {e}")
-    sim.config.dump(os.path.join(sim.outdir, f"config.{sim.runtag}.yml"))
+    if sim.is_primary:      # parameter echo writes on process 0 only
+        sim.config.dump(os.path.join(sim.outdir,
+                                     f"config.{sim.runtag}.yml"))
     # CLI overrides take precedence over the Global runtime/restart_cmd keys
     if args.wall is not None:
         sim.wall_limit = args.wall

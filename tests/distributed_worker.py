@@ -48,10 +48,12 @@ def main():
     nsteps = int(os.environ.get("WORKER_NSTEPS", 5))
 
     m = hernquist_model(rmin=1e-3, rmax=20.0)
+    # ONE shared cache path: the primary builds it (atomic publish), the
+    # other processes wait for it then read — the multi-process cache
+    # coordination in basis/slgrid.py + parallel/distributed.py
     t = build_sph_sl_tables(
         m, lmax=2, nmax=6, numr=400, cmap=1, rmap=1.0,
-        cachename=os.path.join(os.path.dirname(outfile),
-                               f"sltab_p{pid}.h5"))
+        cachename=os.path.join(os.path.dirname(outfile), "sltab.h5"))
     force = SphereSL.from_tables(t, dtype=jnp.float64)
 
     ps = read_bodies_distributed(bodyfile, mesh, dtype=jnp.float64)

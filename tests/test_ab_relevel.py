@@ -21,9 +21,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow   # full f64 multistep A/B/C in a subprocess (~minutes)
 def test_ab_relevel_energy_ratio(tmp_path):
     out = tmp_path / "ab.json"
     # calibrated so the truncation signal sits well above the f64 /

@@ -150,3 +150,171 @@ def test_allgather_ps_single_process():
     host = allgather_ps(ps)
     assert isinstance(host.x, np.ndarray)
     np.testing.assert_array_equal(host.x, np.asarray(ps.x))
+
+
+# ---------------------------------------------------------------------------
+# full YAML driver, 2 OS processes (the mpirun'd-whole-binary CI analogue)
+# ---------------------------------------------------------------------------
+
+DRIVER_CONFIG = """\
+Global:
+  dtime: 0.01
+  nsteps: {nsteps}
+  runtag: drun
+  multistep: 2
+  compute_dtype: float64
+  accum_dtype: float64
+{extra}
+Components:
+  - name: halo
+    bodyfile: halo.bods
+    force:
+      id: sphereSL
+      parameters:
+        numr: 400
+        Lmax: 2
+        nmax: 6
+        rmapping: 1.0
+        modelname: halo.model
+        cachename: halo.cache.h5
+Output:
+  - id: outlog
+    parameters: {{nint: 1}}
+  - id: outcoef
+    parameters: {{nint: 1, name: halo}}
+  - id: outchkpt
+    parameters: {{nint: 3}}
+  - id: outmulti
+    parameters: {{nint: 1}}
+"""
+
+
+def _driver_workdir(base, name, nsteps=6, extra=""):
+    """Model + bodies + YAML config in a fresh directory."""
+    from exp_tpu.basis.model import hernquist_model
+    from exp_tpu.ic.eddington import sample_spherical_model
+    from exp_tpu.nbody.particles import write_ascii_bodies
+
+    d = os.path.join(base, name)
+    os.makedirs(d, exist_ok=True)
+    m = hernquist_model(rmin=1e-4, rmax=20.0, numr=800)
+    m.to_file(os.path.join(d, "halo.model"))
+    x, v, mass = sample_spherical_model(m, 4096, seed=23)
+    write_ascii_bodies(os.path.join(d, "halo.bods"), (x, v, mass))
+    with open(os.path.join(d, "config.yml"), "w") as f:
+        f.write(DRIVER_CONFIG.format(nsteps=nsteps, extra=extra))
+    return d
+
+
+def _launch_driver_world(workdir, nproc=2, ndev=4):
+    port = _free_port()
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.pop("PYTEST_CURRENT_TEST", None)
+        env.update({
+            "EXP_COORDINATOR": f"127.0.0.1:{port}",
+            "EXP_NPROCS": str(nproc),
+            "EXP_PROCID": str(pid),
+            "WORKER_NDEV": str(ndev),
+            "WORKER_CONFIG": os.path.join(workdir, "config.yml"),
+            "XLA_FLAGS": f"--xla_force_host_platform_device_count={ndev}",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__),
+                          "distributed_driver_worker.py")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"driver worker failed:\n{log[-6000:]}"
+    return logs
+
+
+def _outlog_rows(path):
+    """OUTLOG rows as a float matrix, Clock column (idx 17) dropped
+    (wall-clock differs between runs by construction)."""
+    rows = []
+    for line in open(path):
+        if line.startswith("#") or "Time" in line:
+            continue
+        vals = [float(v) for v in line.split("|")]
+        del vals[17]
+        rows.append(vals)
+    return np.array(rows)
+
+
+def test_two_process_full_driver_matches_single_process(tmp_path):
+    """The round-5 closure of the multi-process driver: 2 OS processes x 4
+    devices run the FULL YAML driver (multistep bigsteps + relevel +
+    outlog/outcoef/outchkpt/outmulti), outputs are written ONCE (primary
+    process only) and match the single-process 8-device run to f64
+    roundoff; a restart from the 2-process checkpoint continues."""
+    base = str(tmp_path)
+    d2 = _driver_workdir(base, "world2", nsteps=6)
+    d1 = _driver_workdir(base, "world1", nsteps=6)
+
+    # --- 2-process x 4-device world runs the real CLI ---
+    _launch_driver_world(d2, nproc=2, ndev=4)
+
+    # --- single-process reference on this process's 8-device mesh ---
+    from exp_tpu.nbody.simulation import Simulation
+
+    sim = Simulation.from_file(os.path.join(d1, "config.yml"))
+    sim.prime()
+    sim.run()
+
+    # outputs written once: row count = prime + nsteps
+    log2 = _outlog_rows(os.path.join(d2, "OUTLOG.drun"))
+    log1 = _outlog_rows(os.path.join(d1, "OUTLOG.drun"))
+    assert log2.shape == log1.shape, (log2.shape, log1.shape)
+    assert log2.shape[0] == 7
+    # identical physics to f64 roundoff (only the cross-process psum
+    # reduction order differs)
+    np.testing.assert_allclose(log2, log1, rtol=1e-9, atol=1e-12)
+
+    # coefficient trajectories equal
+    from exp_tpu.io.coefs import open_coefs
+
+    t2, c2 = open_coefs(os.path.join(d2, "outcoef.halo.drun.h5")).read_all()
+    t1, c1 = open_coefs(os.path.join(d1, "outcoef.halo.drun.h5")).read_all()
+    np.testing.assert_allclose(t2, t1, atol=1e-12)
+    scale = np.max(np.abs(c1))
+    np.testing.assert_allclose(c2, c1, atol=1e-10 * scale)
+
+    # multistep level populations identical (deterministic integers)
+    lv2 = [ln for ln in open(os.path.join(d2, "drun.levels"))
+           if not ln.startswith("#")]
+    lv1 = [ln for ln in open(os.path.join(d1, "drun.levels"))
+           if not ln.startswith("#")]
+    assert lv2 == lv1
+
+    # config echo written exactly once (primary), checkpoint exists
+    assert os.path.exists(os.path.join(d2, "config.drun.yml"))
+    chk = os.path.join(d2, "OUT.drun.chkpt")
+    assert os.path.exists(chk)
+
+    # --- restart the 2-process world from its own checkpoint ---
+    with open(os.path.join(d2, "config.yml"), "w") as f:
+        f.write(DRIVER_CONFIG.format(nsteps=3,
+                                     extra="  infile: OUT.drun.chkpt"))
+    _launch_driver_world(d2, nproc=2, ndev=4)
+    log2b = _outlog_rows(os.path.join(d2, "OUTLOG.drun"))
+    # the restart appends: original 7 rows + the forced row at the
+    # restored time (begin_run's output->Run(0), begin.cc:135-142)
+    # + 3 continued steps
+    assert log2b.shape[0] == 11, log2b.shape
+    # time strictly advances past the first segment
+    assert log2b[-1, 0] > log2[-1, 0] + 0.02
+    # energy stays sane across the restart boundary
+    E = log2b[:, 15]
+    assert abs(E[-1] - E[0]) / abs(E[0]) < 5e-3
