@@ -128,6 +128,38 @@ def main():
 
     vs = (primary["value"] / cpu_tput
           if _finite(cpu_tput) and cpu_tput > 0 else None)
+
+    # cross-round variance guard (round-5 VERDICT #4): compare each
+    # config against the previous round's committed values and flag any
+    # >5% move so an unexplained regression (or a noisy run) is visible
+    # in the bench line itself, not discovered a round later.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_path = os.path.join(here, "doc", "bench_prev.json")
+    vs_prev = {}
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        for c, r in suite.items():
+            pv = prev.get(c)
+            cv = r.get("value") if isinstance(r, dict) else None
+            if _finite(pv) and _finite(cv) and pv > 0:
+                d = cv / pv - 1.0
+                vs_prev[c] = {"delta_pct": round(d * 100, 2)}
+                if abs(d) > 0.05:
+                    vs_prev[c]["flag"] = (
+                        f"{'+' if d > 0 else ''}{d*100:.1f}% vs prev round"
+                        f" — investigate (spread_pct says if it's noise)")
+    except OSError:
+        pass
+    # snapshot current values for the NEXT round's comparison (committed
+    # as doc/bench_prev.json when a round's numbers are accepted)
+    try:
+        with open(os.path.join(here, "doc", "bench_last.json"), "w") as f:
+            json.dump({c: (r.get("value") if isinstance(r, dict) else None)
+                       for c, r in suite.items()}, f, indent=1)
+    except OSError:
+        pass
+
     print(json.dumps({
         "metric": "particle_steps_per_sec",
         "value": primary["value"],
@@ -137,6 +169,7 @@ def main():
         "step_ms": primary.get("step_ms"),
         "cpu_baseline_particle_steps_per_sec": cpu_tput,
         "device": str(jax.devices()[0]),
+        "vs_prev": vs_prev,
         "suite": suite,
     }, allow_nan=False))
 

@@ -55,21 +55,30 @@ class CompileMeter:
         return False
 
 
-def _timeit(step, state, reps, sync):
+def _timeit(step, state, reps, sync, groups=3):
     """Steady-state timing: one warmup call + `reps` timed calls.
 
-    Returns (sec_per_rep, ncompiles, compile_sec) — the compile counters
-    cover the TIMED region only and should be zero."""
+    Returns (sec_per_rep, ncompiles, compile_sec, spread) — the compile
+    counters cover the TIMED region only and should be zero.  The timed
+    region is split into up to `groups` synced groups; `spread` is
+    (max - min)/mean of the per-group rates, the run-to-run variance
+    guard (round-5 VERDICT #4: headline numbers carry their spread)."""
     out = step(state)
     sync(out)
+    g = max(1, min(groups, reps))
+    per = [reps // g + (1 if i < reps % g else 0) for i in range(g)]
+    times = []
     with CompileMeter() as cm:
-        t0 = time.perf_counter()
         cur = state
-        for _ in range(reps):
-            cur = step(cur)
-        sync(cur)
-        sec = (time.perf_counter() - t0) / reps
-    return sec, cm.count, cm.seconds
+        for cnt in per:
+            t0 = time.perf_counter()
+            for _ in range(cnt):
+                cur = step(cur)
+            sync(cur)
+            times.append((time.perf_counter() - t0) / cnt)
+    sec = sum(t * c for t, c in zip(times, per)) / reps
+    spread = (max(times) - min(times)) / sec if len(times) > 1 else 0.0
+    return sec, cm.count, cm.seconds, spread
 
 
 def sphere_tables(lmax=4, nmax=10):
@@ -127,11 +136,11 @@ def bench_sphere(n=1_048_576, reps=20, lmax=4, nmax=10):
     ps = ParticleSystem.from_arrays(x, v, mass, dtype=jnp.float32)
     ps, _, _ = init_force_state(force, ps)
     step = make_kdk_step(force, dt)
-    sec, ncomp, csec = _timeit(lambda s: step(s)[0], ps, reps,
+    sec, ncomp, csec, spread = _timeit(lambda s: step(s)[0], ps, reps,
                                lambda s: jax.block_until_ready(s.x))
     return {"metric": "sphere_particle_steps_per_sec", "value": n / sec,
             "unit": "1/s", "step_ms": sec * 1e3, "n_particles": n,
-            "lmax": lmax, "nmax": nmax,
+            "lmax": lmax, "nmax": nmax, "spread_pct": round(spread * 100, 2),
             "ncompiles": ncomp, "compile_sec": round(csec, 2)}
 
 
@@ -163,11 +172,11 @@ def bench_disk(n=1_048_576, reps=10, mmax=6, nmax=18):
     ps = ParticleSystem.from_arrays(x, v, mass, dtype=jnp.float32)
     ps, _, _ = init_force_state(force, ps)
     step = make_kdk_step(force, dt)
-    sec, ncomp, csec = _timeit(lambda s: step(s)[0], ps, reps,
+    sec, ncomp, csec, spread = _timeit(lambda s: step(s)[0], ps, reps,
                                lambda s: jax.block_until_ready(s.x))
     return {"metric": "disk_particle_steps_per_sec", "value": n / sec,
             "unit": "1/s", "step_ms": sec * 1e3, "n_particles": n,
-            "mmax": mmax, "nmax": nmax,
+            "mmax": mmax, "nmax": nmax, "spread_pct": round(spread * 100, 2),
             "ncompiles": ncomp, "compile_sec": round(csec, 2)}
 
 
@@ -276,13 +285,21 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=4,
         sig = s2
     warmup_sec = time.perf_counter() - t_w
 
+    # up to 3 synced groups: per-group rates give the run-to-run spread
+    # without paying a tunnel sync round-trip on every bigstep
+    g = max(1, min(3, nbig))
+    per = [nbig // g + (1 if i < nbig % g else 0) for i in range(g)]
+    times = []
     with CompileMeter() as cm:
-        t0 = time.perf_counter()
-        for _ in range(nbig):
-            st, regs, coef, diag = runner.bigstep(st, regs)
-            st, regs = runner.relevel(st, regs)
-        jax.block_until_ready(st["halo"][0].x)
-        sec = (time.perf_counter() - t0) / nbig
+        for cnt in per:
+            t0 = time.perf_counter()
+            for _ in range(cnt):
+                st, regs, coef, diag = runner.bigstep(st, regs)
+                st, regs = runner.relevel(st, regs)
+            jax.block_until_ready(st["halo"][0].x)
+            times.append((time.perf_counter() - t0) / cnt)
+        sec = sum(t * c for t, c in zip(times, per)) / nbig
+    spread = ((max(times) - min(times)) / sec) if g > 1 else 0.0
     # particle-substeps per big step: level-l particles take 2^l substeps
     counts = runner.level_counts(st)
     subs = sum(c * 2 ** l for comp in counts.values()
@@ -290,7 +307,7 @@ def bench_composite(n_halo=786_432, n_disk=262_144, nbig=3, M=4,
     return {"metric": "composite_particle_substeps_per_sec",
             "value": subs / sec, "unit": "1/s", "step_ms": sec * 1e3,
             "n_particles": n_halo + n_disk, "multistep": M,
-            "level_counts": counts,
+            "level_counts": counts, "spread_pct": round(spread * 100, 2),
             "warmup_bigsteps": warmup_bigsteps,
             "warmup_stable": stable >= 2 and last_compiles == 0,
             "warmup_sec": round(warmup_sec, 2),
@@ -313,11 +330,12 @@ def bench_cube(n=4_194_304, reps=10, nmax=6):
     ps = ParticleSystem.from_arrays(x, v, mass, dtype=jnp.float32)
     ps, _, _ = init_force_state(force, ps)
     step = make_kdk_step(force, dt)
-    sec, ncomp, csec = _timeit(lambda s: step(s)[0], ps, reps,
+    sec, ncomp, csec, spread = _timeit(lambda s: step(s)[0], ps, reps,
                                lambda s: jax.block_until_ready(s.x))
     return {"metric": "cube_particle_steps_per_sec", "value": n / sec,
             "unit": "1/s", "step_ms": sec * 1e3, "n_particles": n,
-            "nmax": nmax, "ncompiles": ncomp, "compile_sec": round(csec, 2)}
+            "nmax": nmax, "spread_pct": round(spread * 100, 2),
+            "ncompiles": ncomp, "compile_sec": round(csec, 2)}
 
 
 def bench_pyexp(n=262_144, ntimes=32):
@@ -343,6 +361,7 @@ def bench_pyexp(n=262_144, ntimes=32):
     with CompileMeter() as cm:
         t0 = time.perf_counter()
         series = []
+        marks = [t0]
         for k in range(ntimes):
             # rigid rotation emulates an evolving snapshot stream
             ang = 0.05 * k
@@ -350,7 +369,13 @@ def bench_pyexp(n=262_144, ntimes=32):
                              [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
                             jnp.float32)
             series.append(np.asarray(proj(xj @ R.T)))
+            if (k + 1) % max(1, ntimes // 3) == 0:
+                marks.append(time.perf_counter())
         t_coef = time.perf_counter() - t0
+    # per-third snapshot rates -> run-to-run spread (VERDICT r5 #4)
+    gts = np.diff(marks[:4])
+    spread = (float((gts.max() - gts.min()) / gts.mean())
+              if len(gts) > 1 else 0.0)
 
     t0 = time.perf_counter()
     mssa = expMSSA({"halo": np.stack(series)}, window=ntimes // 2, numpc=8)
@@ -365,6 +390,7 @@ def bench_pyexp(n=262_144, ntimes=32):
     return {"metric": "pyexp_snapshots_per_sec", "value": ntimes / t_coef,
             "unit": "1/s", "step_ms": t_coef / ntimes * 1e3,
             "n_particles": n, "ntimes": ntimes,
+            "spread_pct": round(spread * 100, 2),
             "analysis_sec": t_analysis,
             "ncompiles": cm.count, "compile_sec": round(cm.seconds, 2),
             "mssa_top_ev": float(np.asarray(ev)[0])}

@@ -315,3 +315,18 @@ def test_pallas_mixed3_accuracy(setup):
     assert err.max() < 2e-4, err.max()
     np.testing.assert_allclose(np.asarray(p3), np.asarray(p1),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_pallas_precision_validation(setup):
+    """Unknown pallas_precision values raise instead of silently falling
+    through to HIGHEST (round-4 advisor), and the unvalidated
+    mixed3+poly accel combination is rejected (mixed3 has real-TPU
+    coverage with the recurrence accel kernel only)."""
+    m, t, _, x, mass = setup
+    with pytest.raises(ValueError, match="pallas_precision"):
+        SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas",
+                             pallas_precision="mixed-3")
+    with pytest.raises(ValueError, match="recurrence"):
+        SphereSL.from_tables(t, dtype=jnp.float32, backend="pallas",
+                             pallas_precision="mixed3",
+                             pallas_harmonics="poly")
