@@ -79,12 +79,12 @@ def main():
             if c == "sphere":
                 r = bench_suite.bench_sphere(n=n, reps=reps)
             elif c == "sphere10m":
-                r = bench_suite.bench_sphere(n=10_485_760, reps=5)
+                r = bench_suite.bench_sphere(n=10_485_760, reps=10)
             elif c == "disk":
                 r = bench_suite.bench_disk(n=min(n, 1_048_576),
                                            reps=max(5, reps // 2))
             elif c == "disk10m":
-                r = bench_suite.bench_disk(n=10_485_760, reps=5)
+                r = bench_suite.bench_disk(n=10_485_760, reps=10)
             elif c == "composite":
                 r = bench_suite.bench_composite()
             elif c == "composite_m2":

@@ -358,17 +358,21 @@ def bench_pyexp(n=262_144, ntimes=32):
     # compiles otherwise — visible as ncompiles>0 in the timed region)
     R0 = jnp.eye(3, dtype=jnp.float32)
     np.asarray(proj(xj @ R0.T))
+    # rigid rotations emulate an evolving snapshot stream; prebuilt
+    # OUTSIDE the timer — the first jnp.asarray of a host nested list
+    # compiles a convert_element_type program (~0.4 s through the
+    # tunnel), which used to land inside the timed region (the
+    # ncompiles=1 every round + the r03<->r04 pyexp wobble)
+    Rs = [jnp.asarray([[np.cos(a), -np.sin(a), 0],
+                       [np.sin(a), np.cos(a), 0], [0, 0, 1]], jnp.float32)
+          for a in (0.05 * k for k in range(ntimes))]
+    jax.block_until_ready(Rs[-1])
     with CompileMeter() as cm:
         t0 = time.perf_counter()
         series = []
         marks = [t0]
         for k in range(ntimes):
-            # rigid rotation emulates an evolving snapshot stream
-            ang = 0.05 * k
-            R = jnp.asarray([[np.cos(ang), -np.sin(ang), 0],
-                             [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
-                            jnp.float32)
-            series.append(np.asarray(proj(xj @ R.T)))
+            series.append(np.asarray(proj(xj @ Rs[k].T)))
             if (k + 1) % max(1, ntimes // 3) == 0:
                 marks.append(time.perf_counter())
         t_coef = time.perf_counter() - t0

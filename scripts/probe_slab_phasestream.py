@@ -189,7 +189,11 @@ def main():
     v3 = make_slab_coef_kernel(NMAX, NMAX, NZC, ZMAX, block=BLOCK,
                                interp=INTERP, interpret=interp_mode)
     # complex device_get is unimplemented over the TPU tunnel: split
-    v3j = jax.jit(lambda a: (jnp.real(v3(a)), jnp.imag(v3(a))))
+    def _v3_split(a):
+        g = v3(a)
+        return jnp.real(g), jnp.imag(g)
+
+    v3j = jax.jit(_v3_split)
     Gacc = (lambda t: np.asarray(t[0]) + 1j * np.asarray(t[1]))(v3j(xacc))
     err_v3 = float(np.max(np.abs(Gacc - Gref)) / sc)
     jax.block_until_ready(v3j(xj))
