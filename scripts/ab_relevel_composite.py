@@ -27,8 +27,10 @@ dE_C ~ dE_A.  Level populations at the end of each arm are recorded as
 the trajectory check.
 
 Env: ABC_NHALO (786432), ABC_NDISK (262144), ABC_M (4), ABC_NBIG (100),
-ABC_DTIME (2e-3), ABC_NSUB (65536), ABC_OUT (doc/ab_relevel_composite.json).
-Run on the real TPU.
+ABC_DTIME (2e-3), ABC_NSUB (65536), ABC_CAP_HEADROOM (4 — see
+doc/benchmarks.md's operational note: transient-era level migration
+with tight caps thrashes host rebucketize + 2^M-graph recompiles),
+ABC_OUT (doc/ab_relevel_composite.json).  Run on the real TPU.
 """
 
 import json
@@ -54,6 +56,7 @@ M = int(os.environ.get("ABC_M", 4))
 NBIG = int(os.environ.get("ABC_NBIG", 100))
 DTIME = float(os.environ.get("ABC_DTIME", 2e-3))
 NSUB = int(os.environ.get("ABC_NSUB", 65_536))
+CAP_HEADROOM = int(os.environ.get("ABC_CAP_HEADROOM", 4))
 OUT = os.environ.get("ABC_OUT", os.path.join(
     os.path.dirname(_HERE), "doc", "ab_relevel_composite.json"))
 
@@ -126,11 +129,19 @@ def main():
             E_rep += ke + float(0.5 * (m * d["pot"][live][rows]).sum())
         return E, E_rep
 
-    def arm(name, dtime, nbig, nrelevel):
-        runner = MultistepRunner(forces, couples, dtime, M, mesh,
-                                 dynparams={"dynfracV": 0.01,
-                                            "dynfracA": 0.03},
-                                 cap_headroom=2, fused=True)
+    def make_runner(dtime):
+        return MultistepRunner(forces, couples, dtime, M, mesh,
+                               dynparams={"dynfracV": 0.01,
+                                          "dynfracA": 0.03},
+                               cap_headroom=CAP_HEADROOM, fused=True)
+
+    def arm(name, runner, dtime, nbig, nrelevel):
+        """One arm.  Arms A and C share a runner (same dtime): the
+        runner's per-capacity-signature jit caches persist across
+        init_state, so C reuses A's compiled substep graphs wherever its
+        capacity trajectory matches (identical ICs -> identical initial
+        signature) — through the remote-compile tunnel each avoided
+        2^M-graph compile saves minutes."""
         flat = {
             "halo": ParticleSystem.from_arrays(ic["xh"], ic["vh"],
                                                ic["mh"],
@@ -160,9 +171,10 @@ def main():
               f"levels={lc} ({out['wall_sec']:.0f}s)", flush=True)
         return out
 
-    A = arm("A", DTIME, NBIG, 1)
-    B = arm("B", DTIME / 2, 2 * NBIG, 1)
-    C = arm("C", DTIME, NBIG, 2)
+    runner_ac = make_runner(DTIME)
+    A = arm("A", runner_ac, DTIME, NBIG, 1)
+    C = arm("C", runner_ac, DTIME, NBIG, 2)
+    B = arm("B", make_runner(DTIME / 2), DTIME / 2, 2 * NBIG, 1)
 
     res = {
         "n_halo": NHALO, "n_disk": NDISK, "multistep": M, "nsub": NSUB,

@@ -34,8 +34,12 @@ and the drift lives in the truncated representation.  If E_sub_dir
 drifts comparably, the 4e-2 is real physics error.
 
 Env knobs: DEC_NHALO (786432), DEC_NDISK (262144), DEC_M (4),
-DEC_NBIG (500), DEC_NSNAP (6), DEC_NSUB (65536), DEC_OUT
-(doc/direct_energy.json).
+DEC_NBIG (500), DEC_NSNAP (6), DEC_NSUB (65536), DEC_CAP_HEADROOM (4:
+the bar transient migrates ~500k particles across levels, and every
+bucket-capacity overflow pays a host rebucketize + recompile of all
+2^M substep graphs through the remote-compile tunnel — the
+doc/benchmarks.md operational note; headroom 2 measured ~15 s/bigstep
+from that thrash vs ~0.1 s at 4), DEC_OUT (doc/direct_energy.json).
 
 Run on the real TPU (the pair sum is 6.5e11 flops per snapshot).
 Reference match: forces/direct.py ring (the same pair kernel used as a
@@ -64,6 +68,7 @@ NBIG = int(os.environ.get("DEC_NBIG", 500))
 NSNAP = int(os.environ.get("DEC_NSNAP", 6))
 NSUB = int(os.environ.get("DEC_NSUB", 65_536))
 DTIME = float(os.environ.get("DEC_DTIME", 2e-3))
+CAP_HEADROOM = int(os.environ.get("DEC_CAP_HEADROOM", 4))
 OUT = os.environ.get("DEC_OUT", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "doc", "direct_energy.json"))
@@ -74,9 +79,13 @@ SCH = 65_536    # source chunk columns
 
 def make_phi_direct(n_src):
     """phi(x_t) = -sum_j m_j / |x_t - x_j| over all sources, unsoftened,
-    self-pair masked by r^2 > 0.  f32 pairs, f64 accumulation across
-    source chunks (6e8 pair partial sums per chunk keep the f32 random
-    walk ~1e-5; the cross-chunk sum is exact to f64)."""
+    self-pair masked by r^2 > 0.  All-f32 on device (x64 stays off so
+    the production stepping path keeps its exact bench dtypes): XLA's
+    pairwise reduction over the 65536-source chunks keeps the
+    per-target phi error ~1e-6 relative, random across targets, so the
+    65536-target energy sums (done in np.float64 on host) carry a
+    ~1e-7 relative noise floor — three orders below the 1e-3-vs-4e-2
+    discrimination this instrument is for."""
     nchunks = n_src // SCH
     assert nchunks * SCH == n_src
 
@@ -93,9 +102,9 @@ def make_phi_direct(n_src):
                 inv = jnp.where(r2 > 0.0, jax.lax.rsqrt(
                     jnp.maximum(r2, 1e-30)), 0.0)
                 p = -(inv * msc[None, :]).sum(-1)
-                return acc + p.astype(jnp.float64), None
+                return acc + p, None
 
-            acc0 = jnp.zeros(xtc.shape[0], jnp.float64)
+            acc0 = jnp.zeros(xtc.shape[0], jnp.float32)
             acc, _ = jax.lax.scan(src_chunk, acc0, (xs_c, ms_c))
             return acc
 
@@ -128,7 +137,7 @@ def main():
     runner = MultistepRunner(forces, couples, DTIME, M, mesh,
                              dynparams={"dynfracV": 0.01,
                                         "dynfracA": 0.03},
-                             cap_headroom=2, fused=True)
+                             cap_headroom=CAP_HEADROOM, fused=True)
     flat = {
         "halo": ParticleSystem.from_arrays(ic["xh"], ic["vh"], ic["mh"],
                                            dtype=jnp.float32),
