@@ -95,8 +95,9 @@ def main():
     phi_cache = {}
 
     def true_energy(st):
-        """Fixed-subsample KE + direct-sum PE (true field, f32 pairs,
-        f64 accumulation)."""
+        """Fixed-subsample KE + direct-sum PE (true field; all-f32 on
+        device, host f64 energy sums — direct_energy_check's
+        instrument)."""
         snap = {}
         for n, bs in st.items():
             ps = flatten_buckets(LevelBuckets(list(bs), None))

@@ -16,8 +16,8 @@ regime):
   * at NSNAP evenly spaced bigstep boundaries, recompute the potential
     of a FIXED random subsample (by persistent particle id) by DIRECT
     O(N_sub x N) summation over ALL live sources (unsoftened Newtonian
-    pair sum — the true field, f32 pair kernel with f64 chunk
-    accumulation);
+    pair sum — the true field; all-f32 on device with host f64 energy
+    sums, see make_phi_direct for the ~1e-7 noise floor);
   * compare three energy curves:
       E_rep   — KE + 1/2 sum m phi_rep over ALL particles (the OUTLOG
                 bookkeeping that shows the 4e-2);
