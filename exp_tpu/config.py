@@ -29,7 +29,7 @@ _GLOBAL_KEYS = {
     "infile", "ldlibdir", "outdir", "nthrds", "cuda", "allcouples",
     "restart", "nbalance", "dbthresh", "dtime_rel", "shiftlevl",
     "compute_dtype", "accum_dtype", "fpe", "maxMindt", "nrelevel",
-    "fused_bigstep",
+    "fused_bigstep", "cap_headroom",
     # reference Global keys honored by the runner (src/parse.cc:64-376)
     "runtime", "restart_cmd", "nreport", "random_seed", "eqmotion",
     "restart_as_new", "NICE", "rlimit", "use_cwd", "homedir",
@@ -93,6 +93,14 @@ class GlobalConfig:
     #: chain the 2^multistep substeps into one compiled big step (fewer
     #: dispatches per step; longer one-time compile)
     fused_bigstep: bool = False
+    #: multistep bucket-capacity slack: <=1 = next-pow2 (legacy), >=2 =
+    #: (1 + 0.15*headroom) on a pow2/8 grid.  Runs that migrate many
+    #: particles across levels (disk transients) want >=4: every
+    #: capacity overflow re-buckets on the host and recompiles all
+    #: 2^multistep substep graphs (measured ~15 s/bigstep of thrash vs
+    #: ~0.1 s at headroom 4 on the 1M composite's bar transient —
+    #: doc/benchmarks.md operational note)
+    cap_headroom: int = 1
     compute_dtype: str = "float32"
     accum_dtype: str = "float64"
     #: hard cap on bodies per component (reference global.H nbodmax);

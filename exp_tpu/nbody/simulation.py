@@ -709,7 +709,7 @@ class Simulation:
                            "dynfracP": g.dynfracP, "dynfracD": g.dynfracD,
                            "dynfracS": g.dynfracS},
                 shiftlevl=g.shiftlevl, feats=feats, wrappers=self.wrappers,
-                fused=g.fused_bigstep,
+                fused=g.fused_bigstep, cap_headroom=g.cap_headroom,
                 eqmotion=bool(getattr(g, "eqmotion", True)))
 
     # ------------------------------------------------------------------
